@@ -1,0 +1,443 @@
+"""Deduplication suite over the documents/embeddings tables — the
+north-star LLM-data-pipeline operators (BASELINE.json): exact,
+MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Cross-engine note: every sketch uses the explicit word-code arithmetic
+from functions.text (Spark's and DuckDB's builtin hash() disagree), so
+all candidate generation AND verification is oracle-checkable — rare
+for LSH pipelines and deliberately so here.
+
+Scale shape (the part that matters at 100 TB):
+  - candidate generation is always a *blocked* self-join — equality on
+    a band/bucket key, never a cross join. That's one shuffle on the
+    band key; AQE splits hot buckets (a degenerate band value is the
+    classic LSH skew hazard).
+  - verification (exact Jaccard / cosine) runs only on candidate
+    pairs, so its cost is output-bound, not corpus-bound.
+  - keep-first selection is a window row_number, one shuffle on the
+    dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.text import (
+    MINHASH_P,
+    MIX_A,
+    MIX_MOD,
+    duck_shingle_codes,
+    shingle_codes,
+)
+from alexandria_pipeline_spark.registry import query
+
+NUM_HASHES = 8
+BANDS = 4  # rows-per-band = 2
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.35
+
+# Deterministic "random" hyperplanes for embedding LSH: integer entries
+# in [-6, 6] from a fixed affine formula — exactly representable, so
+# both engines compute identical projections.
+LSH_PLANES = 4
+EMBED_DIM = 64
+_planes = [
+    [((p * 31 + d * 17) % 13) - 6 for d in range(EMBED_DIM)] for p in range(LSH_PLANES)
+]
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, prefix_key
+    FROM (
+      SELECT
+        doc_id, lang,
+        array_to_string(string_split(text, ' ')[1:10], ' ') AS prefix_key,
+        row_number() OVER (
+          PARTITION BY array_to_string(string_split(text, ' ')[1:10], ' ')
+          ORDER BY doc_id
+        ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content key (first-10-token prefix —
+    the testdata's near-dup groups share it), keep-first by doc_id.
+    This is hash-groupBy dedup: one shuffle on the key; at 100 TB the
+    key would be a full-content md5 (see multimodal_binary_meta) so the
+    shuffle carries 16-byte keys, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    w = Window.partitionBy("prefix_key").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", prefix.alias("prefix_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+def _sig_cols():
+    """8 MinHash aggregates over exploded shingle codes: min((a_i*c + b_i) % p)."""
+    return [
+        F.min((F.col("code") * (2 * i + 3) + (5 * i + 7)) % MINHASH_P).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def _duck_sig_cols(code: str) -> str:
+    return ", ".join(
+        f"min(({code} * {2 * i + 3} + {5 * i + 7}) % {MINHASH_P}) AS m{i}"
+        for i in range(NUM_HASHES)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             (CASE b WHEN 0 THEN m0 * {MINHASH_P} + m1
+                     WHEN 1 THEN m2 * {MINHASH_P} + m3
+                     WHEN 2 THEN m4 * {MINHASH_P} + m5
+                     ELSE m6 * {MINHASH_P} + m7 END) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_a, c.doc_b,
+      round(CAST(len(list_intersect(x.codes, y.codes)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.codes, y.codes))), 6) AS jaccard
+    FROM cand c
+    JOIN docs x ON x.doc_id = c.doc_a
+    JOIN docs y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.codes, y.codes)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.codes, y.codes))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup (Broder '97 / MMDS ch.3) over
+    trigram-shingle codes: 8 permutations, 4 bands x 2 rows; candidates
+    share a band value; verified with exact shingle-set Jaccard >= 0.5.
+
+    Scale shape: shingling/explode is narrow; signatures are one
+    partial+final agg on doc_id (8 mins); the band self-join carries
+    (doc_id, band, band_val) ONLY — token/shingle payloads never enter
+    the shuffle. Verification rejoins the shingle sets for just the
+    candidate pairs, so its cost is bounded by LSH selectivity (3.1k of
+    12.5M possible pairs at sf0.1), not corpus size. Unigram-token
+    sketches are deliberately NOT used: on a low-entropy vocabulary
+    they mark everything similar (measured 10.4M candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = d.filter(F.size(toks) >= 3).select(
+        "doc_id", shingle_codes(toks).alias("codes")
+    )
+    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    band_vals = F.array(
+        *[
+            F.col(f"m{2 * b}") * MINHASH_P + F.col(f"m{2 * b + 1}")
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("codes").alias("codes_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("codes_b"))
+    jaccard = F.size(F.array_intersect("codes_a", "codes_b")).cast("double") / F.size(
+        F.array_union("codes_a", "codes_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard_raw", jaccard)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+# --------------------------------------------------------------------------
+def _mixed(code):
+    """Lehmer-LCG bit spread of a shingle code (both engines, exact)."""
+    return (code * MIX_A) % MIX_MOD
+
+
+def _duck_simhash_votes() -> str:
+    return ", ".join(
+        f"sum(2 * (((code * {MIX_A}) % {MIX_MOD} >> {b}) & 1) - 1) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+def _duck_simhash_from_votes() -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            for b in range(SIMHASH_BITS)
+        )
+        + ")"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    votes AS (
+      SELECT doc_id, {_duck_simhash_votes()}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    hashed AS (
+      SELECT doc_id, CAST({_duck_simhash_from_votes()} AS BIGINT) AS simhash
+      FROM votes
+    ),
+    bands AS (
+      SELECT doc_id, simhash, CAST(b AS INT) AS band,
+             (simhash >> (b * 8)) & 255 AS nib
+      FROM hashed CROSS JOIN LATERAL (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT DISTINCT
+      a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (Charikar '02 / Manku '07 web-dedup shape):
+    32-bit signature from +-1 votes per bit of Lehmer-mixed trigram
+    shingle codes; candidates share one of four 8-bit bands
+    (pigeonhole: hamming <= 3 over 4 bands => one band intact), then
+    exact hamming <= 3 verification via bit_count(xor).
+
+    Scale: votes are a partial+final agg over exploded shingles (32
+    integer sums — exact in any order); after that the corpus is
+    (id, int32) — 2 shuffles of minimal width. The signature is wide
+    enough (32 bits) that band buckets stay small; 16-bit signatures
+    measured 2.9M candidate pairs at sf0.1 vs 253k here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = d.filter(F.size(toks) >= 3).select(
+        "doc_id", shingle_codes(toks).alias("codes")
+    )
+    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
+    mixed = _mixed(F.col("code"))
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(mixed, b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    hashed = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
+    )
+    bands = hashed.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "nib")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "nib"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "nib"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b2, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT
+        doc_id, lang,
+        len(string_split(text, ' ')) AS n_toks,
+        {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT
+      a.doc_id AS doc_a, b.doc_id AS doc_b,
+      round(CAST(len(list_intersect(a.codes, b.codes)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.codes, b.codes))), 6) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_toks - b.n_toks) <= 8
+    WHERE CAST(len(list_intersect(a.codes, b.codes)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.codes, b.codes))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup with blocking on (lang, length
+    delta <= 8). Jaccard runs over HASHED shingles (int64 codes, the
+    standard MMDS shingle-hashing move) — set ops on fixed-width ints
+    are ~5x cheaper than on strings, and the sketch universe is shared
+    with dedup_minhash_lsh. The block join bounds the pair count; at
+    100 TB the block key would be a MinHash band — this variant is the
+    high-precision verifier with a cheap deterministic blocker."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        shingle_codes(toks).alias("codes"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_toks").alias("nt_a"),
+        F.col("codes").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_toks").alias("nt_b"),
+        F.col("codes").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nt_a") - F.col("nt_b")) <= 8),
+        )
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+def _duck_plane(p: int) -> str:
+    return "[" + ", ".join(str(v) for v in _planes[p]) + "]"
+
+
+def _duck_bucket(emb: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"list_reduce(list_transform(range(1, {EMBED_DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({_duck_plane(p)})[i]), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT
+        a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_reduce(list_transform(range(1, {EMBED_DIM} + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y) AS dotp
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(dotp, 6) AS cos_sim
+    FROM pairs WHERE dotp >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH (SimHash for
+    vectors, Charikar '02): bucket = sign pattern of 4 fixed integer
+    hyperplane projections; pairs within a bucket verified by exact
+    cosine (= dot product — testdata vectors are unit-norm) ≥ 0.35.
+
+    Scale: buckets cut the pair space 2^planes-fold; at 100 TB you'd
+    use 16-24 planes + multi-probe. The bucket join shuffles (id,
+    vector) once; the verify fold runs JVM-side (zip_with/aggregate,
+    no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def proj(p: int):
+        plane = F.array(*[F.lit(float(v)) for v in _planes[p]])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    bucket = None
+    for p in range(LSH_PLANES):
+        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    dotp = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dotp", dotp)
+        .filter(F.col("dotp") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("dotp", 6).alias("cos_sim"))
+    )

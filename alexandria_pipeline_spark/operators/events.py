@@ -1,0 +1,251 @@
+"""Event-time analytics over the events table, batch mode.
+
+The reference's checkpoint/resume loop (run.py:121-153) is a
+hand-rolled micro-batch pattern; SURVEY §2.9 maps it to real
+event-time operators: tumbling/sliding/session windows, stateful
+dedup, and as-of joins. The batch versions here are DuckDB-oracle
+checkable; streaming/stream_events.py reruns the same logic through
+readStream with watermarks.
+
+Timestamps are emitted as epoch seconds (bigint), never raw
+timestamps, so the cross-engine hash can't trip on tz/precision
+rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.registry import query
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT
+      (epoch_us(ts) // 1000000 // 600) * 600 AS window_start_s,
+      event_type,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window via F.window — the windowed hash
+    aggregate is a single shuffle on (window, type); partial aggs run
+    map-side. Oracle expresses the same bucketing as epoch floor-div."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT
+      ((epoch_us(ts) // 1000000 // 300) - off) * 300 AS window_start_s,
+      count(*)             AS n_events,
+      round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
+    FROM events
+    CROSS JOIN (SELECT unnest(range(0, 2)) AS off)
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in
+    exactly 2 windows (window/slide = 2 replicas — the oracle makes
+    that replication explicit with an unnested offset)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            / 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id,
+        ts,
+        value,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+             OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT
+        user_id, ts, value,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      CAST(session_id AS BIGINT)     AS session_id,
+      epoch_us(min(ts)) // 1000000   AS session_start_s,
+      epoch_us(max(ts)) // 1000000   AS session_end_s,
+      count(*)                       AS n_events,
+      round(sum(value), 2)           AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands:
+    lag to flag session starts, running sum to number sessions, then a
+    grouped agg. One shuffle on user_id serves the window AND the
+    final group-by (same partitioning, no second exchange). The
+    streaming twin uses F.session_window + watermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            (F.unix_micros(F.min("ts")) / 1_000_000).cast("long").alias("session_start_s"),
+            (F.unix_micros(F.max("ts")) / 1_000_000).cast("long").alias("session_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+      ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed keep-first dedup (deterministic flavor of
+    dropDuplicates): earliest event per (user, type). The streaming
+    twin is dropDuplicatesWithinWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT
+      p.event_id                  AS purchase_id,
+      p.user_id                   AS user_id,
+      round(p.value, 2)           AS purchase_value,
+      c.event_id                  AS click_id,
+      epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS lag_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at or
+    before it for the same user.
+
+    Spark has no ASOF JOIN, so this uses the scalable union+window
+    form: union both sides tagged, sort within user by (ts, side),
+    carry the last click forward with last(ignorenulls), keep
+    purchases. ONE shuffle on user_id, no range-join explosion —
+    at 100 TB this beats the naive join+filter+row_number (which
+    materializes every click×purchase pair per user).
+
+    Tie rule: clicks sort before purchases at equal ts (side asc), so
+    a click at exactly p.ts matches, mirroring `c.ts <= p.ts`.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("last_click_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
+    return (
+        matched.filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.round("purchase_value", 2).alias("purchase_value"),
+            F.col("last_click_id").alias("click_id"),
+            (
+                (F.unix_micros("ts") / 1_000_000).cast("long")
+                - (F.unix_micros("last_click_ts") / 1_000_000).cast("long")
+            ).alias("lag_s"),
+        )
+    )

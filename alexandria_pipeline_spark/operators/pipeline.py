@@ -1,0 +1,258 @@
+"""The reference's pipeline semantics, re-expressed as lazy Spark plans.
+
+Covers SURVEY §3's three entry points:
+  3.1 run.py        -> embed_documents (scan → project → embed UDF)
+  3.2 run_extra.py  -> chunk_embed_pool (split → chunk → embed → pool)
+  3.3 process.py    -> merge_embeddings (J1 join + M9 scaled concat),
+                       missing_docs_anti_join (J2 done key-based),
+                       embedding_weighted_mean (M8/A2 grouped pooling)
+
+The documents table stands in for arxiv2M.parquet (FIXTURES.md A1);
+the deterministic featurizer stands in for InstructorXL (M7) so every
+value is oracle-checkable. The real-model slot is
+functions.featurizer.embed_pandas_udf (same interface).
+
+Scale notes: the only shuffles are the explode→groupBy pooling (§3.2,
+inherent to the semantics) and merge joins keyed on doc_id. The
+reference instead materialized the whole corpus in pandas per loader
+worker (run.py:20-21, ×4 processes) and zipped shards positionally
+(process.py:123) — here everything is keyed, partitioned, and lazy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.featurizer import (
+    FEATURE_DIM,
+    duck_featurize,
+    featurize,
+)
+from alexandria_pipeline_spark.registry import query
+
+CHUNK_TOKENS = 16  # run_extra.py:64-71 chunks at 512 model tokens; 16 here
+TITLE_WEIGHT = 0.2  # process.py:119
+TITLE_TOKENS = 8  # "title" stand-in = first 8 tokens of the doc
+
+
+# --------------------------------------------------------------------------
+# §3.1  run.py — scan → project/rename → embed → (sink)
+# --------------------------------------------------------------------------
+@query(
+    "embed_documents",
+    oracle=f"""
+    SELECT doc_id, {duck_featurize('text')} AS embedding
+    FROM documents
+    """,
+)
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run.py:126-156 as one lazy plan: parquet scan (column-pruned to
+    doc_id,text) → featurize. No shuffle at all — embarrassingly
+    parallel over parquet splits, which is why the reference's 2.25M-row
+    job becomes a single narrow stage here."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", featurize("text").alias("embedding"))
+
+
+# --------------------------------------------------------------------------
+# §3.2  run_extra.py — sentence/chunk split → per-chunk embed → pooling
+# --------------------------------------------------------------------------
+@query(
+    "chunk_embed_pool",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    chunks AS (
+      SELECT
+        doc_id,
+        CAST(i AS INT) AS chunk_idx,
+        array_to_string(tokens[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}], ' ') AS chunk_text
+      FROM toks
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(tokens) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+      )
+    ),
+    feats AS (
+      SELECT
+        doc_id,
+        CAST(len(string_split(chunk_text, ' ')) AS DOUBLE) AS w,
+        {duck_featurize('chunk_text')} AS f
+      FROM chunks
+    ),
+    dims AS (
+      SELECT doc_id, CAST(d AS INT) AS dim, w, f[d] AS x
+      FROM feats CROSS JOIN LATERAL (SELECT unnest(range(1, {FEATURE_DIM} + 1)) AS d)
+    ),
+    pooled AS (
+      SELECT doc_id, dim, round(sum(w * x) / sum(w), 4) AS v
+      FROM dims GROUP BY doc_id, dim
+    )
+    SELECT doc_id, list(v ORDER BY dim) AS embedding
+    FROM pooled GROUP BY doc_id
+    """,
+)
+def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_extra.py:50-87 re-expressed: token-window chunking (M5) →
+    explode → per-chunk featurize (M7) → token-count-weighted mean
+    pooling (M8, np.average analog run_extra.py:46-48) → reassemble.
+
+    Plan shape: chunking is a narrow transform (no pre-explode
+    shuffle); the weighted mean runs as posexplode(8 dims) →
+    partial+final agg on (doc_id, dim) → final assembly groupBy
+    (doc_id). Both aggs hash-partition on doc_id-prefixed keys, so AQE
+    coalesces them tightly; per-doc state is O(dim), never O(chunks),
+    which is what keeps a 100 TB corpus poolable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    n_chunks = F.ceil(F.size("tokens") / F.lit(float(CHUNK_TOKENS)))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(F.col("tokens"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                    ).alias("chunk_text"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx"), F.col("c.chunk_text"))
+    feats = chunks.select(
+        "doc_id",
+        F.size(F.split("chunk_text", " ")).cast("double").alias("w"),
+        featurize("chunk_text").alias("f"),
+    )
+    dims = feats.select(
+        "doc_id", "w", F.posexplode("f").alias("dim0", "x")
+    ).select("doc_id", (F.col("dim0") + 1).cast("int").alias("dim"), "w", "x")
+    pooled = dims.groupBy("doc_id", "dim").agg(
+        F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("v")
+    )
+    return (
+        pooled.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+        .select("doc_id", F.transform("dv", lambda s: s["v"]).alias("embedding"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.3  process.py — aligned merge + anti-join reconciliation
+# --------------------------------------------------------------------------
+@query(
+    "merge_embeddings",
+    oracle=f"""
+    WITH titles AS (
+      SELECT doc_id,
+             {duck_featurize(f"array_to_string(string_split(text, ' ')[1:{TITLE_TOKENS}], ' ')")} AS emb
+      FROM documents
+    ),
+    abstracts AS (
+      SELECT doc_id, {duck_featurize('text')} AS emb FROM documents
+    )
+    SELECT
+      t.doc_id AS doc_id,
+      list_transform(
+        list_concat(
+          list_transform(t.emb, x -> x * {TITLE_WEIGHT!r}),
+          list_transform(a.emb, x -> x * {1 - TITLE_WEIGHT!r})
+        ), x -> round(x, 6)
+      ) AS merged
+    FROM titles t JOIN abstracts a ON t.doc_id = a.doc_id
+    """,
+)
+def merge_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """process.py:119-129 done right: a keyed equi join (J1) replaces
+    the positional zip whose alignment assert was tautological
+    (process.py:21-23), then the M9 scaled concat
+    concat(title*0.2, abstract*0.8) doubles the dim (process.py:126).
+    'title' = first 8 tokens, 'abstract' = full text, so both sides
+    derive from one scan — Catalyst plans a single-pass self-join on
+    doc_id with no duplicate parquet read at runtime cost."""
+    d = load_table(spark, sf_dir, "documents")
+    title_text = F.array_join(
+        F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
+    )
+    titles = d.select("doc_id", featurize(title_text).alias("t_emb"))
+    abstracts = d.select("doc_id", featurize("text").alias("a_emb"))
+    joined = titles.join(abstracts, "doc_id")
+    merged = F.concat(
+        F.transform("t_emb", lambda x: x * TITLE_WEIGHT),
+        F.transform("a_emb", lambda x: x * (1 - TITLE_WEIGHT)),
+    )
+    return joined.select(
+        "doc_id",
+        F.transform(merged, lambda x: F.round(x, 6)).alias("merged"),
+    )
+
+
+@query(
+    "missing_docs_anti_join",
+    oracle="""
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents p
+      WHERE p.n_chars <= 384 AND p.doc_id = d.doc_id
+    )
+    """,
+)
+def missing_docs_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/U2: raw − processed via a true key-based left-anti join. The
+    reference's find_and_save_missing_dois (process.py:69-117) compares
+    positionally and mislabels everything after one gap (SURVEY §4.3.4);
+    a keyed anti-join is order-independent and shuffle-partitioned on
+    the key at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    processed = d.filter(F.col("n_chars") <= 384).select("doc_id")
+    return d.join(processed, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+@query(
+    "embedding_weighted_mean",
+    oracle="""
+    WITH dims AS (
+      SELECT
+        label,
+        CAST(d AS INT)                      AS dim,
+        CAST(vec_id % 7 + 1 AS DOUBLE)      AS w,
+        CAST(embedding[d] AS DOUBLE)        AS x
+      FROM embeddings
+      CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS d)
+    ),
+    pooled AS (
+      SELECT label, dim, round(sum(w * x) / sum(w), 4) + 0 AS v
+      FROM dims GROUP BY label, dim
+    )
+    SELECT label, list(v ORDER BY dim) AS centroid
+    FROM pooled GROUP BY label
+    """,
+)
+def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8/A2 over the embeddings table: per-label weighted elementwise
+    mean (weight = deterministic vec_id%7+1, standing in for chunk
+    length run_extra.py:47). posexplode → two-level agg keeps per-group
+    state at O(dim) — the pattern that pools 10^9 chunk vectors without
+    collecting any group into memory."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        ((F.col("vec_id") % 7) + 1).cast("double").alias("w"),
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "w",
+        F.col("xf").cast("double").alias("x"),
+    )
+    pooled = dims.groupBy("label", "dim").agg(
+        (F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4) + 0.0).alias("v")
+    )
+    return (
+        pooled.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+        .select("label", F.transform("dv", lambda s: s["v"]).alias("centroid"))
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+North-star ops (BASELINE.json): brute-force cosine top-k as the exact
+baseline, and an IVF-style cluster-pruned variant as the scale path.
+Vector math is pure `zip_with`/`aggregate` (JVM codegen, no UDF) from
+functions.vectors; a Pandas-UDF variant of the same dot product is
+unit-tested for parity in tests/test_functions.py (the slot where a
+BLAS batch kernel would go at very high dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
+from alexandria_pipeline_spark.registry import query
+
+TOP_K = 5
+QUERY_IDS = (0, 1, 2)
+N_CENTROIDS = 8
+
+
+@query(
+    "knn_brute_force",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT
+        q.query_id,
+        e.vec_id AS neighbor_id,
+        {duck_dot('q.q_emb', 'e.embedding')} AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(score, 6) + 0 AS cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: broadcast the (tiny) query set against the corpus,
+    score with a codegen'd dot-product fold, take top-k per query via
+    window rank. At scale the broadcast-nested-loop scores N·Q pairs in
+    one narrow stage and only k·Q rows survive to the (single) shuffle —
+    the standard exact-ANN baseline. Vectors are unit-norm so
+    dot == cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("q_emb", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@query(
+    "knn_ivf_pruned",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id AS cluster_id
+      FROM (
+        SELECT
+          e.vec_id, e.embedding, c.c_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {duck_dot('e.embedding', 'c.c_emb')} DESC, c.c_id
+          ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      )
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cluster_id AS q_cluster
+      FROM assigned WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT
+        q.query_id,
+        a.vec_id AS neighbor_id,
+        a.cluster_id,
+        {duck_dot('q.q_emb', 'a.embedding')} AS score
+      FROM q JOIN assigned a
+        ON a.cluster_id = q.q_cluster AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           round(score, 6) + 0 AS cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rk FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate k-NN: vectors are assigned to the nearest
+    of 8 fixed centroids (deterministically seeded as the first 8
+    vectors — a stand-in for k-means, which isn't oracle-expressible),
+    and each query searches only its own cluster.
+
+    Scale path: centroid assignment is a broadcast NLJ (centroid table
+    is always tiny) + argmax window; the search join hits 1/n_clusters
+    of the corpus per query. At 100 TB this is the layout you'd persist
+    — corpus parquet *bucketed by cluster_id* — so a query reads one
+    bucket: partition pruning does the IVF probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_score"), F.asc("c_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("c_score", dot("embedding", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cluster_id"))
+    )
+    q = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster_id").alias("q_cluster"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (assigned.cluster_id == F.col("q_cluster"))
+            & (assigned.vec_id != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster_id",
+            dot("q_emb", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Parquet sources/sinks re-expressing the reference's pickle-shard
+dataset (SURVEY §2.1 S3-S8).
+
+The reference shards output as `embeddings_{i}.pkl` with 100k rows per
+shard, recovering global order by parsing shard ids from filenames
+(process.py:26-62, join.py:5-41). Here a sharded dataset is a plain
+partitioned Parquet directory:
+
+  - fixed rows-per-file via `maxRecordsPerFile` (S5's 100k contract,
+    process.py:55) — the writer splits files without a repartition;
+  - ordering is DATA, not filename convention: an explicit `shard_id`
+    column written with the rows (O1's numeric filename sort,
+    process.py:33, becomes `orderBy(shard_id, row_in_shard)`);
+  - resume/checkpointing is engine-managed (lineage + task retry, or
+    streaming checkpointLocation) instead of the reference's
+    `(batch_id, line_num)` pickle whose cursor races its flush
+    (SURVEY §4.3.1/§4.3.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+DEFAULT_ROWS_PER_SHARD = 100_000  # process.py:55
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = DEFAULT_ROWS_PER_SHARD,
+    order_col: str | None = None,
+) -> None:
+    """S5/S6 sink: bounded-size Parquet shards.
+
+    If order_col is given, rows get explicit (shard_id, row_in_shard)
+    columns computed from a global ordering — the keyed replacement
+    for the reference's filename-encoded order. Without it, files are
+    still capped via maxRecordsPerFile (no extra shuffle)."""
+    if order_col is not None:
+        w = Window.orderBy(order_col)
+        # Global row_number is a single-partition bottleneck at 100 TB —
+        # acceptable only because sharded *ordered* export is inherently
+        # a total order. The scale alternative: range-partition on
+        # order_col (repartitionByRange) and number within partitions.
+        df = (
+            df.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("shard_id", (F.col("_rn") / rows_per_shard).cast("int"))
+            .withColumn("row_in_shard", (F.col("_rn") % rows_per_shard).cast("int"))
+            .drop("_rn")
+        )
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+
+
+def read_sharded(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:
+    """S3 source: read the shard directory back; ordering (when asked)
+    comes from the data columns, never from file listing order."""
+    df = spark.read.parquet(path)
+    if ordered:
+        df = df.orderBy("shard_id", "row_in_shard")
+    return df

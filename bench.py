@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect, no result materialization cost). A warmup run of
+the flagship query absorbs JVM/codegen startup so per-query numbers
+measure the plans, not JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from alexandria_pipeline_spark import QUERIES, get_spark, register_all
+
+# Headline set: one per operator family (scan-agg, joins, windows,
+# event-time, pipeline, dedup, similarity, text). Streaming queries are
+# excluded — micro-batch setup time would measure the harness, not the
+# operator (their batch twins are here).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_fact_fact",
+    "join_star_revenue",
+    "agg_rollup",
+    "window_rank_topn_per_group",
+    "window_running_total",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_asof_join",
+    "embed_documents",
+    "chunk_embed_pool",
+    "merge_embeddings",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_brute_force",
+    "knn_ivf_pruned",
+    "text_quality_scores",
+    "text_fingerprint",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    register_all()
+    spark = get_spark("alexandria-pipeline-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    force(QUERIES["q1_pricing_summary"](spark, sf_dir))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
