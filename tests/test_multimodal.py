@@ -1,0 +1,68 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas
+decode/feature/frame-sample stubs. The codecs are stubbed (container
+has no image libs) but the distributed contract — schema, Arrow batch
+iteration, 1→1 and 1→n row shapes, real/fake seam — is exercised for
+real.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.operators.multimodal import (
+    IMAGE_FEATURES_SCHEMA,
+    decode_image_features,
+    sample_video_frames,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _media(spark, n=50):
+    d = load_table(spark, SF_SMOKE, "documents").limit(n)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def test_fake_decode_schema_and_determinism(spark):
+    out = decode_image_features(_media(spark), fake=True)
+    assert out.schema == IMAGE_FEATURES_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 50
+    for r in rows.values():
+        assert r["n_bytes"] > 0
+        assert r["width"] == r["n_bytes"] % 640 + 16
+        assert len(r["features"]) == 3 and r["features"][0] == float(r["n_bytes"])
+    # deterministic across runs
+    again = {r["media_id"]: r for r in decode_image_features(_media(spark)).collect()}
+    assert rows == again
+
+
+def test_real_decode_raises_not_implemented(spark):
+    out = decode_image_features(_media(spark, n=5), fake=False)
+    with pytest.raises(Exception) as exc_info:
+        out.collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_explodes_rows(spark):
+    out = sample_video_frames(_media(spark, n=20), every_n_bytes=64)
+    rows = out.collect()
+    assert len(rows) > 20  # 1 -> n
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert f["frame_offset"] == f["frame_idx"] * 64

@@ -1,0 +1,89 @@
+"""Physical-plan quality gates — the scale contract made testable.
+
+A query that returns correct rows through a bad plan (full-column
+scan, shuffled dimension join, Python in the hot path) fails HERE even
+though correctness passes: at 100 TB the plan IS the product.
+"""
+
+from __future__ import annotations
+
+from alexandria_pipeline_spark import QUERIES
+from alexandria_pipeline_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    read_schema_columns,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """filter_long_docs' n_chars predicate must appear in PushedFilters."""
+    plan = formatted_plan(QUERIES["filter_long_docs"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("n_chars" in ln and "256" in ln for ln in pushed), pushed
+
+
+def test_column_pruning_q1(spark):
+    """Q1 touches 7 of lineitem's 11 columns; the scan must not read
+    the rest (the reference read ALL columns into pandas, run.py:20-21)."""
+    cols = read_schema_columns(QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert "l_quantity" in cols and "l_returnflag" in cols, cols
+
+
+def test_projection_pruning_embed(spark):
+    """embed_documents needs only (doc_id, text)."""
+    cols = read_schema_columns(QUERIES["embed_documents"](spark, SF_SMOKE))
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["join_star_revenue", "q3_shipping_priority", "q5_region_volume"]:
+        assert has_broadcast_join(QUERIES[name](spark, SF_SMOKE)), name
+
+
+def test_no_shuffle_in_narrow_pipeline(spark):
+    """embed_documents is map-only: no Exchange may appear."""
+    plan = formatted_plan(QUERIES["embed_documents"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_q6_single_aggregate_no_join(spark):
+    plan = formatted_plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    # exactly one file scan (Location: appears once per scan node detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = formatted_plan(QUERIES["topk_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_python_eval_in_hot_paths(spark):
+    """The builtin-only queries must never fall back to Python row
+    evaluation (BatchEvalPython / ArrowEvalPython nodes) — everything
+    stays JVM-side for whole-stage codegen. (Formatted explain under
+    AQE doesn't label codegen stages pre-execution, so assert the
+    absence of the anti-pattern rather than the marker.)"""
+    for name in ["q1_pricing_summary", "join_fact_fact", "text_quality_scores",
+                 "dedup_minhash_lsh", "knn_brute_force", "chunk_embed_pool"]:
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        assert "EvalPython" not in plan, name
+
+
+def test_lsh_band_join_carries_ids_only(spark):
+    """dedup_minhash_lsh's band self-join must not carry shingle
+    arrays: its output attributes are ids only. Identified as the join
+    whose condition is the doc_a < doc_b pair filter; `codes` enter
+    only in the later verification joins."""
+    plan = formatted_plan(QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE))
+    blocks = plan.split("\n\n")
+    band_join = [
+        b for b in blocks
+        if "Join" in b.splitlines()[0] and "doc_a" in b and "< doc_b" in b
+    ]
+    assert band_join, "expected the band self-join in the plan"
+    assert not any("codes" in b for b in band_join), band_join
