@@ -1,0 +1,161 @@
+"""End-to-end job entry points — the reference's three CLI scripts as
+callable, composable Spark jobs (what a user of the reference actually
+runs, as opposed to individual operators).
+
+  run_embedding_job        <- python run.py --type {title|abstract}
+                              (run.py:71-156)
+  run_chunked_embedding_job<- python run_extra.py (run_extra.py:109-215)
+  run_consolidation_job    <- python process.py (process.py:131-200)
+
+Differences from the reference, by design (SURVEY §4.3):
+  - no (batch_id, line_num) checkpoint cursor: batch jobs rely on
+    Spark lineage/task-retry; incremental runs use the missing-ids
+    anti-join (idempotent) instead of a resume offset whose skip logic
+    was broken in the reference (§4.3.1);
+  - no tail loss: Spark processes every row (§4.3.2's 4,198 dropped
+    rows cannot happen);
+  - alignment is a keyed join, not positional zip (§4.3.3/4);
+  - run metadata (params.txt, run.py:104-114) becomes a JSON sidecar
+    written once per job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.featurizer import embed_pandas_udf, featurize
+from alexandria_pipeline_spark.sources.parquet import write_sharded
+
+DEFAULT_ROWS_PER_SHARD = 100_000  # process.py:55
+
+
+def _write_run_metadata(path: str, params: dict) -> None:
+    """S9 run-metadata sink (params.txt analog, run.py:109-114)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_run_params.json"), "w") as f:
+        json.dump(params, f, indent=2, sort_keys=True)
+
+
+def run_embedding_job(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    text_col: str = "text",
+    use_pandas_udf: bool = False,
+    limit: int | None = None,
+    rows_per_shard: int = DEFAULT_ROWS_PER_SHARD,
+) -> DataFrame:
+    """§3.1 run.py as ONE lazy plan: scan → project/rename (P1) →
+    embed (M7) → sharded sink (S5/S6).
+
+    use_pandas_udf toggles the Arrow-batched UDF path (the real-model
+    seam) vs the codegen featurizer — identical outputs, verified in
+    tests. `limit` is the --test crop flag (P3, run.py:23-24)."""
+    d = load_table(spark, sf_dir, "documents")
+    if limit is not None:
+        d = d.limit(limit)
+    embed = embed_pandas_udf(text_col) if use_pandas_udf else featurize(text_col)
+    result = d.select(
+        F.col("doc_id").alias("id"),
+        F.col(text_col).alias("content"),
+        embed.alias("embedding"),
+    )
+    write_sharded(result, output_path, rows_per_shard=rows_per_shard)
+    _write_run_metadata(
+        output_path,
+        {
+            "job": "embedding",
+            "source": sf_dir,
+            "text_col": text_col,
+            "rows_per_shard": rows_per_shard,
+            "use_pandas_udf": use_pandas_udf,
+        },
+    )
+    return spark.read.parquet(output_path)
+
+
+def run_incremental_embedding_job(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """The resume story done right: instead of a positional cursor
+    (run.py:121 — which never actually skipped, §4.3.1), diff the
+    source against the sink with a left-anti join on the key and embed
+    only the missing rows. Idempotent under any crash point; append
+    commits are atomic per task. This is also §3.3's missing-ids
+    reconciliation (process.py:69-117) as an *operation*, not a
+    post-mortem."""
+    d = load_table(spark, sf_dir, "documents")
+    try:
+        done = spark.read.parquet(output_path).select(F.col("id").alias("doc_id"))
+    except Exception:  # first run: nothing processed yet
+        done = None
+    todo = d if done is None else d.join(done, "doc_id", "left_anti")
+    result = todo.select(
+        F.col("doc_id").alias("id"),
+        F.col(text_col).alias("content"),
+        featurize(text_col).alias("embedding"),
+    )
+    result.write.mode("append").parquet(output_path)
+    return spark.read.parquet(output_path)
+
+
+def run_chunked_embedding_job(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """§3.2 run_extra.py: chunk → embed → length-weighted mean pool →
+    sharded sink. Reuses the chunk_embed_pool operator plan."""
+    from alexandria_pipeline_spark.operators.pipeline import chunk_embed_pool
+
+    pooled = chunk_embed_pool(spark, sf_dir)
+    write_sharded(pooled, output_path)
+    _write_run_metadata(
+        output_path,
+        {"job": "chunked_embedding", "source": sf_dir, "chunk_tokens": chunk_tokens},
+    )
+    return spark.read.parquet(output_path)
+
+
+def run_consolidation_job(
+    spark: SparkSession,
+    titles: DataFrame,
+    abstracts: DataFrame,
+    output_path: str,
+    title_weight: float = 0.2,
+) -> DataFrame:
+    """§3.3 process.py: verify alignment (J3, done as a real full-outer
+    null check), merge title+abstract embeddings (J1 + M9 scaled
+    concat), write sharded. Inputs are DataFrames with (id, embedding)
+    so the job composes with either embedding job above."""
+    t = titles.select(F.col("id"), F.col("embedding").alias("t_emb"))
+    a = abstracts.select(F.col("id"), F.col("embedding").alias("a_emb"))
+
+    misaligned = (
+        t.join(a, "id", "full_outer")
+        .filter(F.col("t_emb").isNull() | F.col("a_emb").isNull())
+        .count()
+    )
+    if misaligned:
+        raise ValueError(f"alignment check failed: {misaligned} unmatched ids")
+
+    merged = t.join(a, "id").select(
+        "id",
+        F.concat(
+            F.transform("t_emb", lambda x: x * title_weight),
+            F.transform("a_emb", lambda x: x * (1.0 - title_weight)),
+        ).alias("embedding"),
+    )
+    write_sharded(merged, output_path)
+    _write_run_metadata(
+        output_path, {"job": "consolidation", "title_weight": title_weight}
+    )
+    return spark.read.parquet(output_path)

@@ -44,15 +44,21 @@ EVENTS_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream sources monitor a DIRECTORY (new files = new data),
-    so the single events.parquet file is staged into a temp dir via
-    symlink — exactly how a live pipeline would tail a landing dir."""
+    so the single events.parquet file is staged into a landing dir via
+    symlink — exactly how a live pipeline would tail a landing dir.
+    The dir name is a stable function of sf_dir (NOT a fresh tempdir):
+    a stream restarted from a checkpoint must see the same source
+    path, or the recorded offsets refer to files that no longer
+    exist."""
+    import hashlib
     import os
 
-    stage = tempfile.mkdtemp(prefix="apspark_stream_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stage, "events-0000.parquet"),
-    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"apspark_stream_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-0000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -115,6 +121,87 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, ts, value,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+             OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE:
+    F.session_window(ts, 30 min) + watermark — Spark's stateful
+    session assembly (merging windows as events arrive, evicting on
+    watermark). With availableNow over a complete input the final
+    sessions equal the batch gaps-and-islands result, so the oracle is
+    the same SQL as events_session_window minus session ids (the
+    engine's internal numbering isn't exposed) and timestamps (session
+    bounds live in the window struct — dropped so the hash compares
+    engine-independent columns)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "sum_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_to_sharded_sink(
+    spark: SparkSession, sf_dir: str, output_path: str, checkpoint_path: str
+) -> None:
+    """S6 done right: the reference flushed a buffer to
+    embeddings_{batch_id}.pkl and THEN saved its cursor (run.py:148-153
+    — a crash between the two re-embeds or loses up to 100 batches,
+    SURVEY §4.3.6). foreachBatch + checkpointLocation makes the offset
+    commit and the sink write one atomic unit: each micro-batch id is
+    recorded only after its writer commits, so restart resumes exactly
+    after the last durable batch."""
+    events = read_events_stream(spark, sf_dir)
+    enriched = events.withColumn("props_k", F.from_json("props", "k INT").getField("k"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .option("maxRecordsPerFile", 100_000)
+            .parquet(output_path)
+        )
+
+    q = (
+        enriched.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 @query("stream_dedup_watermark")  # rows-only: which duplicate survives

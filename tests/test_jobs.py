@@ -1,0 +1,96 @@
+"""End-to-end job tests: the reference's three scripts run as Spark
+jobs against the testdata, with the §4.3 bug classes asserted fixed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.operators.jobs import (
+    run_consolidation_job,
+    run_embedding_job,
+    run_incremental_embedding_job,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_embedding_job_end_to_end(spark):
+    out = tempfile.mkdtemp(prefix="apspark_job_")
+    result = run_embedding_job(spark, SF_SMOKE, out, rows_per_shard=200)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    # §4.3.2: NO tail loss — every source row embedded
+    assert result.count() == n_docs
+    assert set(result.columns) == {"id", "content", "embedding"}
+    # sharded sink respects the rows-per-file contract
+    counts = [
+        spark.read.parquet(f).count() for f in glob.glob(f"{out}/*.parquet")
+    ]
+    assert max(counts) <= 200
+    # S9 metadata sidecar
+    params = json.load(open(os.path.join(out, "_run_params.json")))
+    assert params["job"] == "embedding"
+
+
+def test_embedding_job_udf_parity(spark):
+    out_a = tempfile.mkdtemp(prefix="apspark_joba_")
+    out_b = tempfile.mkdtemp(prefix="apspark_jobb_")
+    a = run_embedding_job(spark, SF_SMOKE, out_a, limit=50, use_pandas_udf=False)
+    b = run_embedding_job(spark, SF_SMOKE, out_b, limit=50, use_pandas_udf=True)
+    ra = {r["id"]: r["embedding"] for r in a.collect()}
+    rb = {r["id"]: r["embedding"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_incremental_job_is_idempotent_resume(spark):
+    """§4.3.1 fixed: 'resume' = anti-join diff, not a cursor. First
+    run embeds a subset; second run embeds exactly the rest; third run
+    is a no-op."""
+    out = tempfile.mkdtemp(prefix="apspark_incr_")
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    # seed the sink with half the corpus (simulating an interrupted run)
+    half = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+    )
+    half.write.mode("overwrite").parquet(out)  # mkdtemp pre-created the dir
+    n_half = half.count()
+
+    after = run_incremental_embedding_job(spark, SF_SMOKE, out)
+    assert after.count() == n_docs
+    again = run_incremental_embedding_job(spark, SF_SMOKE, out)
+    assert again.count() == n_docs  # no duplicates on re-run
+
+
+def test_consolidation_job_merge_and_alignment(spark):
+    out_t = tempfile.mkdtemp(prefix="apspark_t_")
+    out_a = tempfile.mkdtemp(prefix="apspark_a_")
+    out_m = tempfile.mkdtemp(prefix="apspark_m_")
+    titles = run_embedding_job(spark, SF_SMOKE, out_t, limit=100)
+    abstracts = run_embedding_job(spark, SF_SMOKE, out_a, limit=100)
+    merged = run_consolidation_job(spark, titles, abstracts, out_m)
+    row = merged.limit(1).collect()[0]
+    # M9: merged dim = 2 × input dim (process.py:126)
+    assert len(row["embedding"]) == 16
+    assert merged.count() == 100
+
+
+def test_consolidation_rejects_misalignment(spark):
+    """§4.3.3 fixed: the alignment check actually checks (the
+    reference's assert compared a variable to itself)."""
+    out_t = tempfile.mkdtemp(prefix="apspark_t2_")
+    out_a = tempfile.mkdtemp(prefix="apspark_a2_")
+    titles = run_embedding_job(spark, SF_SMOKE, out_t, limit=100)
+    abstracts = run_embedding_job(spark, SF_SMOKE, out_a, limit=80)
+    with pytest.raises(ValueError, match="alignment check failed: 20"):
+        run_consolidation_job(spark, titles, abstracts, tempfile.mkdtemp())
