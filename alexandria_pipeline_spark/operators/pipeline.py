@@ -256,3 +256,80 @@ def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
         .select("label", F.transform("dv", lambda s: s["v"]).alias("centroid"))
     )
+
+
+# --------------------------------------------------------------------------
+# §2.10 grouped-map (applyInPandas) face of the pooling UDAF — same
+# semantics as chunk_embed_pool's built-in aggregation, for workloads
+# where the pooling math needs numpy (reference: np.average,
+# run_extra.py:46-48). Parity asserted in tests/test_jobs.py.
+# --------------------------------------------------------------------------
+def pool_embeddings_pandas(chunk_feats: DataFrame) -> DataFrame:
+    """Length-weighted mean pooling via applyInPandas over doc_id
+    groups. Input schema: (doc_id long, w double, f array<double>).
+
+    The grouped-map form holds ONE document's chunks in memory per
+    group (bounded by max chunks/doc, not corpus size) and runs real
+    numpy — the escape hatch for pooling math the built-in aggregate
+    DSL can't express (e.g. attention-weighted pooling). For plain
+    weighted means the built-in two-level aggregate in chunk_embed_pool
+    is preferred: no Python workers in the path."""
+    import numpy as np
+    import pandas as pd
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["f"].to_numpy())
+        pooled = np.average(mat, axis=0, weights=pdf["w"].to_numpy())
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iloc[0]], "embedding": [pooled.tolist()]}
+        )
+
+    return chunk_feats.groupBy("doc_id").applyInPandas(
+        pool, "doc_id long, embedding array<double>"
+    )
+
+
+@query(
+    "embed_prompt_pairs",
+    oracle="""
+    SELECT
+      doc_id,
+      ['Represent the document for retrieval:', text] AS prompt_pair,
+      len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def embed_prompt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 prompt-prefix constructor (run.py:139 wraps each text as
+    [PROMPT, content]; prompts per type run.py:84-92). The instruction
+    pair is the model-input IR the embedding UDF consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array(
+            F.lit("Represent the document for retrieval:"), F.col("text")
+        ).alias("prompt_pair"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+@query("sharded_sink_roundtrip")  # rows-only: side-effecting sink op
+def sharded_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 as a driver-visible op: embed → sharded parquet sink
+    (maxRecordsPerFile, the 100k-rows/shard contract process.py:55) →
+    read back. Returns per-shard-file row counts, proving the cap and
+    the data-encoded ordering (no filename parsing — §2.1 S3 note)."""
+    import tempfile
+
+    from alexandria_pipeline_spark.sources.parquet import write_sharded
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="apspark_q_shards_")
+    result = d.select("doc_id", featurize("text").alias("embedding"))
+    write_sharded(result, out, rows_per_shard=200, order_col="doc_id")
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("shard_id")
+        .count()
+        .select("shard_id", F.col("count").alias("rows_in_shard"))
+    )

@@ -379,3 +379,31 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
         ).cast("long").alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      round(quantile_cont(o_totalprice, 0.50), 4) AS median,
+      round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` agree bitwise, verified empirically).
+    Exact percentile is a sort-based aggregate: fine per-group, but at
+    100 TB prefer approx_percentile (t-digest sketch, mergeable,
+    constant memory) unless exactness is contractual."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )

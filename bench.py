@@ -27,6 +27,9 @@ from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 # operator (their batch twins are here).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
     "join_fact_fact",
     "join_star_revenue",
     "agg_rollup",

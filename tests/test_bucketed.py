@@ -1,0 +1,37 @@
+"""Bucketing must elide the join shuffle: bucketed⋈bucketed on the
+bucket key plans a SortMergeJoin with NO Exchange on either side."""
+
+from __future__ import annotations
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.plans.explain import formatted_plan
+from alexandria_pipeline_spark.sources.bucketed import bucketed_join, write_bucketed
+
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", num_buckets=4)
+    write_bucketed(od, "t_orders_b", "o_orderkey", num_buckets=4)
+
+    # sf0.001 tables are broadcast-sized, which would bypass bucketing
+    # entirely (planner: "Bucketed: false"); force the shuffle-join
+    # path the way a fact-fact join at real scale would plan.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "t_lineitem_b", "t_orders_b", "l_orderkey", "o_orderkey"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # the whole point of bucketing
+        n_joined = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # and results match the plain (shuffled) join
+    plain = li.join(od, li.l_orderkey == od.o_orderkey)
+    assert n_joined == plain.count()

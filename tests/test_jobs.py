@@ -94,3 +94,56 @@ def test_consolidation_rejects_misalignment(spark):
     abstracts = run_embedding_job(spark, SF_SMOKE, out_a, limit=80)
     with pytest.raises(ValueError, match="alignment check failed: 20"):
         run_consolidation_job(spark, titles, abstracts, tempfile.mkdtemp())
+
+
+def test_grouped_map_pooling_matches_builtin(spark):
+    """§2.10: the applyInPandas (numpy) pooling face must agree with
+    the built-in two-level aggregate to ~1e-9 (np.average computes
+    sum(w*x)/sum(w) in a different order — bitwise equality is not
+    expected, semantic equality is)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.functions.featurizer import featurize
+    from alexandria_pipeline_spark.operators.jobs import run_embedding_job  # noqa: F401
+    from alexandria_pipeline_spark.operators.pipeline import (
+        CHUNK_TOKENS,
+        chunk_embed_pool,
+        pool_embeddings_pandas,
+    )
+    from alexandria_pipeline_spark.catalog import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    n_chunks = F.ceil(F.size("tokens") / F.lit(float(CHUNK_TOKENS)))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("tokens"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                ),
+            )
+        ).alias("chunk_text"),
+    )
+    feats = chunks.select(
+        "doc_id",
+        F.size(F.split("chunk_text", " ")).cast("double").alias("w"),
+        featurize("chunk_text").alias("f"),
+    )
+    via_pandas = {
+        r["doc_id"]: r["embedding"] for r in pool_embeddings_pandas(feats).collect()
+    }
+    via_builtin = {
+        r["doc_id"]: r["embedding"]
+        for r in chunk_embed_pool(spark, SF_SMOKE)
+        .filter(F.col("doc_id").isin(list(via_pandas)))
+        .collect()
+    }
+    assert via_pandas.keys() == via_builtin.keys()
+    for doc_id, emb in via_builtin.items():
+        for got, want in zip(via_pandas[doc_id], emb):
+            # builtin rounds to 4 decimals; numpy path is unrounded
+            assert math.isclose(round(got, 4), want, abs_tol=1.5e-4), (doc_id, got, want)
