@@ -66,3 +66,42 @@ def repartition_for_join(df: DataFrame, key: str | Column, partitions: int) -> D
     the co-partitioning and elides the extra shuffles). The batch
     analog of bucketing when you can't control the table layout."""
     return df.repartition(partitions, key)
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (l.point BETWEEN r.lo AND r.hi) as a banded EQUI
+    join — the scale path for interval/range predicates.
+
+    A naive non-equi join plans a broadcast-nested-loop: O(|L|·|R|)
+    compares, broadcast-sized right side only. Banding quantizes the
+    range dimension into fixed-width bands: points join their band,
+    intervals are replicated into every band they overlap, and the
+    exact predicate re-filters band-local pairs. The join becomes a
+    hash/sort-merge on the band id — shuffle-partitioned, no
+    broadcast-size limit, cost O(pairs-in-band) instead of O(all
+    pairs). band_width should approximate the typical interval length
+    (one-ish bands per interval).
+
+    Result-parity with the naive non-equi join is asserted in
+    tests/test_skew.py."""
+    lo_band = (F.col(right_lo) / band_width).cast("long")
+    hi_band = (F.col(right_hi) / band_width).cast("long")
+    r_banded = right.withColumn(
+        "_band", F.explode(F.sequence(lo_band, hi_band))
+    )
+    l_banded = left.withColumn(
+        "_band", (F.col(left_point) / band_width).cast("long")
+    )
+    out = l_banded.join(r_banded, "_band", how).filter(
+        (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) <= F.col(right_hi))
+    )
+    return out.drop("_band")

@@ -51,3 +51,24 @@ def test_top_frequent_keys_orders(spark):
     assert len(hot) == 5
     counts = [r["cnt"] for r in hot]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_banded_range_join_matches_nonequi(spark):
+    from alexandria_pipeline_spark.operators.skew import banded_range_join
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    # intervals around each part's retail price window
+    p = load_table(spark, SF_SMOKE, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") / 10 - 3).alias("lo"),
+        (F.col("p_retailprice") / 10 + 3).alias("hi"),
+    )
+    naive = e.join(
+        p, (e.value >= p.lo) & (e.value <= p.hi)
+    ).select("event_id", "p_partkey")
+    banded = banded_range_join(e, p, "value", "lo", "hi", band_width=5.0).select(
+        "event_id", "p_partkey"
+    )
+    cols = ["event_id", "p_partkey"]
+    assert _norm(banded, cols) == _norm(naive, cols)
+    assert banded.count() > 0  # non-degenerate
