@@ -8,14 +8,19 @@ arithmetic feature map both engines can compute exactly:
   dim 0  n_chars
   dim 1  n_tokens           (whitespace split)
   dim 2  n_distinct tokens
-  dim 3  mean token length  (round 6)
+  dim 3  mean token length, truncated to 6 decimals
   dim 4  count of token 'spark'
   dim 5  count of token 'join'
   dim 6  count of token 'data'
   dim 7  count of token 'the'
 
-All dims are exact integers except dim 3, whose division is rounded
-identically in both engines. Output: array<double> length 8.
+All dims are exact integers except dim 3, computed as
+(sum_len * 10^6) DIV n / 10^6 — truncating INTEGER division, not
+round(): engines disagree on round()'s half-point behavior at the
+last ulp (Spark rounds the exact decimal expansion of the double,
+DuckDB rounds after multiplying by 10^d), and small-denominator
+quotients land exactly on halves often enough to flip hashes.
+Integer div is bit-identical everywhere. Output: array<double> len 8.
 
 The *real* model UDF shares this interface (see embed_pandas_udf) so
 swapping a SentenceTransformer in is a one-line change; the reference
@@ -43,15 +48,21 @@ def featurize(text: Column | str) -> Column:
     toks = F.split(text, " ")
     n_tokens = F.size(toks)
     tok_len_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+    # integer div then exact /1e6 — see module docstring. (a - a%n)/n
+    # stays in exact int64 until the final exact-integer double divide.
+    scaled = tok_len_sum * 1_000_000
+    mean_len = ((scaled - scaled % n_tokens) / n_tokens).cast("long") / F.lit(
+        1_000_000.0
     )
     dims = [
         F.length(text).cast("double"),
         n_tokens.cast("double"),
         F.size(F.array_distinct(toks)).cast("double"),
-        F.round(tok_len_sum / n_tokens.cast("double"), 6),
+        mean_len,
     ] + [
         F.size(F.filter(toks, lambda t: t == F.lit(k))).cast("double")
         for k in _KEYWORDS
@@ -60,11 +71,14 @@ def featurize(text: Column | str) -> Column:
 
 
 def duck_featurize(text: str) -> str:
-    """DuckDB twin of featurize() — identical arithmetic and rounding."""
+    """DuckDB twin of featurize() — identical integer arithmetic."""
     toks = f"string_split({text}, ' ')"
     tok_len_sum = (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform({toks}, t -> CAST(length(t) AS DOUBLE))), (a, x) -> a + x)"
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)"
+    )
+    mean_len = (
+        f"CAST(({tok_len_sum} * 1000000) // len({toks}) AS BIGINT) / 1000000.0"
     )
     kw = ", ".join(
         f"CAST(len(list_filter({toks}, t -> t = '{k}')) AS DOUBLE)" for k in _KEYWORDS
@@ -73,7 +87,7 @@ def duck_featurize(text: str) -> str:
         f"[CAST(length({text}) AS DOUBLE), "
         f"CAST(len({toks}) AS DOUBLE), "
         f"CAST(len(list_distinct({toks})) AS DOUBLE), "
-        f"round({tok_len_sum} / CAST(len({toks}) AS DOUBLE), 6), "
+        f"{mean_len}, "
         f"{kw}]"
     )
 
@@ -93,7 +107,7 @@ def embed_pandas_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         def one(text: str) -> list[float]:
             toks = text.split(" ")
             n = len(toks)
-            mean_len = round(sum(len(t) for t in toks) / n, 6) if n else 0.0
+            mean_len = (sum(len(t) for t in toks) * 1_000_000 // n) / 1e6 if n else 0.0
             return [
                 float(len(text)),
                 float(n),

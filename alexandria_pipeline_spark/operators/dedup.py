@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     MINHASH_P,
     MIX_A,
@@ -128,8 +129,8 @@ def _duck_sig_cols(code: str) -> str:
     )
     SELECT
       c.doc_a, c.doc_b,
-      round(CAST(len(list_intersect(x.codes, y.codes)) AS DOUBLE)
-            / len(list_distinct(list_concat(x.codes, y.codes))), 6) AS jaccard
+      CAST(CAST(len(list_intersect(x.codes, y.codes)) AS BIGINT) * 1000000
+           // len(list_distinct(list_concat(x.codes, y.codes))) AS BIGINT) / 1000000.0 AS jaccard
     FROM cand c
     JOIN docs x ON x.doc_id = c.doc_a
     JOIN docs y ON y.doc_id = c.doc_b
@@ -177,12 +178,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("codes_a", "codes_b")).cast("double") / F.size(
         F.array_union("codes_a", "codes_b")
     )
+    jaccard_e6 = int_div(
+        F.size(F.array_intersect("codes_a", "codes_b")).cast("long") * 1_000_000,
+        F.size(F.array_union("codes_a", "codes_b")).cast("long"),
+    )
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .withColumn("jaccard_raw", jaccard)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", (jaccard_e6 / 1_000_000.0).alias("jaccard"))
     )
 
 # --------------------------------------------------------------------------
@@ -309,8 +314,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       a.doc_id AS doc_a, b.doc_id AS doc_b,
-      round(CAST(len(list_intersect(a.codes, b.codes)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.codes, b.codes))), 6) AS jaccard
+      CAST(CAST(len(list_intersect(a.codes, b.codes)) AS BIGINT) * 1000000
+           // len(list_distinct(list_concat(a.codes, b.codes))) AS BIGINT) / 1000000.0 AS jaccard
     FROM shingled a JOIN shingled b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
      AND abs(a.n_toks - b.n_toks) <= 8
@@ -358,7 +363,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("jaccard_raw", jac)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                int_div(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long") * 1_000_000,
+                    F.size(F.array_union("sh_a", "sh_b")).cast("long"),
+                )
+                / 1_000_000.0
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import trunc_div
 from alexandria_pipeline_spark.registry import query
 
 
@@ -58,7 +59,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       ((epoch_us(ts) // 1000000 // 300) - off) * 300 AS window_start_s,
       count(*)             AS n_events,
-      round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100 // count(*) AS BIGINT) / 10000.0 AS avg_value
     FROM events
     CROSS JOIN (SELECT unnest(range(0, 2)) AS off)
     GROUP BY 1
@@ -73,11 +74,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-            / 100.0
-            / F.count(F.lit(1)),
-            4,
+            trunc_div(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) * 100,
+            F.count(F.lit(1)),
+            10_000.0,
         ).alias("avg_value"),
         )
         .select(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import trunc_div
 from alexandria_pipeline_spark.registry import query
 
 
@@ -41,11 +42,11 @@ from alexandria_pipeline_spark.registry import query
       l_linestatus,
       round(sum(l_quantity), 2)                                    AS sum_qty,
       round(sum(l_extendedprice), 2)                               AS sum_base_price,
-      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
-      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
-      round(avg(l_quantity), 4)                                    AS avg_qty,
-      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
-      round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) // 100 AS BIGINT) / 100.0 AS sum_disc_price,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) // 10000 AS BIGINT) / 100.0 AS sum_charge,
+      CAST(CAST(sum(l_quantity) AS BIGINT) * 10000 // count(*) AS BIGINT) / 10000.0 AS avg_qty,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100 // count(*) AS BIGINT) / 10000.0 AS avg_price,
+      CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100 // count(*) AS BIGINT) / 10000.0 AS avg_disc,
       count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,16 +61,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
-                )
-                / 10000.0,
-                2,
+                ),
+                F.lit(100),
+                100.0,
             ).alias("sum_disc_price"),
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice")
@@ -78,22 +79,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1_000_000,
                         0,
                     ).cast("long")
-                )
-                / 1_000_000.0,
-                2,
+                ),
+                F.lit(10_000),
+                100.0,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
-                / 100.0
-                / F.count(F.lit(1)),
-                4,
+            trunc_div(
+                F.sum("l_quantity").cast("long") * 10000, F.count(F.lit(1)), 10_000.0
+            ).alias("avg_qty"),
+            trunc_div(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) * 100,
+                F.count(F.lit(1)),
+                10_000.0,
             ).alias("avg_price"),
-            F.round(
-                F.sum(F.round(F.col("l_discount") * 100, 0).cast("long"))
-                / 100.0
-                / F.count(F.lit(1)),
-                4,
+            trunc_div(
+                F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")) * 100,
+                F.count(F.lit(1)),
+                10_000.0,
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -235,7 +236,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o_orderpriority,
-      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) // 100 AS BIGINT) / 100.0 AS revenue,
       count(*)                                          AS n_lines
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -253,14 +254,14 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o.filter(F.col("o_orderstatus") == "F"), l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
-                )
-                / 10000.0,
-                2,
+                ),
+                F.lit(100),
+                100.0,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -390,7 +391,7 @@ def join_alignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(*)                        AS n_customers,
       count(DISTINCT c_nationkey)     AS n_nations,
       round(sum(c_acctbal), 2)        AS sum_bal,
-      round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_bal,
+      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 100 // count(*) AS BIGINT) / 10000.0 AS avg_bal,
       round(min(c_acctbal), 2)        AS min_bal,
       round(max(c_acctbal), 2)        AS max_bal
     FROM customer
@@ -403,11 +404,10 @@ def agg_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-        F.round(
-            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
-            / 100.0
-            / F.count(F.lit(1)),
-            4,
+        trunc_div(
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) * 100,
+            F.count(F.lit(1)),
+            10_000.0,
         ).alias("avg_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import trunc_div
 from alexandria_pipeline_spark.registry import query
 
 
@@ -21,7 +22,7 @@ from alexandria_pipeline_spark.registry import query
     oracle="""
     SELECT
       l_orderkey,
-      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) // 100 AS BIGINT) / 100.0 AS revenue,
       CAST(year(o_orderdate) AS INT) AS o_year,
       o_orderpriority
     FROM customer
@@ -58,14 +59,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
-                )
-                / 10000.0,
-                2,
+                ),
+                F.lit(100),
+                100.0,
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_year", "o_orderpriority")
@@ -79,7 +80,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name,
-      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) // 100 AS BIGINT) / 100.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -112,14 +113,14 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
                     ).cast("long")
-                )
-                / 10000.0,
-                2,
+                ),
+                F.lit(100),
+                100.0,
             ).alias("revenue")
         )
     )
@@ -129,7 +130,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     oracle="""
     SELECT
-      round(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+      CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) // 100 AS BIGINT) / 100.0 AS revenue,
       count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -153,14 +154,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
+            trunc_div(
                 F.sum(
                     F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast(
                         "long"
                     )
-                )
-                / 10000.0,
-                2,
+                ),
+                F.lit(100),
+                100.0,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )

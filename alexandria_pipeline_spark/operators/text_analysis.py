@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     duck_rolling_fingerprint,
     rolling_fingerprint,
@@ -57,47 +58,62 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         doc_id,
         string_split(text, ' ') AS toks,
-        CAST(length(text) AS DOUBLE) AS n_chars
+        CAST(length(text) AS BIGINT) AS n_chars
       FROM documents
+    ),
+    e6 AS (
+      SELECT
+        doc_id,
+        CAST(len(toks) AS BIGINT) AS n,
+        CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks) AS uniq_e6,
+        CAST(len(list_filter(toks, w -> list_contains({STOPWORDS!r}, w))) AS BIGINT) * 1000000 // len(toks) AS stop_e6,
+        n_chars * 1000000 // len(toks) AS avg_len_e6
+      FROM t
     )
     SELECT
       doc_id,
-      len(toks) AS n_tokens,
-      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
-      round(CAST(len(list_filter(toks, w -> list_contains({STOPWORDS!r}, w))) AS DOUBLE)
-            / len(toks), 6) AS stop_ratio,
-      round(n_chars / len(toks), 6) AS avg_tok_len,
-      round(
-        0.4 * round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-        + 0.3 * (1 - round(CAST(len(list_filter(toks, w -> list_contains({STOPWORDS!r}, w))) AS DOUBLE) / len(toks), 6))
-        + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
-    FROM t
+      CAST(n AS INT) AS n_tokens,
+      CAST(uniq_e6 AS BIGINT) / 1000000.0 AS uniq_ratio,
+      CAST(stop_e6 AS BIGINT) / 1000000.0 AS stop_ratio,
+      CAST(avg_len_e6 AS BIGINT) / 1000000.0 AS avg_tok_len,
+      CAST((4 * uniq_e6 + 3 * (1000000 - stop_e6) + 3 * least(n * 10000, 1000000)) // 10 AS BIGINT) / 1000000.0 AS quality
+    FROM e6
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: lexical diversity, stopword density, length
     saturation — the standard pre-training filter features (C4/Gopher
-    rules family), combined into one bounded score."""
+    rules family), combined into one bounded score
+    quality = 0.4*uniq + 0.3*(1-stop) + 0.3*min(n/100, 1).
+
+    All ratios are computed in scaled int64 with truncating division
+    (functions.exact): rounded-then-combined floats land exactly on
+    round-half boundaries, where Spark's and DuckDB's round() disagree
+    at the last ulp — integer arithmetic is bit-identical everywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n = F.size(toks).cast("double")
-    uniq = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    n = F.size(toks).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop = F.round(
-        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("double") / n,
-        6,
+    uniq_e6 = int_div(F.size(F.array_distinct(toks)).cast("long") * 1_000_000, n)
+    stop_e6 = int_div(
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+        * 1_000_000,
+        n,
     )
-    avg_len = F.round(F.length("text").cast("double") / n, 6)
-    quality = F.round(
-        0.4 * uniq + 0.3 * (1 - stop) + 0.3 * F.least(n / 100.0, F.lit(1.0)), 6
+    avg_len_e6 = int_div(F.length("text").cast("long") * 1_000_000, n)
+    quality_e6 = int_div(
+        4 * uniq_e6
+        + 3 * (F.lit(1_000_000) - stop_e6)
+        + 3 * F.least(n * 10_000, F.lit(1_000_000).cast("long")),
+        F.lit(10),
     )
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        uniq.alias("uniq_ratio"),
-        stop.alias("stop_ratio"),
-        avg_len.alias("avg_tok_len"),
-        quality.alias("quality"),
+        n.cast("int").alias("n_tokens"),
+        (uniq_e6 / 1_000_000.0).alias("uniq_ratio"),
+        (stop_e6 / 1_000_000.0).alias("stop_ratio"),
+        (avg_len_e6 / 1_000_000.0).alias("avg_tok_len"),
+        (quality_e6 / 1_000_000.0).alias("quality"),
     )
 
 
