@@ -126,3 +126,31 @@ def duck_rolling_fingerprint(toks: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
         f"(acc, c) -> (acc * 31 + c) % {FP_MOD})"
     )
+
+
+def make_chunk_udtf():
+    """Python UDTF (Spark 3.5+ lateral-join form) for 1-row→n-rows
+    chunking — the §2.10 UDTF surface done as an actual UDTF rather
+    than array+explode (run_extra.py:61-74's sentence/chunk splitter).
+
+    Returned lazily (class decoration needs no session, but keeping
+    construction behind a call avoids import-order surprises). Usage:
+        chunk_udtf = make_chunk_udtf()
+        spark.udtf.register("chunk_text", chunk_udtf)
+        df.lateralJoin(chunk_udtf(df.text, F.lit(16)))  # or SQL LATERAL
+    Prefer array+explode (operators/pipeline.py) in hot paths — it
+    stays in codegen; the UDTF crosses into Python per batch.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, chunk_len int")
+    class ChunkText:
+        def eval(self, text: str, chunk_tokens: int):  # noqa: D102
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), chunk_tokens):
+                chunk = toks[i : i + chunk_tokens]
+                yield i // chunk_tokens, " ".join(chunk), len(chunk)
+
+    return ChunkText

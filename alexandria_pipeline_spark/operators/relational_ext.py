@@ -408,3 +408,76 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (l_shipdate > o_orderdate rides on the equi key
+    as a join-side filter, so it's still a hash semi-join, not a
+    nested loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1999-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1999-10-01 00:00:00'"))
+    )
+    return (
+        filtered.join(
+            l,
+            (filtered.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > filtered.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT
+      l_linestatus,
+      count(*) FILTER (WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+        AS high_line_count,
+      count(*) FILTER (WHERE o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH')
+        AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside count)
+    after a fact-fact join — one shuffle, map-side partials carry two
+    counters per group."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("timestamp'1999-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("timestamp'2000-01-01 00:00:00'"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )

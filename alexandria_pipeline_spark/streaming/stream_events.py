@@ -217,3 +217,36 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = deduped.select("user_id", "event_type", "event_id")
     return _run_to_memory(out, "append")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT
+      ((epoch_us(ts) // 1000000 // 900) - off) * 900 AS window_start_s,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS sum_value
+    FROM events
+    CROSS JOIN (SELECT unnest(range(0, 2)) AS off)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 minutes, computed by the
+    streaming engine (each event feeds 2 open windows' state). Oracle
+    replicates the window/slide=2 fan-out explicitly."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -75,3 +75,42 @@ def test_cosine_of_unit_vectors_bounded(spark):
         assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
         if r["ia"] == r["ib"]:
             assert math.isclose(r["cos"], 1.0, rel_tol=1e-9)
+
+
+def test_chunk_udtf_matches_explode_chunking(spark):
+    """§2.10 UDTF: the Python UDTF chunker must agree with the
+    codegen array+explode chunking used by chunk_embed_pool."""
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.functions.text import make_chunk_udtf
+
+    chunk_udtf = make_chunk_udtf()
+    spark.udtf.register("chunk_text_udtf", chunk_udtf)
+    d = load_table(spark, SF_SMOKE, "documents").limit(30)
+    d.createOrReplaceTempView("docs_udtf_t")
+    via_udtf = spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk_text, c.chunk_len
+        FROM docs_udtf_t, LATERAL chunk_text_udtf(text, 16) AS c
+        """
+    ).collect()
+
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    via_explode = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn("chunk_len", F.size(F.split("chunk_text", " ")))
+        .collect()
+    )
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_len"]) for r in rows
+    )
+    assert norm(via_udtf) == norm(via_explode)
