@@ -154,3 +154,15 @@ def make_chunk_udtf():
                 yield i // chunk_tokens, " ".join(chunk), len(chunk)
 
     return ChunkText
+
+
+def sentences(text: Column | str) -> Column:
+    """M3 sentence segmentation (run_extra.py:61 nltk.sent_tokenize
+    analog): split on sentence-final punctuation followed by
+    whitespace. A statistical segmenter (punkt) would slot into the
+    pandas-UDF seam; this regex form stays in codegen and is the
+    right default for bulk pre-training text. The driver testdata's
+    documents carry no punctuation (single-sentence docs), so this is
+    exercised by unit tests on synthetic text."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, r"(?<=[.!?])\s+"), lambda s: F.length(s) > 0)

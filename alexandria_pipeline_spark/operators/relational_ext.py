@@ -481,3 +481,18 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
     )
+
+
+@query("agg_approx_percentiles")  # rows-only: t-digest sketch is engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based quantile for 100 TB scale
+    (mergeable, constant memory per group, single pass). Values are
+    sketch-dependent so the driver records rows-only; the exact twin
+    agg_percentiles is the hash-checked version."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

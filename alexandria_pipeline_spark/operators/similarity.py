@@ -179,3 +179,62 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query("knn_ivf_kmeans")  # rows-only: k-means training is not SQL-expressible
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL trained centroids: Spark ML KMeans (k=8, fixed
+    seed) fits on the corpus, vectors are assigned to their cluster,
+    and each query searches only its own cluster — the full IVF-Flat
+    recipe (Sivic & Zisserman '03 vocabulary trees / FAISS IVF family).
+
+    knn_ivf_pruned is the oracle-checkable twin with formula-seeded
+    centroids; this variant shows the MLlib integration (ArrayType ->
+    VectorUDT only at the library boundary, back to arrays after).
+    Driver check is rows-only; determinism within one Spark version is
+    covered by the fixed seed.
+
+    Measured recall vs exact top-5 on the testdata is ~0.13 — expected,
+    not a bug: the synthetic vectors are isotropic random, so true
+    neighbors scatter across Voronoi cells and single-probe IVF prunes
+    most of them. Real embedding corpora cluster (that's why IVF
+    works); the scale remedies are multi-probe (search nprobe nearest
+    cells) and larger k trained on a sample."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with_vec = e.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster_id")
+    )
+    q = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster_id").alias("q_cluster"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (assigned.cluster_id == F.col("q_cluster"))
+            & (assigned.vec_id != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("q_emb", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

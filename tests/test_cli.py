@@ -47,3 +47,22 @@ def test_cli_query_known_and_unknown(spark, capsys):
     rc = _run(["--sf-dir", SF_SMOKE, "query", "nope_not_real"])
     assert rc == 2
     assert "unknown query" in capsys.readouterr().out
+
+
+def test_cli_embed_chunked_and_consolidate(spark, capsys):
+    out_c = tempfile.mkdtemp(prefix="apspark_cli_c_")
+    rc = _run(["--sf-dir", SF_SMOKE, "embed-chunked", "--out", out_c])
+    assert rc == 0
+    assert "pooled rows=500" in capsys.readouterr().out
+
+    out_t = tempfile.mkdtemp(prefix="apspark_cli_t_")
+    out_a = tempfile.mkdtemp(prefix="apspark_cli_a_")
+    out_m = tempfile.mkdtemp(prefix="apspark_cli_m_")
+    assert _run(["--sf-dir", SF_SMOKE, "embed", "--out", out_t, "--test"]) == 0
+    assert _run(["--sf-dir", SF_SMOKE, "embed", "--out", out_a, "--test"]) == 0
+    capsys.readouterr()
+    rc = _run(
+        ["consolidate", "--titles", out_t, "--abstracts", out_a, "--out", out_m]
+    )
+    assert rc == 0
+    assert "merged rows=64" in capsys.readouterr().out

@@ -114,3 +114,20 @@ def test_chunk_udtf_matches_explode_chunking(spark):
         (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_len"]) for r in rows
     )
     assert norm(via_udtf) == norm(via_explode)
+
+
+def test_sentence_segmentation(spark):
+    from alexandria_pipeline_spark.functions.text import sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One sentence."),
+            (2, "First here. Second there! Third?  Fourth trailing"),
+            (3, "No punctuation at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", sentences("text").alias("s")).collect()}
+    assert got[1] == ["One sentence."]
+    assert got[2] == ["First here.", "Second there!", "Third?", "Fourth trailing"]
+    assert got[3] == ["No punctuation at all"]
