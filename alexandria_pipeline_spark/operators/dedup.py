@@ -21,6 +21,7 @@ Scale shape (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
@@ -33,8 +34,23 @@ from alexandria_pipeline_spark.functions.text import (
 )
 from alexandria_pipeline_spark.registry import query
 
-NUM_HASHES = 8
-BANDS = 4  # rows-per-band = 2
+# Sketch width — the corpus-size knob (SCALE.md): band-bucket occupancy
+# falls exponentially with rows-per-band x log2(bands). Defaults sized
+# for the ~5k-doc testdata; production corpora want BANDS=16+ (the
+# oracle SQL is generated from the same constants, so overrides stay
+# cross-engine consistent as long as they're set before import).
+import os
+
+BANDS = int(os.environ.get("SPARK_GRAFT_LSH_BANDS", "4"))
+# rows-per-band is the PRECISION knob: candidates require ALL r rows of
+# a band to match, so false-candidate rate falls ~P^-(r-1) per band.
+# Measured on the 500k-doc/40-word-vocab probe: r=2 -> 13.5M candidates
+# (min-collisions dominate on the small shingle universe), r=3 cuts
+# that by orders of magnitude. r <= 3 so base-P band packing stays in
+# int64 (P^3 ~ 1e15).
+ROWS_PER_BAND = int(os.environ.get("SPARK_GRAFT_LSH_ROWS_PER_BAND", "2"))
+assert ROWS_PER_BAND in (2, 3), "band packing supports r in {2, 3}"
+NUM_HASHES = ROWS_PER_BAND * BANDS
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 JACCARD_THRESHOLD = 0.5
@@ -94,6 +110,21 @@ def _sig_cols():
     ]
 
 
+def _band_val_sql(b_idx: int) -> str:
+    r = ROWS_PER_BAND
+    terms = [
+        f"m{b_idx * r + j} * {MINHASH_P ** (r - 1 - j)}" for j in range(r)
+    ]
+    return " + ".join(terms)
+
+
+def _duck_band_case(b: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {_band_val_sql(i)}" for i in range(BANDS - 1)
+    )
+    return f"CASE {b} {whens} ELSE {_band_val_sql(BANDS - 1)} END"
+
+
 def _duck_sig_cols(code: str) -> str:
     return ", ".join(
         f"min(({code} * {2 * i + 3} + {5 * i + 7}) % {MINHASH_P}) AS m{i}"
@@ -116,10 +147,7 @@ def _duck_sig_cols(code: str) -> str:
     ),
     bands AS (
       SELECT doc_id, CAST(b AS INT) AS band,
-             (CASE b WHEN 0 THEN m0 * {MINHASH_P} + m1
-                     WHEN 1 THEN m2 * {MINHASH_P} + m3
-                     WHEN 2 THEN m4 * {MINHASH_P} + m5
-                     ELSE m6 * {MINHASH_P} + m7 END) AS band_val
+             ({_duck_band_case('b')}) AS band_val
       FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
     ),
     cand AS (
@@ -153,14 +181,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     they mark everything similar (measured 10.4M candidates)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    docs = d.filter(F.size(toks) >= 3).select(
-        "doc_id", shingle_codes(toks).alias("codes")
+    # Persist the sketch: this plan references `docs` from three
+    # branches (signature computation + both verification sides) and
+    # Spark re-evaluates the shingling per branch — measured 3x ~50s at
+    # 500k docs, dominating the query. Caching mirrors the production
+    # layout, where the (doc_id, codes) sketch table is WRITTEN once
+    # and every dedup pass reads it; ~1KB/doc, MEMORY_AND_DISK spills
+    # safely.
+    docs = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", shingle_codes(toks).alias("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_vals = F.array(
         *[
-            F.col(f"m{2 * b}") * MINHASH_P + F.col(f"m{2 * b + 1}")
+            sum(
+                F.col(f"m{b * ROWS_PER_BAND + j}")
+                * (MINHASH_P ** (ROWS_PER_BAND - 1 - j))
+                for j in range(ROWS_PER_BAND)
+            )
             for b in range(BANDS)
         ]
     )
@@ -275,7 +318,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    hashed = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    # 16 bytes/doc — persisting avoids recomputing codes+32 votes for
+    # both self-join sides (same recompute trap as dedup_minhash_lsh).
+    hashed = votes.select("doc_id", simhash.cast("long").alias("simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
@@ -333,11 +380,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-precision verifier with a cheap deterministic blocker."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_toks"),
-        shingle_codes(toks).alias("codes"),
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_toks"),
+            shingle_codes(toks).alias("codes"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
