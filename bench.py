@@ -28,13 +28,19 @@ from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_region_volume",
     "q6_forecast_revenue",
+    "q12_shipmode_priority",
     "join_fact_fact",
     "join_star_revenue",
     "agg_rollup",
     "window_rank_topn_per_group",
     "window_running_total",
+    "window_lag_lead",
+    "pivot_event_types",
+    "subquery_above_nation_avg",
+    "agg_percentiles",
     "events_tumbling_window",
     "events_session_window",
     "events_asof_join",
@@ -48,6 +54,8 @@ HEADLINE = [
     "knn_ivf_pruned",
     "text_quality_scores",
     "text_fingerprint",
+    "text_token_counts",
+    "multimodal_binary_meta",
 ]
 
 
