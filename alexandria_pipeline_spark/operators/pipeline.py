@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.featurizer import (
     FEATURE_DIM,
     duck_featurize,
@@ -82,11 +83,13 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM chunks
     ),
     dims AS (
-      SELECT doc_id, CAST(d AS INT) AS dim, w, f[d] AS x
+      SELECT doc_id, CAST(d AS INT) AS dim, CAST(w AS BIGINT) AS w,
+             CAST(round(f[d] * 1000000) AS BIGINT) AS x_e6
       FROM feats CROSS JOIN LATERAL (SELECT unnest(range(1, {FEATURE_DIM} + 1)) AS d)
     ),
     pooled AS (
-      SELECT doc_id, dim, round(sum(w * x) / sum(w), 4) AS v
+      SELECT doc_id, dim,
+             CAST(sum(w * x_e6) // (100 * sum(w)) AS BIGINT) / 10000.0 AS v
       FROM dims GROUP BY doc_id, dim
     )
     SELECT doc_id, list(v ORDER BY dim) AS embedding
@@ -126,11 +129,24 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk_text", " ")).cast("double").alias("w"),
         featurize("chunk_text").alias("f"),
     )
+    # Weighted mean in exact int64 at 1e-6 resolution, truncated to 4
+    # decimals — round(sum(w*x)/sum(w), 4) lands on exact round-half
+    # boundaries ~1/(50·W) of the time (S sits on the 1e-6 grid), where
+    # the engines' round() implementations disagree (functions.exact).
     dims = feats.select(
-        "doc_id", "w", F.posexplode("f").alias("dim0", "x")
-    ).select("doc_id", (F.col("dim0") + 1).cast("int").alias("dim"), "w", "x")
+        "doc_id",
+        F.col("w").cast("long").alias("w"),
+        F.posexplode("f").alias("dim0", "x"),
+    ).select(
+        "doc_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        "w",
+        F.round(F.col("x") * 1_000_000, 0).cast("long").alias("x_e6"),
+    )
     pooled = dims.groupBy("doc_id", "dim").agg(
-        F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("v")
+        (
+            int_div(F.sum(F.col("w") * F.col("x_e6")), 100 * F.sum("w")) / 10_000.0
+        ).alias("v")
     )
     return (
         pooled.groupBy("doc_id")
@@ -218,13 +234,14 @@ def missing_docs_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         label,
         CAST(d AS INT)                      AS dim,
-        CAST(vec_id % 7 + 1 AS DOUBLE)      AS w,
-        CAST(embedding[d] AS DOUBLE)        AS x
+        CAST(vec_id % 7 + 1 AS BIGINT)      AS w,
+        CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
       FROM embeddings
       CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS d)
     ),
     pooled AS (
-      SELECT label, dim, round(sum(w * x) / sum(w), 4) + 0 AS v
+      SELECT label, dim,
+             CAST(sum(w * x_e6) // (100 * sum(w)) AS BIGINT) / 10000.0 + 0 AS v
       FROM dims GROUP BY label, dim
     )
     SELECT label, list(v ORDER BY dim) AS centroid
@@ -238,18 +255,24 @@ def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     state at O(dim) — the pattern that pools 10^9 chunk vectors without
     collecting any group into memory."""
     e = load_table(spark, sf_dir, "embeddings")
+    # Values quantized to 1e-6 per element, pooled in exact int64 with
+    # truncating division (see chunk_embed_pool / functions.exact for
+    # the round-half rationale). +0.0 still normalizes signed zero.
     dims = e.select(
         "label",
-        ((F.col("vec_id") % 7) + 1).cast("double").alias("w"),
+        ((F.col("vec_id") % 7) + 1).cast("long").alias("w"),
         F.posexplode("embedding").alias("dim0", "xf"),
     ).select(
         "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),
         "w",
-        F.col("xf").cast("double").alias("x"),
+        F.round(F.col("xf").cast("double") * 1_000_000, 0).cast("long").alias("x_e6"),
     )
     pooled = dims.groupBy("label", "dim").agg(
-        (F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4) + 0.0).alias("v")
+        (
+            int_div(F.sum(F.col("w") * F.col("x_e6")), 100 * F.sum("w")) / 10_000.0
+            + 0.0
+        ).alias("v")
     )
     return (
         pooled.groupBy("label")
