@@ -249,3 +249,51 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_s"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT
+        user_id,
+        min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+        min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+        min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      count(*) FILTER (WHERE first_view IS NOT NULL) AS viewed,
+      count(*) FILTER (WHERE first_view IS NOT NULL AND first_click > first_view)
+        AS clicked_after_view,
+      count(*) FILTER (WHERE first_view IS NOT NULL AND first_click > first_view
+                         AND first_purchase > first_click)
+        AS purchased_after_click,
+      count(*) AS total_users
+    FROM stages
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view → click → purchase, strictly ordered per
+    user): one grouped agg computes each user's first event per stage,
+    then ordering predicates count stage survivors. Single shuffle on
+    user_id regardless of corpus size — the standard product-analytics
+    query that naive implementations write as a triple self-join."""
+    e = load_table(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return stages.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+        F.count(F.lit(1)).alias("total_users"),
+    )

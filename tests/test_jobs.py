@@ -147,3 +147,42 @@ def test_grouped_map_pooling_matches_builtin(spark):
         for got, want in zip(via_pandas[doc_id], emb):
             # builtin rounds to 4 decimals; numpy path is unrounded
             assert math.isclose(round(got, 4), want, abs_tol=1.5e-4), (doc_id, got, want)
+
+
+def test_upsert_job_merges_by_key(spark):
+    from alexandria_pipeline_spark.operators.jobs import run_embedding_job, run_upsert_job
+
+    out = tempfile.mkdtemp(prefix="apspark_ups_")
+    base = run_embedding_job(spark, SF_SMOKE, out, limit=100)
+    assert base.count() == 100
+
+    # updates: 20 overlapping keys with changed content + 10 new keys
+    updates = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 110))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.upper("text").alias("content"),
+            F.expr("array(1.0d, 2.0d)").alias("embedding"),
+        )
+    )
+    merged = run_upsert_job(spark, updates, out, key="id")
+    assert merged.count() == 110  # 100 existing + 10 net-new
+    updated = merged.filter(F.col("id") == 85).collect()[0]
+    assert updated["embedding"] == [1.0, 2.0]  # incoming row won
+    untouched = merged.filter(F.col("id") == 5).collect()[0]
+    assert len(untouched["embedding"]) == 8  # original featurizer row kept
+
+
+def test_compaction_reduces_files(spark):
+    import glob
+
+    from alexandria_pipeline_spark.sources.parquet import compact
+
+    out = tempfile.mkdtemp(prefix="apspark_compact_t_")
+    d = load_table(spark, SF_SMOKE, "orders")
+    d.repartition(40).write.mode("overwrite").parquet(out)  # 40 tiny files
+    assert len(glob.glob(f"{out}/*.parquet")) == 40
+    n_files = compact(spark, out, target_rows_per_file=500)
+    assert n_files == 3  # ceil(1500/500)
+    assert spark.read.parquet(out).count() == 1500
