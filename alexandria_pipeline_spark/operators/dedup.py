@@ -32,7 +32,7 @@ from alexandria_pipeline_spark.functions.text import (
     duck_shingle_codes,
     shingle_codes,
 )
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import QUERIES, query
 
 # Sketch width — the corpus-size knob (SCALE.md): band-bucket occupancy
 # falls exponentially with rows-per-band x log2(bands). Defaults sized
@@ -507,3 +507,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dotp") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("dotp", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair graph from dedup_minhash_lsh."""
+    return QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band, ({_duck_band_case('b')}) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.codes, y.codes)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.codes, y.codes))) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.v AS node, r.lab
+      FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: verified near-dup PAIRS -> connected
+    COMPONENTS -> one canonical representative (min doc_id) per
+    cluster. Pairs alone over-count (a 5-dup cluster is 10 pairs);
+    components give the keep/drop decision.
+
+    Spark side is iterative min-label propagation (Pregel-lite):
+    broadcast-join labels to neighbors, take the min, repeat until a
+    fixpoint — O(component diameter) rounds, each one shuffle. The
+    driver-side loop is bounded and convergence-checked; at 100 TB this
+    is exactly GraphX/GraphFrames' connectedComponents shape (hash-min
+    algorithm), kept dependency-free here. Oracle: DuckDB recursive CTE
+    computes the same min-reachable-label closure."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(20):  # diameter bound; real clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))

@@ -297,3 +297,44 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(purchased, 1)).alias("purchased_after_click"),
         F.count(F.lit(1)).alias("total_users"),
     )
+
+
+@query(
+    "events_weekly_retention",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT
+        user_id,
+        epoch_us(ts) // 1000000 // 604800 AS week
+      FROM events
+    )
+    SELECT
+      a.week                        AS week,
+      count(*)                      AS active_users,
+      count(b.user_id)              AS retained_next_week
+    FROM user_weeks a
+    LEFT JOIN user_weeks b
+      ON b.user_id = a.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active in epoch-week w who return in
+    w+1 — the standard product-analytics cohort query via a
+    self-join of the distinct (user, week) activity set. The activity
+    set is tiny relative to the event log (|users|x|weeks|), so the
+    self-join runs on the reduced table; at 100 TB the event->activity
+    reduction is the map-side partial-agg stage."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 1000000 div 604800")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    a = uw.select(F.col("user_id").alias("u"), F.col("week").alias("week"))
+    b = uw.select(F.col("user_id").alias("u2"), (F.col("week") - 1).alias("wprev"))
+    return (
+        a.join(b, (a.u == b.u2) & (a.week == b.wprev), "left")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("u2").alias("retained_next_week"),
+        )
+    )
