@@ -238,3 +238,29 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "vector_stats",
+    oracle=f"""
+    SELECT
+      vec_id,
+      CAST(list_max(embedding) AS DOUBLE)                       AS max_elem,
+      CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_dim,
+      round({duck_dot('embedding', 'embedding')}, 6)            AS sq_norm
+    FROM embeddings
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector analytics: max element, its (first) dimension, and
+    squared L2 norm — all codegen array expressions; argmax ties break
+    to the first occurrence in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.array_max("embedding").cast("double").alias("max_elem"),
+        F.array_position(F.col("embedding"), F.array_max("embedding"))
+        .cast("int")
+        .alias("argmax_dim"),
+        F.round(dot("embedding", "embedding"), 6).alias("sq_norm"),
+    )

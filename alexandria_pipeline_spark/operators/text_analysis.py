@@ -185,3 +185,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint(toks).alias("fingerprint"),
         F.md5(F.col("text").cast("binary")).alias("content_md5"),
     )
+
+
+@query(
+    "sample_stratified_docs",
+    oracle="""
+    WITH sampled AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT
+      d.lang,
+      count(*)                                   AS n_total,
+      (SELECT count(*) FROM sampled s WHERE s.lang = d.lang) AS n_sampled
+    FROM documents d
+    GROUP BY d.lang
+    """,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data staple
+    (downsample a stratum without a seed lottery): membership is a
+    pure key function (doc_id % 5 = 0 -> 20%), so the sample is
+    reproducible across runs/engines/retries, unlike rand()-based
+    df.sample. For hash-uniform sampling on non-uniform keys, replace
+    the mod with a key-derived code (functions.text.word_code family).
+    Output reports per-stratum totals vs sampled counts."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return totals.join(sampled, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
+    )
