@@ -338,3 +338,49 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("u2").alias("retained_next_week"),
         )
     )
+
+
+@query(
+    "events_top_spenders_per_window",
+    oracle="""
+    WITH per_user AS (
+      SELECT
+        (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_s,
+        user_id,
+        round(sum(value), 2) AS spend
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT window_start_s, user_id, spend, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start_s ORDER BY spend DESC, user_id
+      ) AS rk
+      FROM per_user
+    )
+    WHERE rk <= 3
+    """,
+)
+def events_top_spenders_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N: top-3 purchasers per hour — the composite that
+    stacks a time-window aggregate under a ranking window. Both levels
+    partition by the window key, so the rank reuses the aggregate's
+    partitioning (AQE keeps them in one exchange chain)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "user_id",
+            "spend",
+        )
+    )
+    w = Window.partitionBy("window_start_s").orderBy(F.desc("spend"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start_s", "user_id", "spend", F.col("rk").cast("int").alias("rk"))
+    )

@@ -21,7 +21,7 @@ worker (run.py:20-21, ×4 processes) and zipped shards positionally
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
@@ -355,4 +355,68 @@ def sharded_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("shard_id")
         .count()
         .select("shard_id", F.col("count").alias("rows_in_shard"))
+    )
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang,
+             array_to_string(string_split(text, ' ')[1:10], ' ') AS prefix_key
+      FROM documents
+      WHERE len(list_distinct(string_split(text, ' '))) * 2 >= len(string_split(text, ' '))
+        AND len(string_split(text, ' ')) >= 32
+    ),
+    deduped AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT
+      d.lang,
+      count(*)                                                        AS n_total,
+      (SELECT count(*) FROM quality q WHERE q.lang = d.lang)          AS n_quality,
+      (SELECT count(*) FROM deduped x WHERE x.lang = d.lang)          AS n_curated
+    FROM documents d
+    GROUP BY d.lang
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation story in one plan — what this engine is
+    FOR: raw corpus -> quality gate (lexical diversity >= 0.5 and
+    length >= 32 tokens, the C4/Gopher-style rules) -> near-dup
+    removal (keep-first on the content prefix key) -> per-language
+    survivor counts at each stage. Narrow filters, then one window
+    shuffle on the dedup key, then a grouped count: the whole funnel
+    is two exchanges regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = d.filter(
+        (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)) & (F.size(toks) >= 32)
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(toks, 1, 10), " ").alias("prefix_key"),
+    )
+    w = Window.partitionBy("prefix_key").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    n_q = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    n_c = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_curated"))
+    return (
+        totals.join(n_q, "lang", "left")
+        .join(n_c, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_curated", F.lit(0)).alias("n_curated"),
+        )
     )
