@@ -602,3 +602,97 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "scalar_string_advanced",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_replace(substring(text, 1, 40), ' ', '_', 'g') AS snake_prefix,
+      trim(substring(text, 1, 20))                        AS trimmed_prefix,
+      split_part(text, ' ', 3)                            AS third_token,
+      CAST(strpos(text, 'data') AS INT)                   AS first_data_pos,
+      reverse(substring(text, 1, 10))                     AS rev_prefix,
+      repeat(lang, 2)                                     AS lang2
+    FROM documents
+    """,
+)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function battery: regexp_replace, trim,
+    split_part, instr/strpos, reverse, repeat — all codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, 40), " ", "_").alias("snake_prefix"),
+        F.trim(F.substring("text", 1, 20)).alias("trimmed_prefix"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(3)).alias("third_token"),
+        F.instr(F.col("text"), "data").cast("int").alias("first_data_pos"),
+        F.reverse(F.substring("text", 1, 10)).alias("rev_prefix"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+    )
+
+
+@query(
+    "events_asof_forward",
+    oracle="""
+    SELECT
+      c.event_id        AS click_id,
+      c.user_id         AS user_id,
+      p.event_id        AS next_purchase_id,
+      CASE WHEN p.event_id IS NULL THEN NULL
+           ELSE epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 END AS wait_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the user's NEXT
+    purchase at-or-after it (time-to-convert). Same union+window shape
+    as the backward join but scanning from the future side: last
+    purchase id over the reversed-time window. Purchases sort before
+    clicks at equal ts (side ordering) so `p.ts >= c.ts` includes
+    equality, mirroring DuckDB's ASOF >= semantics."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("side"), F.asc("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn(
+            "next_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_purchase_ts",
+            F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("side") == 1)
+    )
+    return matched.select(
+        "click_id",
+        "user_id",
+        F.col("next_purchase_id"),
+        F.when(
+            F.col("next_purchase_id").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.expr("unix_micros(next_purchase_ts) div 1000000")
+            - F.expr("unix_micros(ts) div 1000000")
+        ).alias("wait_s"),
+    )
