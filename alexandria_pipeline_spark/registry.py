@@ -55,6 +55,7 @@ def register_all() -> None:
     from alexandria_pipeline_spark.operators import (  # noqa: F401
         relational,
         relational_ext,
+        tpch_full,
         windows,
         events,
         pipeline,
