@@ -390,3 +390,372 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(trunc_div(F.sum(_vol_s()), F.lit(100), 100.0).alias("revenue"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN euro ON cost.l_suppkey = euro.s_suppkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM cost c2 JOIN euro e2 ON c2.l_suppkey = e2.s_suppkey
+        WHERE c2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: with no partsupp, a supplier's cost for a part
+    is its observed minimum unit price (l_extendedprice / l_quantity)
+    in lineitem. For LARGE size-15 parts, keep the EUROPE supplier(s)
+    hitting the per-part minimum — the correlated-scalar-subquery shape
+    expressed as one window min over the part partition (no second
+    self-join, one shuffle on l_partkey). The quotient is never
+    rounded: both engines compute the identical IEEE double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    euro = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r.filter(F.col("r_name") == "EUROPE"), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(euro, F.col("l_suppkey") == euro.s_suppkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    target = F.broadcast(
+        p.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE")).select(
+            "p_partkey", "p_name"
+        )
+    )
+    return (
+        best.join(target, best.l_partkey == target.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH natline AS (
+      SELECT l_partkey, {_VOL_S_SQL} AS v_s
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(sum(v_s) // 100 AS BIGINT) / 100.0 AS part_value
+    FROM natline
+    GROUP BY l_partkey
+    HAVING sum(v_s) * 1000 > (SELECT sum(v_s) FROM natline)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: a part's "stock value" for a nation is its
+    lineitem revenue through that nation's suppliers; keep parts
+    holding > 0.1% of the nation total. The HAVING-against-scalar-
+    subquery is a 1-row broadcast cross join; the share test is exact
+    int64 (sum*1000 > total — no float quotient)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat_supp = F.broadcast(
+        s.join(n.filter(F.col("n_name") == "NATION_7"), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    natline = l.join(nat_supp, l.l_suppkey == nat_supp.s_suppkey).select(
+        "l_partkey", _vol_s().alias("v_s")
+    )
+    per_part = natline.groupBy("l_partkey").agg(F.sum("v_s").alias("sum_s"))
+    total = per_part.agg(F.sum("sum_s").alias("total_s"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("sum_s") * 1000 > F.col("total_s"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            trunc_div(F.col("sum_s"), F.lit(100), 100.0).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: how many distinct suppliers ship each
+    (brand, type, size) bucket, excluding "complaint" suppliers (the
+    comment-LIKE filter becomes negative account balance). The NOT IN
+    is a broadcast left-anti join; the distinct count shuffles once on
+    the 3-part grouping key with partial distinct upstream."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    sizes = [1, 3, 9, 14, 19, 23, 36, 45]
+    parts = F.broadcast(
+        p.filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(sizes)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = F.broadcast(s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    return (
+        l.join(parts, l.l_partkey == parts.p_partkey)
+        .join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pstats AS (
+      SELECT l_partkey AS sp_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7
+           AS BIGINT) / 100.0 AS avg_yearly
+    FROM lineitem
+    JOIN part   ON p_partkey = l_partkey
+    JOIN pstats ON sp_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue that would vanish without small-quantity
+    orders (quantity < 20% of the part's average). The correlated AVG
+    subquery is decorrelated into one per-part aggregate joined back
+    (broadcast — it's |part| rows); the 20% test is exact integer
+    (qty * 5 * cnt < sum_qty), never a float average. Output is
+    trunc(sum_cents / 7) / 100, deterministic in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pstats = F.broadcast(
+        l.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    brand = F.broadcast(p.filter(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    return (
+        l.join(brand, l.l_partkey == brand.p_partkey)
+        .join(pstats, F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            trunc_div(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+                F.lit(7),
+                100.0,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+      )
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: NATION_3 suppliers who moved > 200 units of
+    PROMO parts in 1996 (the partsupp availability comparison becomes a
+    shipped-quantity threshold; the nested IN-subquery chain is kept).
+    The inner aggregate is a left-semi broadcast join back onto the
+    nation-filtered supplier scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    promo = F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    heavy = (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+        )
+        .join(promo, l.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_4'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: "late" is shipping > 90 days after the order
+    date (no l_commitdate/l_receiptdate in this schema). Suppliers from
+    NATION_4 who were the ONLY late supplier on a multi-supplier
+    finished order. The EXISTS / NOT EXISTS pair is decorrelated into
+    ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back — two scans of lineitem instead of three,
+    and the per-order stats shuffle replaces both correlated probes.
+    Ranked output carries s_name as the deterministic tiebreaker."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    ll = l.join(f_orders, l.l_orderkey == f_orders.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    per_order = ll.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    nat_supp = F.broadcast(
+        s.join(n.filter(F.col("n_name") == "NATION_4"), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        ll.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .join(nat_supp, F.col("l_suppkey") == nat_supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH bal AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+    FROM (
+      SELECT n_name AS cntrycode,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+                       'NATION_9','NATION_11','NATION_13')
+        AND CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT cnt FROM bal)
+            > (SELECT sum_cents FROM bal)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: rich-but-inactive customers per nation (the
+    phone-prefix country code becomes n_name). Above-average balance is
+    tested in exact integer space (cents * count > sum_cents — never a
+    float average); the NOT EXISTS is a left-anti join against orders,
+    and the 1-row balance stats broadcast-cross-join everywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    nations = [f"NATION_{i}" for i in (1, 3, 5, 7, 9, 11, 13)]
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    return (
+        c.join(F.broadcast(n.filter(F.col("n_name").isin(nations))), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(bal))
+        .filter(cents * F.col("cnt") > F.col("sum_cents"))
+        .join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
