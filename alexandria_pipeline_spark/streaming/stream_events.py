@@ -310,3 +310,104 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT
+      c.event_id AS click_id,
+      p.event_id AS purchase_id,
+      c.user_id  AS user_id,
+      epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS delay_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: clicks joined to purchases by the same
+    user within 30 minutes, executed by the streaming engine. Both
+    sides carry watermarks and the join has a two-sided time bound, so
+    state is evictable: Spark keeps only 30min+watermark of each side's
+    history per user. This is the canonical attribution-join shape; at
+    scale the same plan runs against two live Kafka topics. The oracle
+    is the identical interval join in batch SQL."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (
+            F.expr("unix_micros(p_ts) div 1000000")
+            - F.expr("unix_micros(c_ts) div 1000000")
+        ).alias("delay_s"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT
+      c_mktsegment AS segment,
+      CAST(count(*) AS BIGINT) AS n_purchases,
+      round(sum(value), 2)     AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the purchase stream enriched against the
+    static customer dimension (broadcast — no stream-side shuffle),
+    then aggregated by market segment. The static side is re-read per
+    micro-batch by the engine, so dimension updates between batches
+    are picked up — the standard slowly-changing-dimension pattern.
+    sum(value) is on a 2-decimal grid -> round(2) is exact in both
+    engines."""
+    from alexandria_pipeline_spark.catalog import load_table
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        purchases.join(cust, purchases.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
