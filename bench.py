@@ -49,7 +49,12 @@ HEADLINE = [
     "merge_embeddings",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "knn_brute_force",
     "knn_ivf_pruned",
     "text_quality_scores",
