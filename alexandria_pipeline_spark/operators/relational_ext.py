@@ -696,3 +696,100 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("unix_micros(ts) div 1000000")
         ).alias("wait_s"),
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT)          AS quartile,
+           first_value(c_custkey) OVER w          AS seg_poorest,
+           nth_value(c_custkey, 2) OVER w         AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / nth_value over a per-segment balance
+    ordering (unique tiebreak on c_custkey so bucket edges are
+    deterministic). Both engines use the default cumulative frame for
+    the value functions; ntile distributes remainder rows to the
+    leading buckets identically."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("seg_poorest"),
+        F.nth_value("c_custkey", 2).over(w).alias("seg_second"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL')   AS status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube variants) with
+    grouping() flags disambiguating real NULL groups from subtotal
+    rows. Runs through the SQL API over a temp view — one Expand +
+    one aggregation, not four scans."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL')   AS status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+           array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 5), ',')
+             AS sorted_head,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           CAST(coalesce(list_position(string_split(text, ' '), 'data'), 0) AS BIGINT)
+             AS data_pos,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+           array_to_string(list_slice(list_reverse(string_split(text, ' ')), 1, 3), ' ')
+             AS tail3_rev
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery: sort, slice, contains, position,
+    distinct, reverse, join — all JVM codegen, no UDFs. Spark's
+    array_position returns 0 for missing where DuckDB's list_position
+    returns NULL; the oracle coalesces to 0 to pin the shared
+    convention."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(F.sort_array(toks), 1, 5), ",").alias("sorted_head"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_position(toks, "data").alias("data_pos"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_join(F.slice(F.reverse(toks), 1, 3), " ").alias("tail3_rev"),
+    )

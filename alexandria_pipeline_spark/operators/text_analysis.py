@@ -219,3 +219,59 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(sampled, "lang", "left").select(
         "lang", "n_total", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
     )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM bi GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rk FROM (
+      SELECT lang, bigram, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram) AS INT) AS rk
+      FROM cnt
+    ) ranked
+    WHERE rk <= 5
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — the corpus n-gram profile
+    every training-data pipeline runs before filtering. Bigrams are
+    built with zip_with over two shifted slices (linear — the indexed
+    transform(sequence, i -> t[i]) form re-inlines split() per access,
+    O(n²)/doc), exploded, counted, and ranked with a deterministic
+    (count DESC, bigram) tiebreak so top-k is unique cross-engine."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    cnt = (
+        d.filter(n >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "bigram", "n", "rk")
+    )
