@@ -264,3 +264,51 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("argmax_dim"),
         F.round(dot("embedding", "embedding"), 6).alias("sq_norm"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id, max_abs,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT))
+             AS emb_q,
+           CAST(list_sum(list_transform(embedding,
+             x -> abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))))
+             AS BIGINT) AS l1_q
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|) —
+    the standard ANN-index compression step (4x memory, SIMD int8 dot
+    products downstream). Map-only: no shuffle, no UDF; both engines
+    evaluate the identical double expression per element, and round()
+    on continuous values is cross-engine safe (never lands on exact
+    halves — unlike quotients of small ints, see functions/exact.py).
+    l1_q is an exact-int checksum of the quantized vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    with_m = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    emb_q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("int"),
+    )
+    return with_m.select(
+        "vec_id",
+        "max_abs",
+        emb_q.alias("emb_q"),
+        F.aggregate(
+            emb_q,
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + F.abs(q.cast("long")),
+        ).alias("l1_q"),
+    )

@@ -275,3 +275,37 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "bigram", "n", "rk")
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           substring(regexp_replace(clean, '[0-9]+', '<num>', 'g'), 1, 80)
+             AS clean_prefix,
+           CAST(len(string_split(clean, ' ')) AS INT) AS n_words,
+           CAST(length(clean) AS INT)                 AS n_chars
+    FROM cleaned
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass every pretraining pipeline runs before
+    dedup/quality: lowercase, trim, collapse whitespace runs, mask
+    digit runs. All regexp_replace — JVM codegen, no Python. On a real
+    corpus the same pass adds URL/PII masking patterns; the operator
+    shape (chained global regex over one scan) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.substring(F.regexp_replace(clean, "[0-9]+", "<num>"), 1, 80).alias(
+            "clean_prefix"
+        ),
+        F.size(F.split(clean, " ")).alias("n_words"),
+        F.length(clean).cast("int").alias("n_chars"),
+    )

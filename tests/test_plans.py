@@ -87,3 +87,34 @@ def test_lsh_band_join_carries_ids_only(spark):
     ]
     assert band_join, "expected the band self-join in the plan"
     assert not any("codes" in b for b in band_join), band_join
+
+
+def test_tpch_full_dimension_broadcasts(spark):
+    """The tpch_full join trees must broadcast every dimension side —
+    a shuffled 100-row nation join at 100 TB means the optimizer never
+    saw the hint (or AQE stats)."""
+    for name in [
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q14_promo_effect",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+    ]:
+        assert has_broadcast_join(QUERIES[name](spark, SF_SMOKE)), name
+
+
+def test_ngram_jaccard_inverted_index_plan(spark):
+    """The Jaccard verifier must stay on the inverted-index plan: no
+    Python eval, no nested-loop join, and no per-pair array set ops
+    (the interpreted form this replaced)."""
+    plan = formatted_plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    assert "EvalPython" not in plan, "Python in the hot path"
+    assert "NestedLoop" not in plan, "candidate join degenerated to NL"
+    assert "array_intersect" not in plan, "per-pair array ops are back"
+
+
+def test_quantize_map_only(spark):
+    """int8 quantization is a narrow transform: no Exchange at all."""
+    plan = formatted_plan(QUERIES["embedding_quantize_int8"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
