@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
 from alexandria_pipeline_spark.registry import query
 
@@ -311,4 +312,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, q: acc + F.abs(q.cast("long")),
         ).alias("l1_q"),
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH kw AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INT)
+               AS kw_rk
+      FROM (
+        SELECT doc_id,
+               3 * len(list_filter(string_split(text, ' '), x -> x = 'data'))
+             + 2 * len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+             +     len(list_filter(string_split(text, ' '), x -> x = 'table'))
+               AS kw_score
+        FROM documents
+      ) scored_kw
+    ),
+    qv AS (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ),
+    vec AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY {duck_dot('embedding', 'q_emb')} DESC, vec_id) AS INT)
+               AS vec_rk
+      FROM embeddings CROSS JOIN qv
+    )
+    SELECT doc_id, kw_rk, vec_rk,
+           CAST(1000000 // (60 + kw_rk) + 1000000 // (60 + vec_rk) AS BIGINT)
+             AS rrf_micro
+    FROM kw JOIN vec ON doc_id = vec_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: weighted keyword term-frequency ranking fused
+    with vector-similarity ranking by Reciprocal Rank Fusion
+    (1/(60+rank), the standard RRF constant). The fused score is kept
+    in exact integer micro-units (1e6 // (60+rk)) — unit fractions
+    would otherwise be float quotients of small ints, the classic
+    cross-engine rounding trap. Each leg is one window rank; the join
+    is on the shared document key. At corpus scale the global ranks
+    would come from per-partition top-k + merge (TakeOrdered), not a
+    single-partition window — the headline knn/topk queries cover that
+    plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    toks = F.split("text", " ")
+
+    def tf(term: str) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    kw_score = (3 * tf("data") + 2 * tf("spark") + tf("table")).alias("kw_score")
+    w_kw = Window.orderBy(F.desc("kw_score"), "doc_id")
+    kw = (
+        d.select("doc_id", kw_score)
+        .withColumn("kw_rk", F.row_number().over(w_kw).cast("int"))
+        .select("doc_id", "kw_rk")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    w_vec = Window.orderBy(F.desc("score"), "vec_id")
+    vec = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", dot("embedding", "q_emb").alias("score"))
+        .withColumn("vec_rk", F.row_number().over(w_vec).cast("int"))
+        .select("vec_id", "vec_rk")
+    )
+    rrf = int_div(F.lit(1000000), F.lit(60) + F.col("kw_rk")) + int_div(
+        F.lit(1000000), F.lit(60) + F.col("vec_rk")
+    )
+    return (
+        kw.join(vec, kw.doc_id == vec.vec_id)
+        .select("doc_id", "kw_rk", "vec_rk", rrf.cast("long").alias("rrf_micro"))
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(20)
     )
