@@ -166,3 +166,47 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_dense).alias("size_dense_rank"),
         F.ntile(4).over(w_price).cast("int").alias("price_quartile"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT)            AS n_recent,
+           CAST(CAST(sum(cents) OVER w AS BIGINT) AS BIGINT) / 100.0 AS recent_total
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(o_orderdate) // 1000000 AS ord_s,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ) t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ord_s
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame — the one frame type rowsBetween can't
+    express: all of the customer's orders in the 30 days ending at this
+    order, HOWEVER many rows that is (same-day peers are all included,
+    identically in both engines). Ordering is epoch seconds (long) —
+    range frames need numeric order keys; money is exact cents."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias(
+            "ord_s"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ord_s")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_recent"),
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("recent_total"),
+    )

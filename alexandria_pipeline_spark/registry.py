@@ -63,6 +63,7 @@ def register_all() -> None:
         similarity,
         text_analysis,
         multimodal,
+        graph,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 
