@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
-from alexandria_pipeline_spark.functions.exact import trunc_div
+from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
 from alexandria_pipeline_spark.registry import query
 
 
@@ -792,4 +792,126 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "data").alias("data_pos"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
         F.array_join(F.slice(F.reverse(toks), 1, 3), " ").alias("tail3_rev"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (
+      SELECT max(epoch_us(o_orderdate) // 86400000000) AS max_day FROM orders
+    ),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST((SELECT max_day FROM maxd)
+                  - max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS INT)        AS r_q,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS INT)      AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey) AS INT) AS m_q
+    FROM rfm
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-analytics rollup. One aggregation over
+    orders; recency is integer days against the corpus max date (a
+    1-row broadcast), money is exact cents, and every ntile ordering
+    carries c_custkey so quartile boundaries are deterministic. The
+    global ntiles are single-partition here; at scale they'd become
+    percentile_approx cutpoints joined back (the IVF queries show that
+    pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    maxd = o.agg(F.max(day).alias("max_day"))
+    rfm = rfm.join(F.broadcast(maxd)).withColumn(
+        "recency_days", (F.col("max_day") - F.col("last_day")).cast("long")
+    )
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "c_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "c_custkey")).alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), "c_custkey"))
+        .alias("m_q"),
+    )
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab * n_orders * 1000000 // (fa.n * fb.n) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY lift_micro DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: top part pairs by lift
+    = P(a,b) / (P(a)·P(b)) with a min-support floor. Lift is a ratio
+    of counts, so it stays exact: n_ab·N·1e6 // (n_a·n_b) in int64
+    micro-units (a float quotient here is the classic cross-engine
+    rounding trap). The pair join is the same one shuffle as the
+    co-purchase edge build in graph.py; per-part frequencies are a
+    broadcastable aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    tot = op.select(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            int_div(
+                F.col("n_ab") * F.col("n_orders") * 1_000_000,
+                F.col("n_a") * F.col("n_b"),
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "part_a", "part_b")
+        .limit(50)
     )
