@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
-from alexandria_pipeline_spark.functions.exact import trunc_div
+from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
 from alexandria_pipeline_spark.registry import query
 
 
@@ -383,4 +383,45 @@ def events_top_spenders_per_window(spark: SparkSession, sf_dir: str) -> DataFram
         per_user.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("window_start_s", "user_id", "spend", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "events_gap_analysis",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           max(gap_s)                   AS max_gap_s,
+           min(gap_s)                   AS min_gap_s,
+           CAST(CAST(sum(gap_s) AS BIGINT) // count(gap_s) AS BIGINT)
+             AS mean_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile per user (lag diff in integer epoch
+    seconds → min/max/truncated-mean): the activity-cadence signal
+    behind session-timeout tuning and bot detection. One shuffle on
+    user_id shared by the lag window and the aggregation; the mean is
+    truncating integer division, never a float quotient."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        int_div(F.sum("gap_s"), F.count("gap_s")).alias("mean_gap_s"),
     )
