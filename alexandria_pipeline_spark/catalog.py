@@ -33,13 +33,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one testdata table.
 
     events.ts is stored as timestamp[ns], which Spark's Parquet reader
-    only accepts as a raw int64 (session sets
-    `spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
-    timestamp with *integer* division — ns-since-epoch (~1.7e18)
-    exceeds double's 53-bit mantissa, so float division would corrupt
-    the low microseconds. DuckDB 1.0 reads the same column as a
+    only accepts as a raw int64 via `spark.sql.legacy.parquet.nanosAsLong`.
+    That conf is set HERE, at runtime, not only in our session factory:
+    callers (the correctness driver, a notebook, spark-submit) construct
+    their own SparkSession and never see session.py, so the read must be
+    self-sufficient in a bare session. The conf is runtime-settable, so
+    `spark.conf.set` before the scan is enough. We then convert to a
+    microsecond timestamp with *integer* division — ns-since-epoch
+    (~1.7e18) exceeds double's 53-bit mantissa, so float division would
+    corrupt the low microseconds. DuckDB 1.0 reads the same column as a
     microsecond TIMESTAMP, so both engines see identical values.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

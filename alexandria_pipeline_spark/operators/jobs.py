@@ -113,10 +113,19 @@ def run_chunked_embedding_job(
     chunk_tokens: int = 16,
 ) -> DataFrame:
     """§3.2 run_extra.py: chunk → embed → length-weighted mean pool →
-    sharded sink. Reuses the chunk_embed_pool operator plan."""
+    sharded sink. Reuses the chunk_embed_pool operator plan, then
+    reassembles its exploded (doc_id, dim, v) exchange rows into the
+    array-per-doc product format the parquet sink ships."""
     from alexandria_pipeline_spark.operators.pipeline import chunk_embed_pool
 
-    pooled = chunk_embed_pool(spark, sf_dir)
+    pooled = (
+        chunk_embed_pool(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+        .select(
+            "doc_id", F.transform("dv", lambda s: s["v"]).alias("embedding")
+        )
+    )
     write_sharded(pooled, output_path)
     _write_run_metadata(
         output_path,

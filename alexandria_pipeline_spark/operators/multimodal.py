@@ -158,7 +158,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing on the binary stand-in payloads:
     binary column → mapInPandas decode (deterministic fake) → typed
     feature rows. Rows-only driver check (Arrow/mapInPandas is not
-    oracle-SQL); values are still deterministic and unit-tested."""
+    oracle-SQL); values are still deterministic and unit-tested.
+
+    The decode API returns an array<double> feature column (internal
+    format); the registered query unpacks it to scalar f0/f1/f2 so the
+    output is canonicalizable by any harness."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -166,4 +170,13 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
-    return decode_image_features(media, fake=True)
+    decoded = decode_image_features(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_first_byte"),
+        F.element_at("features", 3).alias("f_last_byte"),
+    )

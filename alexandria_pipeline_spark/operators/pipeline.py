@@ -43,17 +43,27 @@ TITLE_TOKENS = 8  # "title" stand-in = first 8 tokens of the doc
 @query(
     "embed_documents",
     oracle=f"""
-    SELECT doc_id, {duck_featurize('text')} AS embedding
-    FROM documents
+    SELECT doc_id, CAST(d AS INT) AS dim, emb[d] AS value
+    FROM (SELECT doc_id, {duck_featurize('text')} AS emb FROM documents)
+    CROSS JOIN LATERAL (SELECT unnest(range(1, {FEATURE_DIM} + 1)) AS d)
     """,
 )
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """run.py:126-156 as one lazy plan: parquet scan (column-pruned to
     doc_id,text) → featurize. No shuffle at all — embarrassingly
     parallel over parquet splits, which is why the reference's 2.25M-row
-    job becomes a single narrow stage here."""
+    job becomes a single narrow stage here.
+
+    Output is exploded to one (doc_id, dim, value) row per element:
+    registered queries never emit array columns (harness canonicalizers
+    sort/hash outputs and choke on lists); the array-valued form is
+    the internal API (`featurize`), this is the exchange format."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", featurize("text").alias("embedding"))
+    return (
+        d.select("doc_id", featurize("text").alias("emb"))
+        .select("doc_id", F.posexplode("emb").alias("dim0", "value"))
+        .select("doc_id", (F.col("dim0") + 1).cast("int").alias("dim"), "value")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -92,8 +102,7 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(w * x_e6) // (100 * sum(w)) AS BIGINT) / 10000.0 AS v
       FROM dims GROUP BY doc_id, dim
     )
-    SELECT doc_id, list(v ORDER BY dim) AS embedding
-    FROM pooled GROUP BY doc_id
+    SELECT doc_id, dim, v FROM pooled
     """,
 )
 def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,10 +112,11 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: chunking is a narrow transform (no pre-explode
     shuffle); the weighted mean runs as posexplode(8 dims) →
-    partial+final agg on (doc_id, dim) → final assembly groupBy
-    (doc_id). Both aggs hash-partition on doc_id-prefixed keys, so AQE
-    coalesces them tightly; per-doc state is O(dim), never O(chunks),
-    which is what keeps a 100 TB corpus poolable."""
+    partial+final agg on (doc_id, dim). Per-doc state is O(dim), never
+    O(chunks), which is what keeps a 100 TB corpus poolable. Output is
+    the pooled (doc_id, dim, v) rows directly — no array column leaves
+    a registered query, and skipping the per-doc reassembly groupBy
+    drops a whole shuffle from the plan."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n_chunks = F.ceil(F.size("tokens") / F.lit(float(CHUNK_TOKENS)))
@@ -143,15 +153,10 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(F.col("x") * 1_000_000, 0).cast("long").alias("x_e6"),
     )
-    pooled = dims.groupBy("doc_id", "dim").agg(
+    return dims.groupBy("doc_id", "dim").agg(
         (
             int_div(F.sum(F.col("w") * F.col("x_e6")), 100 * F.sum("w")) / 10_000.0
         ).alias("v")
-    )
-    return (
-        pooled.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
-        .select("doc_id", F.transform("dv", lambda s: s["v"]).alias("embedding"))
     )
 
 
@@ -169,15 +174,19 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     abstracts AS (
       SELECT doc_id, {duck_featurize('text')} AS emb FROM documents
     )
-    SELECT
-      t.doc_id AS doc_id,
-      list_transform(
-        list_concat(
-          list_transform(t.emb, x -> x * {TITLE_WEIGHT!r}),
-          list_transform(a.emb, x -> x * {1 - TITLE_WEIGHT!r})
-        ), x -> round(x, 6)
-      ) AS merged
-    FROM titles t JOIN abstracts a ON t.doc_id = a.doc_id
+    SELECT doc_id, CAST(d AS INT) AS dim, merged[d] AS value
+    FROM (
+      SELECT
+        t.doc_id AS doc_id,
+        list_transform(
+          list_concat(
+            list_transform(t.emb, x -> x * {TITLE_WEIGHT!r}),
+            list_transform(a.emb, x -> x * {1 - TITLE_WEIGHT!r})
+          ), x -> round(x, 6)
+        ) AS merged
+      FROM titles t JOIN abstracts a ON t.doc_id = a.doc_id
+    )
+    CROSS JOIN LATERAL (SELECT unnest(range(1, 2 * {FEATURE_DIM} + 1)) AS d)
     """,
 )
 def merge_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +196,9 @@ def merge_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat(title*0.2, abstract*0.8) doubles the dim (process.py:126).
     'title' = first 8 tokens, 'abstract' = full text, so both sides
     derive from one scan — Catalyst plans a single-pass self-join on
-    doc_id with no duplicate parquet read at runtime cost."""
+    doc_id with no duplicate parquet read at runtime cost. Output is
+    exploded to (doc_id, dim, value) rows — registered queries emit
+    scalar columns only."""
     d = load_table(spark, sf_dir, "documents")
     title_text = F.array_join(
         F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
@@ -199,9 +210,13 @@ def merge_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("t_emb", lambda x: x * TITLE_WEIGHT),
         F.transform("a_emb", lambda x: x * (1 - TITLE_WEIGHT)),
     )
-    return joined.select(
-        "doc_id",
-        F.transform(merged, lambda x: F.round(x, 6)).alias("merged"),
+    return (
+        joined.select(
+            "doc_id",
+            F.transform(merged, lambda x: F.round(x, 6)).alias("merged"),
+        )
+        .select("doc_id", F.posexplode("merged").alias("dim0", "value"))
+        .select("doc_id", (F.col("dim0") + 1).cast("int").alias("dim"), "value")
     )
 
 
@@ -244,8 +259,7 @@ def missing_docs_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(w * x_e6) // (100 * sum(w)) AS BIGINT) / 10000.0 + 0 AS v
       FROM dims GROUP BY label, dim
     )
-    SELECT label, list(v ORDER BY dim) AS centroid
-    FROM pooled GROUP BY label
+    SELECT label, dim, v FROM pooled
     """,
 )
 def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +267,8 @@ def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (weight = deterministic vec_id%7+1, standing in for chunk
     length run_extra.py:47). posexplode → two-level agg keeps per-group
     state at O(dim) — the pattern that pools 10^9 chunk vectors without
-    collecting any group into memory."""
+    collecting any group into memory. Output stays in the exploded
+    (label, dim, v) exchange format — scalar columns only."""
     e = load_table(spark, sf_dir, "embeddings")
     # Values quantized to 1e-6 per element, pooled in exact int64 with
     # truncating division (see chunk_embed_pool / functions.exact for
@@ -268,16 +283,11 @@ def embedding_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(F.col("xf").cast("double") * 1_000_000, 0).cast("long").alias("x_e6"),
     )
-    pooled = dims.groupBy("label", "dim").agg(
+    return dims.groupBy("label", "dim").agg(
         (
             int_div(F.sum(F.col("w") * F.col("x_e6")), 100 * F.sum("w")) / 10_000.0
             + 0.0
         ).alias("v")
-    )
-    return (
-        pooled.groupBy("label")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "v"))).alias("dv"))
-        .select("label", F.transform("dv", lambda s: s["v"]).alias("centroid"))
     )
 
 
@@ -317,7 +327,8 @@ def pool_embeddings_pandas(chunk_feats: DataFrame) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      ['Represent the document for retrieval:', text] AS prompt_pair,
+      'Represent the document for retrieval:' AS prompt,
+      text AS content,
       len(string_split(text, ' ')) AS n_tokens
     FROM documents
     """,
@@ -325,13 +336,14 @@ def pool_embeddings_pandas(chunk_feats: DataFrame) -> DataFrame:
 def embed_prompt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 prompt-prefix constructor (run.py:139 wraps each text as
     [PROMPT, content]; prompts per type run.py:84-92). The instruction
-    pair is the model-input IR the embedding UDF consumes."""
+    pair is the model-input IR the embedding UDF consumes; emitted as
+    two scalar columns (prompt, content) — the array form is assembled
+    inside the UDF, never in a registered query's output."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.array(
-            F.lit("Represent the document for retrieval:"), F.col("text")
-        ).alias("prompt_pair"),
+        F.lit("Represent the document for retrieval:").alias("prompt"),
+        F.col("text").alias("content"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
 

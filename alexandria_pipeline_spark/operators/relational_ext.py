@@ -488,13 +488,27 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based quantile for 100 TB scale
     (mergeable, constant memory per group, single pass). Values are
     sketch-dependent so the driver records rows-only; the exact twin
-    agg_percentiles is the hash-checked version."""
+    agg_percentiles is the hash-checked version.
+
+    The sketch array is unpacked to scalar p50/p95/p99 columns: query
+    outputs must be canonicalizable (sortable/hashable) by any harness,
+    so no array-typed columns ever leave a registered query."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10_000
+            ).alias("pq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pq", 1).alias("p50"),
+            F.element_at("pq", 2).alias("p95"),
+            F.element_at("pq", 3).alias("p99"),
+            "n",
+        )
     )
 
 

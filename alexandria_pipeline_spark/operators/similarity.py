@@ -277,8 +277,9 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, max_abs,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT))
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INT)
+                       AS VARCHAR)), ',')
              AS emb_q,
            CAST(list_sum(list_transform(embedding,
              x -> abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))))
@@ -293,7 +294,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate the identical double expression per element, and round()
     on continuous values is cross-engine safe (never lands on exact
     halves — unlike quotients of small ints, see functions/exact.py).
-    l1_q is an exact-int checksum of the quantized vector."""
+    l1_q is an exact-int checksum of the quantized vector. The int8
+    vector is emitted as a comma-joined string: integer→string renders
+    identically in every engine (no float-format hazard) and keeps the
+    query output scalar-only for canonicalizers."""
     e = load_table(spark, sf_dir, "embeddings")
     max_abs = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
@@ -306,7 +310,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_m.select(
         "vec_id",
         "max_abs",
-        emb_q.alias("emb_q"),
+        F.array_join(F.transform(emb_q, lambda q: q.cast("string")), ",").alias(
+            "emb_q"
+        ),
         F.aggregate(
             emb_q,
             F.lit(0).cast("long"),

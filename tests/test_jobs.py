@@ -136,12 +136,15 @@ def test_grouped_map_pooling_matches_builtin(spark):
     via_pandas = {
         r["doc_id"]: r["embedding"] for r in pool_embeddings_pandas(feats).collect()
     }
-    via_builtin = {
-        r["doc_id"]: r["embedding"]
-        for r in chunk_embed_pool(spark, SF_SMOKE)
+    # chunk_embed_pool emits exploded (doc_id, dim, v) exchange rows;
+    # reassemble per-doc vectors for the comparison.
+    via_builtin: dict[int, list[float]] = {}
+    for r in (
+        chunk_embed_pool(spark, SF_SMOKE)
         .filter(F.col("doc_id").isin(list(via_pandas)))
         .collect()
-    }
+    ):
+        via_builtin.setdefault(r["doc_id"], [0.0] * 8)[r["dim"] - 1] = r["v"]
     assert via_pandas.keys() == via_builtin.keys()
     for doc_id, emb in via_builtin.items():
         for got, want in zip(via_pandas[doc_id], emb):

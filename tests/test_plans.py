@@ -118,3 +118,21 @@ def test_quantize_map_only(spark):
     """int8 quantization is a narrow transform: no Exchange at all."""
     plan = formatted_plan(QUERIES["embedding_quantize_int8"](spark, SF_SMOKE))
     assert "Exchange" not in plan, plan
+
+
+def test_no_complex_types_in_any_query_output(spark):
+    """Harness contract: every registered query's OUTPUT schema is
+    scalar-only. Downstream canonicalizers (the correctness driver's
+    included) sort and hash result columns; array/map/struct values are
+    unhashable there and turn a correct answer into a harness error.
+    Arrays are fine INSIDE a plan — just never in the final select.
+    Builds all plans (no execution), so this also smoke-checks that
+    every registered callable constructs against the smoke-scale data."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        for field in df.schema.fields:
+            kind = field.dataType.typeName()
+            if kind in ("array", "map", "struct"):
+                offenders.append(f"{name}.{field.name}: {kind}")
+    assert not offenders, offenders
