@@ -7,9 +7,9 @@ the two disagree. Quotients of small integers (averages, ratios,
 Jaccard) and rounded-then-combined values hit exact halves often
 enough to flip a value hash. The fix is to never round a float at
 all: keep numerators/denominators in int64, truncate with integer
-division (floor — matches DuckDB's `//`), and divide by the decimal
-scale only at the very end, where the division of an exact integer by
-a power of ten is deterministic in both engines.
+division (toward zero — matches DuckDB's `//`), and divide by the
+decimal scale only at the very end, where the division of an exact
+integer by a power of ten is deterministic in both engines.
 """
 
 from __future__ import annotations
@@ -20,9 +20,12 @@ from pyspark.sql import Column, functions as F
 def int_div(a: Column, b: Column) -> Column:
     """Integer division truncating toward zero on long columns —
     matches DuckDB `//` (measured: -7 // 2 = -3, i.e. truncation, NOT
-    floor). Spark's `%` on longs is the Java truncated remainder, so
-    (a - a % b)/b is exactly that truncation."""
-    return ((a - a % b) / b).cast("long")
+    floor). Uses Spark's IntegralDivide (`a div b`), which runs in pure
+    JVM long arithmetic: the earlier ((a - a%b)/b).cast('long') form
+    went through a double divide and silently lost exactness once the
+    numerator exceeded 2^53 (div(9007199254740995, 3) came back one
+    low). Result cast keeps the long dtype even for int32 inputs."""
+    return F.call_function("div", a, b).cast("long")
 
 
 def trunc_div(numer: Column, denom: Column, out_scale: float) -> Column:

@@ -95,6 +95,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         user_id,
         ts,
+        event_id,
         value,
         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
              OR lag(ts) OVER w IS NULL
@@ -106,7 +107,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         user_id, ts, value,
         sum(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM flagged
@@ -129,10 +130,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     final group-by (same partitioning, no second exchange). The
     streaming twin uses F.session_window + watermark."""
     e = load_table(spark, sf_dir, "events")
+    # event_id tiebreaks BOTH windows: with a ROWS frame, rows tied on
+    # ts could be ordered differently by the two engines and land in
+    # different sessions if the running sum ordered by ts alone.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     us = F.unix_micros(F.col("ts"))

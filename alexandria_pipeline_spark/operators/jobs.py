@@ -182,14 +182,20 @@ def run_upsert_job(
     the newest by version_col if given, else prefer the incoming row.
 
     Plain Parquet has no row-level transactions, so upsert is
-    read-union-dedupe-rewrite into a staging dir followed by an atomic
-    swap — the classic pre-lakehouse pattern; on Delta/Iceberg this
+    read-union-dedupe-rewrite into a staging dir, then a swap done
+    with sibling-directory os.rename calls: staging lives NEXT TO
+    output_path (same filesystem — rename stays atomic, never a copy),
+    the old sink is renamed aside before the new one moves in, and the
+    old copy is deleted only after the new dir is in place. The one
+    remaining crash window (between the two renames) leaves the data
+    recoverable in the `.old` dir rather than destroyed; a true
+    all-or-nothing swap needs a table format — on Delta/Iceberg this
     whole function becomes MERGE INTO with the same plan shape
     (anti-join + union under the hood). Rewrite cost is bounded by
     partitioning the sink and rewriting only partitions containing
     updated keys."""
+    import os
     import shutil
-    import tempfile
 
     try:
         existing = spark.read.parquet(output_path)
@@ -215,8 +221,14 @@ def run_upsert_job(
         .drop("_rn", "_src")
     )
 
-    staging = tempfile.mkdtemp(prefix="apspark_upsert_")
+    # Sibling staging dir => same filesystem => os.rename is atomic.
+    staging = f"{output_path.rstrip('/')}.staging"
+    old = f"{output_path.rstrip('/')}.old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     deduped.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(output_path, ignore_errors=True)
-    shutil.move(staging, output_path)
+    if os.path.exists(output_path):
+        os.rename(output_path, old)
+    os.rename(staging, output_path)
+    shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(output_path)

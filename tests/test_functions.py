@@ -131,3 +131,33 @@ def test_sentence_segmentation(spark):
     assert got[1] == ["One sentence."]
     assert got[2] == ["First here.", "Second there!", "Third?", "Fourth trailing"]
     assert got[3] == ["No punctuation at all"]
+
+
+def test_int_div_exact_past_2_53(spark):
+    """int_div must stay exact beyond double's 53-bit mantissa and on
+    negative operands — cross-checked against DuckDB's `//`, the oracle
+    operator every exactness contract in this repo compiles to."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.functions.exact import int_div
+
+    cases = [
+        (9007199254740995, 3),   # 2^53 + 3: double division rounds this
+        (-9007199254740995, 3),
+        (9223372036854775807, 7),  # long max
+        (-7, 2),                   # truncation, not floor: expect -3
+        (7, -2),
+        (123456789012345678, 1_000_000),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = [
+        r["q"]
+        for r in df.select(int_div(F.col("a"), F.col("b")).alias("q")).collect()
+    ]
+    want = [
+        duckdb.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == want, (got, want)
