@@ -823,23 +823,50 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS monetary_cents
       FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT
+        CAST(floor(quantile_cont(recency_days,    0.25)) AS BIGINT) AS r1,
+        CAST(floor(quantile_cont(recency_days,    0.50)) AS BIGINT) AS r2,
+        CAST(floor(quantile_cont(recency_days,    0.75)) AS BIGINT) AS r3,
+        CAST(floor(quantile_cont(frequency,       0.25)) AS BIGINT) AS f1,
+        CAST(floor(quantile_cont(frequency,       0.50)) AS BIGINT) AS f2,
+        CAST(floor(quantile_cont(frequency,       0.75)) AS BIGINT) AS f3,
+        CAST(floor(quantile_cont(monetary_cents,  0.25)) AS BIGINT) AS m1,
+        CAST(floor(quantile_cont(monetary_cents,  0.50)) AS BIGINT) AS m2,
+        CAST(floor(quantile_cont(monetary_cents,  0.75)) AS BIGINT) AS m3
+      FROM rfm
     )
     SELECT c_custkey, recency_days, frequency, monetary_cents,
-           CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS INT)        AS r_q,
-           CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS INT)      AS f_q,
-           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, c_custkey) AS INT) AS m_q
-    FROM rfm
+           CAST(1 + CAST(recency_days   > r1 AS INT)
+                  + CAST(recency_days   > r2 AS INT)
+                  + CAST(recency_days   > r3 AS INT) AS INT) AS r_q,
+           CAST(1 + CAST(frequency      < f3 AS INT)
+                  + CAST(frequency      < f2 AS INT)
+                  + CAST(frequency      < f1 AS INT) AS INT) AS f_q,
+           CAST(1 + CAST(monetary_cents < m3 AS INT)
+                  + CAST(monetary_cents < m2 AS INT)
+                  + CAST(monetary_cents < m1 AS INT) AS INT) AS m_q
+    FROM rfm CROSS JOIN cuts
     """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation —
     the classic customer-analytics rollup. One aggregation over
     orders; recency is integer days against the corpus max date (a
-    1-row broadcast), money is exact cents, and every ntile ordering
-    carries c_custkey so quartile boundaries are deterministic. The
-    global ntiles are single-partition here; at scale they'd become
-    percentile_approx cutpoints joined back (the IVF queries show that
-    pattern)."""
+    1-row broadcast), money is exact cents.
+
+    Quartiles are VALUE-based: exact percentile cutpoints (floored to
+    the integer grid the metrics live on — bucketing by v > c equals
+    v > floor(c) for integer v, and floor removes any cross-engine
+    interpolation noise) computed in one aggregate and broadcast back.
+    No window function anywhere, so no single-partition global sort —
+    the round-1 ntile form was the classic 100×-scale killer. Ties now
+    share a quartile by construction (no tie rule needed), and r_q=1 is
+    most recent / f_q=1 most frequent / m_q=1 highest spend, matching
+    the ntile orientation. For a corpus where even the per-customer
+    rollup is huge, swap F.percentile for F.percentile_approx — same
+    plan shape, sketch-mergeable cutpoints."""
     o = load_table(spark, sf_dir, "orders")
     day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
     rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -853,16 +880,45 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = rfm.join(F.broadcast(maxd)).withColumn(
         "recency_days", (F.col("max_day") - F.col("last_day")).cast("long")
     )
-    return rfm.select(
+    def cut(colname: str, p: float, alias: str):
+        return F.floor(F.percentile(F.col(colname), F.lit(p))).cast("long").alias(alias)
+
+    cuts = rfm.agg(
+        cut("recency_days", 0.25, "r1"),
+        cut("recency_days", 0.50, "r2"),
+        cut("recency_days", 0.75, "r3"),
+        cut("frequency", 0.25, "f1"),
+        cut("frequency", 0.50, "f2"),
+        cut("frequency", 0.75, "f3"),
+        cut("monetary_cents", 0.25, "m1"),
+        cut("monetary_cents", 0.50, "m2"),
+        cut("monetary_cents", 0.75, "m3"),
+    )
+
+    def bucket_asc(v: str, c1: str, c2: str, c3: str):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(c1)).cast("int")
+            + (F.col(v) > F.col(c2)).cast("int")
+            + (F.col(v) > F.col(c3)).cast("int")
+        ).cast("int")
+
+    def bucket_desc(v: str, c1: str, c2: str, c3: str):
+        return (
+            F.lit(1)
+            + (F.col(v) < F.col(c3)).cast("int")
+            + (F.col(v) < F.col(c2)).cast("int")
+            + (F.col(v) < F.col(c1)).cast("int")
+        ).cast("int")
+
+    return rfm.join(F.broadcast(cuts)).select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("recency_days", "c_custkey")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "c_custkey")).alias("f_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), "c_custkey"))
-        .alias("m_q"),
+        bucket_asc("recency_days", "r1", "r2", "r3").alias("r_q"),
+        bucket_desc("frequency", "f1", "f2", "f3").alias("f_q"),
+        bucket_desc("monetary_cents", "m1", "m2", "m3").alias("m_q"),
     )
 
 

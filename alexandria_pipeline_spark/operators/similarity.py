@@ -321,13 +321,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_CANDIDATES = 200  # per-leg candidate pool — constant, not corpus-sized
+
+
 @query(
     "hybrid_search_rrf",
     oracle=f"""
-    WITH kw AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INT)
-               AS kw_rk
+    WITH kw_cand AS (
+      SELECT doc_id, kw_score
       FROM (
         SELECT doc_id,
                3 * len(list_filter(string_split(text, ' '), x -> x = 'data'))
@@ -336,21 +337,35 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS kw_score
         FROM documents
       ) scored_kw
+      ORDER BY kw_score DESC, doc_id
+      LIMIT {RRF_CANDIDATES}
+    ),
+    kw AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INT)
+               AS kw_rk
+      FROM kw_cand
     ),
     qv AS (
       SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
     ),
+    vec_cand AS (
+      SELECT vec_id, {duck_dot('embedding', 'q_emb')} AS score
+      FROM embeddings CROSS JOIN qv
+      ORDER BY score DESC, vec_id
+      LIMIT {RRF_CANDIDATES}
+    ),
     vec AS (
       SELECT vec_id,
-             CAST(row_number() OVER (
-               ORDER BY {duck_dot('embedding', 'q_emb')} DESC, vec_id) AS INT)
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT)
                AS vec_rk
-      FROM embeddings CROSS JOIN qv
+      FROM vec_cand
     )
-    SELECT doc_id, kw_rk, vec_rk,
-           CAST(1000000 // (60 + kw_rk) + 1000000 // (60 + vec_rk) AS BIGINT)
+    SELECT COALESCE(kw.doc_id, vec.vec_id) AS doc_id, kw_rk, vec_rk,
+           CAST(COALESCE(1000000 // (60 + kw_rk), 0)
+              + COALESCE(1000000 // (60 + vec_rk), 0) AS BIGINT)
              AS rrf_micro
-    FROM kw JOIN vec ON doc_id = vec_id
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id
     ORDER BY rrf_micro DESC, doc_id
     LIMIT 20
     """,
@@ -361,11 +376,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/(60+rank), the standard RRF constant). The fused score is kept
     in exact integer micro-units (1e6 // (60+rk)) — unit fractions
     would otherwise be float quotients of small ints, the classic
-    cross-engine rounding trap. Each leg is one window rank; the join
-    is on the shared document key. At corpus scale the global ranks
-    would come from per-partition top-k + merge (TakeOrdered), not a
-    single-partition window — the headline knn/topk queries cover that
-    plan shape."""
+    cross-engine rounding trap.
+
+    Scale shape: each leg first takes its top-N candidates (N=200)
+    via orderBy+limit, which Spark plans as TakeOrderedAndProject —
+    per-partition top-k merged on one node, NO corpus-sized global
+    sort. Only the ≤N candidate rows pass through a rank window, so
+    the single-partition window input is constant-bounded. Fusion is
+    a full-outer join of the two candidate lists: a doc missing from
+    one leg's pool contributes 0 from that leg — the standard
+    candidate-set RRF semantics at scale (a doc outside both pools
+    can't reach the fused top-20 anyway)."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
 
@@ -375,26 +396,37 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter(toks, lambda x: x == term))
 
     kw_score = (3 * tf("data") + 2 * tf("spark") + tf("table")).alias("kw_score")
-    w_kw = Window.orderBy(F.desc("kw_score"), "doc_id")
-    kw = (
+    kw_cand = (
         d.select("doc_id", kw_score)
-        .withColumn("kw_rk", F.row_number().over(w_kw).cast("int"))
-        .select("doc_id", "kw_rk")
+        .orderBy(F.desc("kw_score"), "doc_id")
+        .limit(RRF_CANDIDATES)
+    )
+    w_kw = Window.orderBy(F.desc("kw_score"), "doc_id")
+    kw = kw_cand.withColumn("kw_rk", F.row_number().over(w_kw).cast("int")).select(
+        "doc_id", "kw_rk"
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    w_vec = Window.orderBy(F.desc("score"), "vec_id")
-    vec = (
+    vec_cand = (
         e.crossJoin(F.broadcast(qv))
         .select("vec_id", dot("embedding", "q_emb").alias("score"))
-        .withColumn("vec_rk", F.row_number().over(w_vec).cast("int"))
-        .select("vec_id", "vec_rk")
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(RRF_CANDIDATES)
     )
-    rrf = int_div(F.lit(1000000), F.lit(60) + F.col("kw_rk")) + int_div(
-        F.lit(1000000), F.lit(60) + F.col("vec_rk")
-    )
+    w_vec = Window.orderBy(F.desc("score"), "vec_id")
+    vec = vec_cand.withColumn(
+        "vec_rk", F.row_number().over(w_vec).cast("int")
+    ).select("vec_id", "vec_rk")
+    rrf = F.coalesce(
+        int_div(F.lit(1000000), F.lit(60) + F.col("kw_rk")), F.lit(0)
+    ) + F.coalesce(int_div(F.lit(1000000), F.lit(60) + F.col("vec_rk")), F.lit(0))
     return (
-        kw.join(vec, kw.doc_id == vec.vec_id)
-        .select("doc_id", "kw_rk", "vec_rk", rrf.cast("long").alias("rrf_micro"))
+        kw.join(vec, kw.doc_id == vec.vec_id, "full_outer")
+        .select(
+            F.coalesce(kw.doc_id, vec.vec_id).alias("doc_id"),
+            "kw_rk",
+            "vec_rk",
+            rrf.cast("long").alias("rrf_micro"),
+        )
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(20)
     )

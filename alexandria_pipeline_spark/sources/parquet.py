@@ -24,6 +24,45 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 DEFAULT_ROWS_PER_SHARD = 100_000  # process.py:55
 
 
+def number_by_order(df: DataFrame, order_col: str) -> DataFrame:
+    """Global 0-based row numbers by order_col WITHOUT a global sort.
+
+    repartitionByRange spreads the total order across partitions, each
+    partition numbers its own rows (a PARTITIONED window — never the
+    single-partition Window.orderBy that melts at 100 TB), and the
+    per-partition row counts (one tiny row per partition) turn into
+    broadcast offsets. The ranged frame is persisted so the range
+    boundaries sampled for the count job and the numbering job are the
+    same ones. order_col must be unique for the numbering to be
+    deterministic (true of every id column in this repo); ties would
+    be nondeterministic under ANY global-numbering scheme, including
+    the naive global window.
+
+    Returns (numbered_df, persist_handle): the caller unpersists the
+    handle after its terminal action — the persist must stay alive so
+    the sampled range boundaries used for the offsets are the ones the
+    main job reads."""
+    ranged = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    counts = {r["_pid"]: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = df.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    numbered = (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_pid", "_off")
+    )
+    return numbered, ranged
+
+
 def write_sharded(
     df: DataFrame,
     path: str,
@@ -34,17 +73,17 @@ def write_sharded(
 
     If order_col is given, rows get explicit (shard_id, row_in_shard)
     columns computed from a global ordering — the keyed replacement
-    for the reference's filename-encoded order. Without it, files are
-    still capped via maxRecordsPerFile (no extra shuffle)."""
+    for the reference's filename-encoded order — via the range-
+    partitioned numbering in number_by_order (no single-partition
+    sort). Without it, files are still capped via maxRecordsPerFile
+    (no extra shuffle)."""
+    handle = None
     if order_col is not None:
-        w = Window.orderBy(order_col)
-        # Global row_number is a single-partition bottleneck at 100 TB —
-        # acceptable only because sharded *ordered* export is inherently
-        # a total order. The scale alternative: range-partition on
-        # order_col (repartitionByRange) and number within partitions.
+        numbered, handle = number_by_order(df, order_col)
         df = (
-            df.withColumn("_rn", F.row_number().over(w) - 1)
-            .withColumn("shard_id", (F.col("_rn") / rows_per_shard).cast("int"))
+            numbered.withColumn(
+                "shard_id", (F.col("_rn") / rows_per_shard).cast("int")
+            )
             .withColumn("row_in_shard", (F.col("_rn") % rows_per_shard).cast("int"))
             .drop("_rn")
         )
@@ -53,6 +92,8 @@ def write_sharded(
         .option("maxRecordsPerFile", rows_per_shard)
         .parquet(path)
     )
+    if handle is not None:
+        handle.unpersist()
 
 
 def read_sharded(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:

@@ -136,3 +136,32 @@ def test_no_complex_types_in_any_query_output(spark):
             if kind in ("array", "map", "struct"):
                 offenders.append(f"{name}.{field.name}: {kind}")
     assert not offenders, offenders
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "partitionBy" not in ln
+        # physical text: Window [...windowspecdefinition(partcols..., order...)]
+    ]
+
+
+def test_rfm_has_no_window_at_all(spark):
+    """customer_rfm_segments quartiles come from percentile cutpoints
+    joined back — the round-1 global ntile (three corpus-wide
+    single-partition sorts) must never reappear."""
+    import re
+
+    plan = formatted_plan(QUERIES["customer_rfm_segments"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert not re.search(r"\bntile\(", plan), plan
+
+
+def test_rrf_ranks_within_bounded_candidates(spark):
+    """hybrid_search_rrf must TakeOrdered each leg down to the constant
+    candidate pool BEFORE any rank window, so window input is O(1) in
+    corpus size. Both legs -> two TakeOrderedAndProject nodes (plus one
+    for the final top-20)."""
+    plan = formatted_plan(QUERIES["hybrid_search_rrf"](spark, SF_SMOKE))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan

@@ -41,3 +41,24 @@ def test_ordered_shards_round_trip(spark):
     assert keys == sorted(keys)
     assert rows[0]["shard_id"] == 0 and rows[0]["row_in_shard"] == 0
     assert max(r["shard_id"] for r in rows) == -(-n // 400) - 1
+
+
+def test_number_by_order_no_global_sort(spark):
+    """number_by_order must produce a dense 0..n-1 numbering that
+    follows order_col — and its plan must contain a PARTITIONED window
+    only (a Window with an empty partition spec would be the global
+    single-partition sort this function exists to avoid)."""
+    from alexandria_pipeline_spark.sources.parquet import number_by_order
+
+    df = load_table(spark, SF_SMOKE, "orders")
+    numbered, handle = number_by_order(df, "o_orderkey")
+    rows = numbered.select("_rn", "o_orderkey").collect()
+    handle.unpersist()
+    by_rn = sorted((r["_rn"], r["o_orderkey"]) for r in rows)
+    assert [rn for rn, _ in by_rn] == list(range(len(rows)))
+    keys = [k for _, k in by_rn]
+    assert keys == sorted(keys)
+    plan = numbered._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
