@@ -182,6 +182,134 @@ def knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 3  # clusters searched per query in the multi-probe variant
+
+
+@query(
+    "knn_ivf_multiprobe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id AS cluster_id
+      FROM (
+        SELECT
+          e.vec_id, e.embedding, c.c_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {duck_dot('e.embedding', 'c.c_emb')} DESC, c.c_id
+          ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      )
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    ),
+    probes AS (
+      SELECT query_id, q_emb, c_id AS probe_cluster
+      FROM (
+        SELECT
+          q.query_id, q.q_emb, c.c_id,
+          row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {duck_dot('q.q_emb', 'c.c_emb')} DESC, c.c_id
+          ) AS rn
+        FROM q CROSS JOIN centroids c
+      )
+      WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT
+        p.query_id,
+        a.vec_id AS neighbor_id,
+        a.cluster_id,
+        {duck_dot('p.q_emb', 'a.embedding')} AS score
+      FROM probes p JOIN assigned a
+        ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           round(score, 6) + 0 AS cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rk FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF k-NN: each query searches its NPROBE(=3) nearest
+    clusters instead of one — the standard recall remedy when true
+    neighbors sit just across a Voronoi boundary (single-probe IVF on
+    isotropic data recalls ~0.13 here; multi-probe on clustered data
+    clears 0.9 — measured in tests/test_similarity_recall.py and
+    SCALE.md). Costs nprobe/n_clusters of the corpus per query instead
+    of 1/n_clusters.
+
+    Scale shape is unchanged from knn_ivf_pruned: tiny centroid table
+    broadcast for assignment; the probe fan-out is a broadcast join of
+    (query × nprobe) rows against the cluster-bucketed corpus, so with
+    the corpus parquet bucketed by cluster_id a query reads exactly
+    nprobe buckets — partition pruning IS the probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_score"), F.asc("c_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("c_score", dot("embedding", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cluster_id"))
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("p_score"), F.asc("c_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("p_score", dot("q_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "q_emb", F.col("c_id").alias("probe_cluster"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            assigned,
+            (assigned.cluster_id == F.col("probe_cluster"))
+            & (assigned.vec_id != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster_id",
+            dot("q_emb", "embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 @query("knn_ivf_kmeans")  # rows-only: k-means training is not SQL-expressible
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL trained centroids: Spark ML KMeans (k=8, fixed
