@@ -117,3 +117,48 @@ def embed_pandas_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             ]
 
         yield batch.map(one)
+
+
+def make_predict_batch_udf(batch_size: int = 64):
+    """M7 via the modern Spark ML serving API: predict_batch_udf
+    (SURVEY §2.3 M7 mapping; reference run.py:40-48 model.encode).
+
+    Where embed_pandas_udf hand-rolls the iterator protocol, this is
+    the API a production model ships through: make_predict_fn runs
+    ONCE per python worker (the model-load slot — on a GPU cluster
+    this is where stage-level scheduling pins one model per GPU), and
+    Spark feeds it numpy batches of `batch_size` rows. The fake model
+    is the same deterministic featurizer, so parity with featurize()
+    and embed_pandas_udf is exact and asserted in tests.
+    """
+    import numpy as np
+
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make_predict_fn():
+        # model = load_model_once()   <- real-model slot (per-worker init)
+        def predict(texts: np.ndarray) -> np.ndarray:
+            out = np.empty((len(texts), FEATURE_DIM), dtype=np.float64)
+            for i, text in enumerate(texts):
+                toks = text.split(" ")
+                n = len(toks)
+                mean_len = (
+                    (sum(len(t) for t in toks) * 1_000_000 // n) / 1e6 if n else 0.0
+                )
+                out[i] = [
+                    float(len(text)),
+                    float(n),
+                    float(len(set(toks))),
+                    mean_len,
+                    *(float(sum(1 for t in toks if t == k)) for k in _KEYWORDS),
+                ]
+            return out
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(DoubleType()),
+        batch_size=batch_size,
+    )

@@ -166,3 +166,47 @@ def sentences(text: Column | str) -> Column:
     exercised by unit tests on synthetic text."""
     text = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(text, r"(?<=[.!?])\s+"), lambda s: F.length(s) > 0)
+
+
+def _segment_py(text: str) -> list[str]:
+    """Python-side segmentation shared by the pandas-UDF seam: uses a
+    real statistical segmenter (nltk punkt, reference run_extra.py:61)
+    when the library is installed, else the same sentence-final-
+    punctuation rule as the codegen `sentences()` — so the two faces
+    agree wherever both are defined."""
+    import re
+
+    if text is None:
+        return []
+    try:  # pragma: no cover - nltk not installed in this container
+        from nltk.tokenize import sent_tokenize
+
+        return sent_tokenize(text)
+    except ImportError:
+        return [s for s in re.split(r"(?<=[.!?])\s+", text) if s]
+
+
+def make_sentences_pandas_udf():
+    """M3's model-grade face: an Arrow-batched pandas UDF with the SAME
+    interface as `sentences()` (string col -> array<string>), holding
+    the heavyweight segmenter import per python worker instead of per
+    row. Swap-in is one name change:
+
+        df.select(sentences("text"))                  # codegen regex
+        df.select(make_sentences_pandas_udf()("text"))  # nltk seam
+
+    Parity with the regex face on punctuated text is asserted in
+    tests/test_functions.py. Built lazily (mirrors make_chunk_udtf):
+    decorating at import time would bind pandas/Arrow configs before
+    any session exists."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    # No type hints on purpose: the module's `from __future__ import
+    # annotations` stringifies them against module globals where pd
+    # isn't bound, so hint inference fails — the unhinted form takes
+    # the legacy scalar-series eval type, which is exactly right here.
+    def sentences_udf(batch):
+        return batch.map(_segment_py)
+
+    return pandas_udf(sentences_udf, ArrayType(StringType()))

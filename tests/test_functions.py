@@ -161,3 +161,63 @@ def test_int_div_exact_past_2_53(spark):
         for a, b in cases
     ]
     assert got == want, (got, want)
+
+
+def test_sentences_pandas_udf_parity(spark):
+    """The nltk-seam segmenter must agree with the codegen regex face
+    on punctuated text (they share the fallback rule when nltk is
+    absent; with nltk installed the seam is strictly better and this
+    fixture stays within the shared behavior)."""
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.functions.text import (
+        make_sentences_pandas_udf,
+        sentences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "One sentence."),
+            (2, "First here. Second there! Third?  Fourth trailing"),
+            (3, "No punctuation at all"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    seg = make_sentences_pandas_udf()
+    rows = df.select(
+        "id",
+        sentences("text").alias("regex_s"),
+        seg("text").alias("udf_s"),
+    ).collect()
+    for r in rows:
+        if r["regex_s"] is None:
+            assert r["udf_s"] in (None, []), r
+        else:
+            assert r["regex_s"] == r["udf_s"], r
+
+
+def test_predict_batch_udf_matches_featurizer(spark):
+    """predict_batch_udf face of the embedding model must be value-
+    identical to the codegen featurize() and the iterator pandas UDF —
+    three interchangeable faces of M7."""
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.functions.featurizer import (
+        embed_pandas_udf,
+        featurize,
+        make_predict_batch_udf,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(100)
+    pbu = make_predict_batch_udf(batch_size=32)
+    rows = d.select(
+        featurize("text").alias("codegen"),
+        embed_pandas_udf("text").alias("iterator"),
+        pbu("text").alias("pbu"),
+    ).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["codegen"] == r["iterator"] == r["pbu"], r
