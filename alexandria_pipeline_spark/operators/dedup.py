@@ -587,8 +587,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint — O(component diameter) rounds, each one shuffle. The
     driver-side loop is bounded and convergence-checked; at 100 TB this
     is exactly GraphX/GraphFrames' connectedComponents shape (hash-min
-    algorithm), kept dependency-free here. Oracle: DuckDB recursive CTE
-    computes the same min-reachable-label closure."""
+    algorithm), kept dependency-free here. Each iteration
+    localCheckpoints its labels: without lineage truncation an N-round
+    loop builds an N-deep plan whose re-evaluation (task retry, AQE
+    re-plan) recomputes every prior round, and the superseded round's
+    cache is unpersisted as soon as the new one lands — the pair of
+    leaks that kill long iterative jobs at scale. Oracle: DuckDB
+    recursive CTE computes the same min-reachable-label closure."""
     pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -597,12 +602,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
+    prev = None
     for _ in range(20):  # diameter bound; real clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.u == labels.node)
             .groupBy(F.col("v").alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
+        # eager localCheckpoint = persist + lineage cut in one step
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
             .select(
@@ -611,7 +618,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
                 ).alias("lab"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -619,7 +626,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = labels, new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))

@@ -11,10 +11,10 @@ money (never round a float quotient).
 
 Scale notes: the edge list is built once (distinct pairs per order —
 one shuffle), degree is a broadcastable per-node aggregate, and each
-iteration is one shuffle (groupBy dst). On a 100 TB graph the loop
-would checkpoint each iteration (truncate lineage) and use the same
-integer-rank trick; dedup_connected_components already demonstrates
-the checkpointed-iteration pattern."""
+iteration is one shuffle (groupBy dst). Long runs bound their lineage
+via pagerank_ranks' checkpoint rotation (localCheckpoint every K
+iterations, superseded cache unpersisted); dedup_connected_components
+applies the same pattern per-iteration in its convergence loop."""
 
 from __future__ import annotations
 
@@ -64,6 +64,44 @@ def _duck_pagerank_sql() -> str:
     )
 
 
+def pagerank_ranks(
+    edges_deg: DataFrame,
+    deg: DataFrame,
+    iters: int = PR_ITERS,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Damped integer-unit PageRank core. Every `checkpoint_every`
+    iterations the rank frame is eagerly localCheckpointed: lineage
+    depth stays bounded by the interval instead of growing with the
+    iteration count, and the superseded checkpoint is unpersisted —
+    the persist-rotation every long iterative Spark job needs. Short
+    loops (the 3-iteration registered query) never hit the interval,
+    so the registered plan stays fully lazy."""
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    prev_ckpt = None
+    for i in range(1, iters + 1):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(int_div(F.col("r"), F.col("deg"))).alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(BASE_MICRO)
+                + int_div(F.lit(DAMP_MICRO) * F.col("s"), F.lit(1_000_000))
+            ).cast("long").alias("r"),
+        )
+        if i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
+    return ranks
+
+
 @query("graph_pagerank_copurchase", oracle=_duck_pagerank_sql())
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration damped PageRank (d=0.85) over the undirected part
@@ -83,18 +121,5 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(int_div(F.col("r"), F.col("deg"))).alias("s"))
-        )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(BASE_MICRO)
-                + int_div(F.lit(DAMP_MICRO) * F.col("s"), F.lit(1_000_000))
-            ).cast("long").alias("r"),
-        )
+    ranks = pagerank_ranks(edges_deg, deg, PR_ITERS)
     return ranks.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))
