@@ -1,0 +1,135 @@
+"""Anomaly / outlier detection over the events stream, cross-engine
+exact.
+
+Z-score flagging is normally float arithmetic end to end (mean,
+stddev, sqrt) — three places where Spark and DuckDB can drift by an
+ulp and flip a boundary row. Here the entire decision is integer:
+with v in cents, n·σ²-scaled deviation comparison
+
+    (v·n − Σv)² > z² · (n·Σv² − (Σv)²)
+
+is the exact z-score test |v−μ| > z·σ with both sides multiplied by
+n², so no division, no sqrt, no float ever enters. The squares exceed
+int64 at scale, so they're computed in decimal(38,0) (Spark) /
+HUGEINT (DuckDB) — both exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
+from alexandria_pipeline_spark.registry import query
+
+Z_SCORE = 2  # flag beyond 2σ
+
+
+@query(
+    "events_zscore_anomalies",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)        AS n,
+             CAST(sum(v_c) AS BIGINT)        AS s,
+             CAST(sum(v_c * v_c) AS BIGINT)  AS ss
+      FROM v GROUP BY event_type
+    )
+    SELECT
+      v.event_type,
+      st.n AS n_events,
+      CAST(st.s // st.n AS BIGINT) AS mean_cents,
+      CAST(sum(CASE WHEN
+            CAST(v.v_c * st.n - st.s AS HUGEINT)
+          * CAST(v.v_c * st.n - st.s AS HUGEINT)
+          > {Z_SCORE * Z_SCORE}
+            * (CAST(st.ss AS HUGEINT) * st.n - CAST(st.s AS HUGEINT) * st.s)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM v JOIN st ON v.event_type = st.event_type
+    GROUP BY v.event_type, st.n, st.s
+    """,
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 2σ outlier counts with a fully integer decision
+    rule (module docstring has the algebra). Plan shape: one grouped
+    aggregate builds the per-type moments (a handful of rows —
+    broadcast back), the flagging pass is narrow, and the final count
+    re-uses the same grouping key, so the whole thing is two small
+    shuffles regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    st = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+    )
+    dec = "decimal(38,0)"
+    joined = v.join(F.broadcast(st), "event_type")
+    dev = (F.col("v_c") * F.col("n") - F.col("s")).cast(dec)
+    var_n2 = F.col("ss").cast(dec) * F.col("n") - F.col("s").cast(dec) * F.col("s")
+    flagged = (dev * dev > F.lit(Z_SCORE * Z_SCORE) * var_n2).cast("long")
+    return (
+        joined.withColumn("is_anom", flagged)
+        .groupBy("event_type", "n", "s")
+        .agg(F.sum("is_anom").alias("n_anomalies"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            int_div(F.col("s"), F.col("n")).alias("mean_cents"),
+            "n_anomalies",
+        )
+    )
+
+
+@query(
+    "events_iqr_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(v_c, 0.25)) AS BIGINT) AS q1,
+             CAST(floor(quantile_cont(v_c, 0.75)) AS BIGINT) AS q3
+      FROM v GROUP BY event_type
+    )
+    SELECT
+      v.event_type,
+      q.q1, q.q3,
+      CAST(sum(CASE WHEN 2 * v.v_c < 5 * q.q1 - 3 * q.q3
+                      OR 2 * v.v_c > 5 * q.q3 - 3 * q.q1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN q ON v.event_type = q.event_type
+    GROUP BY v.event_type, q.q1, q.q3
+    """,
+)
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers (v < Q1 − 1.5·IQR or v > Q3 + 1.5·IQR) per
+    event type. The fences are kept integer by scaling the comparison
+    by 2: 2v < 5·Q1 − 3·Q3 (and symmetrically) — no float multiplier,
+    and the quartiles are floored to the cent grid like the RFM
+    cutpoints. Same two-small-shuffle shape as the z-score query; the
+    quartile aggregate swaps to percentile_approx unchanged when a
+    single type's volume outgrows one aggregation buffer."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    q = v.groupBy("event_type").agg(
+        F.floor(F.percentile("v_c", F.lit(0.25))).cast("long").alias("q1"),
+        F.floor(F.percentile("v_c", F.lit(0.75))).cast("long").alias("q3"),
+    )
+    joined = v.join(F.broadcast(q), "event_type")
+    is_out = (
+        (2 * F.col("v_c") < 5 * F.col("q1") - 3 * F.col("q3"))
+        | (2 * F.col("v_c") > 5 * F.col("q3") - 3 * F.col("q1"))
+    ).cast("long")
+    return (
+        joined.withColumn("is_out", is_out)
+        .groupBy("event_type", "q1", "q3")
+        .agg(F.sum("is_out").alias("n_outliers"))
+        .select("event_type", "q1", "q3", "n_outliers")
+    )

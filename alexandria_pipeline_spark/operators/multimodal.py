@@ -180,3 +180,158 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).alias("f_first_byte"),
         F.element_at("features", 3).alias("f_last_byte"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL decode seam: uncompressed 24-bit BMP, parsed in pure Python.
+# The container ships no codec libraries, but BMP needs none — so this
+# path is decode-for-real end to end: synthesize bytes -> mapInPandas
+# parse (file header, DIB header, 4-byte row padding) -> exact channel
+# sums, verified against an arithmetic oracle (the pixel formula is
+# deterministic in doc_id, so DuckDB can compute the expected sums
+# without ever seeing the bytes).
+# --------------------------------------------------------------------------
+import struct
+
+
+def encode_bmp24(width: int, height: int, pixel) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP writer. `pixel(x, y)` returns
+    (r, g, b); rows are bottom-up and padded to 4 bytes per the spec."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    off = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0)
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            out += bytes((b, g, r))  # BGR on disk
+        out += b"\x00" * pad
+    return bytes(out)
+
+
+def decode_bmp24(data: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a 24-bit BMP: returns (width, height, sum_r, sum_g, sum_b)
+    with exact integer channel sums. Raises ValueError on anything that
+    isn't an uncompressed 24-bit BMP — the caller decides drop vs fail."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    try:
+        off = struct.unpack_from("<I", data, 10)[0]
+        width, height = struct.unpack_from("<ii", data, 18)[0:2]
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error as exc:  # truncated header
+        raise ValueError("truncated BMP header") from exc
+    if bpp != 24 or compression != 0 or height <= 0:
+        raise ValueError("unsupported BMP variant")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    sum_r = sum_g = sum_b = 0
+    p = off
+    for _ in range(height):
+        row = data[p : p + row_raw]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+        p += row_raw + pad
+    return width, height, sum_r, sum_g, sum_b
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def decode_bmp_stats(df: DataFrame) -> DataFrame:
+    """REAL-mode decode over mapInPandas: per batch, parse each BMP
+    payload and emit exact channel statistics. Undecodable payloads are
+    dropped (the batch iterator shape makes row-dropping natural —
+    exactly why decode is mapInPandas, not a 1:1 scalar UDF)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, sr, sg, sb = decode_bmp24(bytes(payload))
+                except ValueError:
+                    continue
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sr)
+                rows["sum_g"].append(sg)
+                rows["sum_b"].append(sb)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 9 + 4 AS INT)  AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             CAST((doc_id * 7 + x * 3 + y * 5) % 256 AS BIGINT) AS r,
+             CAST((doc_id * 11 + x + y * 2) % 256 AS BIGINT)    AS g,
+             CAST((doc_id * 13 + x * 2 + y) % 256 AS BIGINT)    AS b
+      FROM dims
+      CROSS JOIN LATERAL (SELECT unnest(range(0, width)) AS x)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, height)) AS y)
+    )
+    SELECT doc_id AS media_id, width, height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real decode: deterministic 24-bit BMPs are
+    synthesized per document (pixel channels are modular formulas in
+    doc_id/x/y), shipped as binary payloads, and decoded back by
+    parsing actual BMP bytes — headers, BGR order, bottom-up rows,
+    4-byte padding. The oracle computes the same channel sums from the
+    pixel FORMULA, so a hash match proves the byte round-trip, not
+    just the plumbing. Both hops are mapInPandas (Arrow moves the
+    binary column zero-copy); the plan is map-only, no shuffle."""
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did in ids:
+                w = did % 13 + 4
+                h = did % 9 + 4
+                payloads.append(
+                    encode_bmp24(
+                        w,
+                        h,
+                        lambda x, y, did=did: (
+                            (did * 7 + x * 3 + y * 5) % 256,
+                            (did * 11 + x + y * 2) % 256,
+                            (did * 13 + x * 2 + y) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return decode_bmp_stats(media)

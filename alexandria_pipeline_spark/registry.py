@@ -53,6 +53,7 @@ def register_all() -> None:
         return
     # Imports deferred so `import alexandria_pipeline_spark` stays cheap.
     from alexandria_pipeline_spark.operators import (  # noqa: F401
+        anomaly,
         relational,
         relational_ext,
         tpch_full,

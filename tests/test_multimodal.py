@@ -66,3 +66,31 @@ def test_frame_sampling_explodes_rows(spark):
         assert idxs == list(range(len(frames)))
         for f in frames:
             assert f["frame_offset"] == f["frame_idx"] * 64
+
+
+def test_bmp_decode_drops_undecodable_rows(spark):
+    """Real-mode decode must parse genuine BMP bytes and silently drop
+    payloads that aren't 24-bit BMPs (the mapInPandas row-dropping
+    contract)."""
+    import pandas as pd
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_bmp_stats,
+        encode_bmp24,
+    )
+
+    good = encode_bmp24(3, 2, lambda x, y: (x, y, 7))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [good, b"not a bitmap", b"BM\x00garbage-header"],
+            }
+        )
+    )
+    rows = decode_bmp_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # sums over x in 0..2, y in 0..1: r=sum(x)*2=6, g=sum(y)*3=3, b=7*6=42
+    assert (r["width"], r["height"]) == (3, 2)
+    assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (6, 3, 42)
