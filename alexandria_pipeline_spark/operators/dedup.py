@@ -348,6 +348,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # --------------------------------------------------------------------------
+def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Explode per-doc shingle-code sets into index rows
+    (doc_id, lang, n_toks, n_codes, code) for the inverted-index join.
+
+    df_cap (default: SPARK_GRAFT_JACCARD_DF_CAP env, 0 = off) is the
+    Σdf² skew valve: a shingle appearing in d documents emits d² join
+    rows downstream, so one stop-shingle in 10^6 docs is 10^12 rows —
+    the inverted-index cost model's only failure mode. With the cap on,
+    codes with df > cap are dropped BEFORE the join, and n_codes is
+    recomputed over the surviving codes so the downstream Jaccard is
+    the self-consistent df-capped Jaccard (both |A∩B| and |A∪B| see
+    the same universe). High-df shingles carry ~zero discriminating
+    power (they match everything), so the capped measure orders
+    near-dup candidates the same way in practice."""
+    if df_cap is None:
+        df_cap = int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP", "0"))
+    if df_cap <= 0:
+        return sh.select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.size("codes").alias("n_codes"),
+            F.explode("codes").alias("code"),
+        )
+    ex = sh.select("doc_id", "lang", "n_toks", F.explode("codes").alias("code"))
+    low_df = (
+        ex.groupBy("lang", "code")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("lang", "code")
+    )
+    kept = ex.join(low_df, ["lang", "code"])
+    n_codes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_codes"))
+    return kept.join(n_codes, "doc_id").select(
+        "doc_id", "lang", "n_toks", "n_codes", "code"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -383,9 +421,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen (~3s). At 100 TB the one hazard is shingle-
     frequency skew (a code shared by d docs emits d² join rows) —
     profiled max document frequency here is 19, and AQE skew-join
-    splits hot codes; a production corpus would additionally cap df
-    (drop stop-shingles) before the join, which only removes
-    candidates that high-df shingles can't discriminate anyway.
+    splits hot codes. For corpora where that isn't enough, the
+    SPARK_GRAFT_JACCARD_DF_CAP knob drops stop-shingles (df > cap)
+    BEFORE the join — see jaccard_exploded_codes; it defaults off so
+    the oracle stays exact, and capped runs compute df-capped Jaccard
+    (per-doc code counts shrink consistently with the dropped codes).
     Length blocking (|Δtokens| <= 8) rides along in the join residual
     so no new pair survives that the verifier formulation wouldn't."""
     d = load_table(spark, sf_dir, "documents")
@@ -396,13 +436,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_toks"),
         shingle_codes(toks).alias("codes"),
     )
-    ex = sh.select(
-        "doc_id",
-        "lang",
-        "n_toks",
-        F.size("codes").alias("n_codes"),
-        F.explode("codes").alias("code"),
-    )
+    ex = jaccard_exploded_codes(sh)
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

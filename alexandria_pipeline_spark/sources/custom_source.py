@@ -65,3 +65,68 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SyntheticDocsReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Streaming face of the same connector: a Python data source that
+# emits a deterministic, offset-tracked document stream. The offset
+# dict is the stream's replay cursor: read(start) returns rows PLUS
+# the next offset, and readBetweenOffsets must regenerate the exact
+# same rows for any (start, end) replay — that determinism (same LCG,
+# seeded by row id) is what lets Structured Streaming give
+# exactly-once over a source with no native log.
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+def _doc_row(doc_id: int, tokens_per_doc: int, pid: int):
+    state = (doc_id * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    words = []
+    for _ in range(tokens_per_doc):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        words.append(_VOCAB[state % len(_VOCAB)])
+    return doc_id, " ".join(words), len(words), pid
+
+
+class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", "50"))
+        self.max_rows = int(options.get("maxrows", "1000000"))
+        self.tokens_per_doc = int(options.get("tokens", "24"))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def read(self, start: dict):
+        lo = start["next_id"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # Lists, not generators: Spark's prefetch cache copies the
+        # returned iterator (copy.copy) for replay, and generators are
+        # neither copyable nor picklable.
+        rows = [_doc_row(i, self.tokens_per_doc, i % 4) for i in range(lo, hi)]
+        return rows, {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay path (failure recovery): MUST equal the original read.
+        return [
+            _doc_row(i, self.tokens_per_doc, i % 4)
+            for i in range(start["next_id"], end["next_id"])
+        ]
+
+
+class SyntheticDocsStreamSource(DataSource):
+    """Usage:
+        spark.dataSource.register(SyntheticDocsStreamSource)
+        df = (spark.readStream.format("synthetic_docs_stream")
+              .option("rowsPerBatch", 100).load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType):
+        return _SyntheticDocsStreamReader(self.options)

@@ -72,3 +72,36 @@ def test_banded_range_join_matches_nonequi(spark):
     cols = ["event_id", "p_partkey"]
     assert _norm(banded, cols) == _norm(naive, cols)
     assert banded.count() > 0  # non-degenerate
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    """The Σdf² valve: with a df cap, stop-shingles (shared by the
+    whole corpus) vanish from the inverted index BEFORE the join, the
+    per-doc code counts shrink consistently, and docs whose only
+    overlap was the stop-shingle contribute no index rows for it."""
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.operators.dedup import jaccard_exploded_codes
+
+    # 40 docs all share code 999 (the stop-shingle); docs 0/1 also
+    # share three rare codes (the true near-dup signal).
+    rows = []
+    for i in range(40):
+        codes = [999] + ([1, 2, 3] if i < 2 else [100 + i])
+        rows.append((i, "en", 10, codes))
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_toks int, codes array<int>"
+    )
+
+    uncapped = jaccard_exploded_codes(sh, df_cap=0)
+    capped = jaccard_exploded_codes(sh, df_cap=10)
+
+    assert uncapped.filter(F.col("code") == 999).count() == 40
+    assert capped.filter(F.col("code") == 999).count() == 0
+    # candidate volume for the hot code: 40² join rows gone entirely
+    assert capped.count() == uncapped.count() - 40
+    # n_codes is recomputed over surviving codes (2 for doc 0, not 4)
+    n0 = capped.filter(F.col("doc_id") == 0).select("n_codes").first()["n_codes"]
+    assert n0 == 3
+    # the true near-dup signal (rare codes) is untouched
+    assert capped.filter(F.col("code").isin(1, 2, 3)).count() == 6
