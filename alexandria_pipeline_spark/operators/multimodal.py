@@ -335,3 +335,31 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(make_payloads, "media_id long, payload binary")
     return decode_bmp_stats(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT
+      doc_id AS media_id,
+      CAST(f AS INT)        AS frame_idx,
+      CAST(f * 1024 AS BIGINT) AS frame_offset
+    FROM documents
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(0, greatest(1, octet_length(encode(text)) // 1024))) AS f
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a registered op: 1 media row → n pseudo-frame
+    rows (one per 1024-byte stride) through the mapInPandas seam where
+    a real demuxer would go. The oracle recomputes the frame fan-out
+    from octet_length alone, so the hash check verifies the explode
+    shape and offsets exactly — the Spark side still walks real bytes
+    through Arrow. Map-only plan; the payload column never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return sample_video_frames(media, every_n_bytes=1024)

@@ -61,6 +61,11 @@ HEADLINE = [
     "text_fingerprint",
     "text_token_counts",
     "multimodal_binary_meta",
+    "knn_ivf_multiprobe",
+    "events_zscore_anomalies",
+    "customer_rfm_segments",
+    "hybrid_search_rrf",
+    "multimodal_decode_bmp",
 ]
 
 
