@@ -985,3 +985,83 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "part_a", "part_b")
         .limit(50)
     )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col,
+               CAST(count(*) AS BIGINT)            AS n_rows,
+               CAST(count({c}) AS BIGINT)          AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass — the first thing a pipeline runs on a new
+    corpus drop: per-column row/non-null/distinct counts. ONE scan
+    computes every column's aggregates simultaneously (a wide .agg),
+    then `stack` unpivots the single wide row into tidy per-column
+    rows — versus the naive k-pass one-query-per-column loop the
+    oracle spells out. count(distinct) over k columns in one agg uses
+    Spark's expand; for 100 TB profiling swap in approx_count_distinct
+    per column (identical single-pass shape, sketch-mergeable)."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (col, n_rows, n_nonnull, n_distinct)"
+        )
+    )
+
+
+@query(
+    "diagnose_key_skew",
+    oracle="""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, cnt,
+           CAST(cnt * 1000000 // tot.n AS BIGINT) AS share_micro
+    FROM per_key CROSS JOIN tot
+    ORDER BY cnt DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the top-20 heaviest join/agg keys with
+    their exact-integer share of total rows (micro-units — a float
+    share would be a cross-engine quotient trap). This is the query
+    you run BEFORE picking salting factors or AQE skew thresholds;
+    plan is one partial+final count per key, a 1-row broadcast for the
+    total, and TakeOrdered for the top-20 — no global sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    tot = l.agg(F.count(F.lit(1)).alias("n"))
+    per_key = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "cnt",
+            int_div(F.col("cnt") * 1_000_000, F.col("n")).alias("share_micro"),
+        )
+        .orderBy(F.desc("cnt"), "l_orderkey")
+        .limit(20)
+    )
