@@ -429,3 +429,90 @@ def events_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         int_div(F.sum("gap_s"), F.count("gap_s")).alias("mean_gap_s"),
     )
+
+
+@query(
+    "events_resample_hourly_ffill",
+    oracle="""
+    WITH hv0 AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_s,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 3600000000
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    hv AS (SELECT user_id, hour_s, v_c FROM hv0 WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(hour_s) AS mn, max(hour_s) AS mx
+      FROM hv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(h AS BIGINT) AS hour_s
+      FROM bounds
+      CROSS JOIN LATERAL (SELECT unnest(range(mn, mx + 3600, 3600)) AS h)
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_s, hv.v_c
+      FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.hour_s = g.hour_s
+    )
+    SELECT user_id, hour_s,
+           last_value(v_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_cents,
+           CAST(v_c IS NULL AS INT) AS is_filled
+    FROM j
+    """,
+)
+def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill — the hypertable
+    operation SQL engines lack natively: per user, snap events to an
+    hourly grid (last observation in each hour wins, ts+event_id
+    tiebreak), densify the grid between the user's first and last
+    active hour (sequence + explode — generated engine-side, never
+    collected), and carry the last observed value across empty hours
+    (last-ignoring-nulls over an ordered per-user window).
+
+    Scale shape: one shuffle on user_id serves the last-per-hour
+    window, the grid join, and the fill window (same partitioning);
+    the grid explode is bounded by active-span hours per user, not by
+    corpus time range. Values stay in exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    hour_s = (F.expr("unix_micros(ts) div 3600000000") * 3600).cast("long")
+    w_last = Window.partitionBy("user_id", "hour_s").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hv = (
+        e.select(
+            "user_id",
+            hour_s.alias("hour_s"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_s", "v_c")
+    )
+    bounds = hv.groupBy("user_id").agg(
+        F.min("hour_s").alias("mn"), F.max("hour_s").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_s"),
+    )
+    j = grid.join(hv, ["user_id", "hour_s"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour_s",
+        F.last("v_c", ignorenulls=True).over(w_fill).alias("value_cents"),
+        F.col("v_c").isNull().cast("int").alias("is_filled"),
+    )
