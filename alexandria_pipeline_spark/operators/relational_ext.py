@@ -1065,3 +1065,92 @@ def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "l_orderkey")
         .limit(20)
     )
+
+
+HIST_LO, HIST_HI, HIST_N = 90_000, 10_500_000, 20
+
+
+@query(
+    "agg_price_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT
+      CAST(CASE WHEN cents < {HIST_LO} THEN 0
+                WHEN cents >= {HIST_HI} THEN {HIST_N + 1}
+                ELSE 1 + (cents - {HIST_LO}) * {HIST_N} // ({HIST_HI} - {HIST_LO})
+           END AS INT) AS bucket,
+      CAST(count(*) AS BIGINT)  AS n,
+      CAST(min(cents) AS BIGINT) AS min_cents,
+      CAST(max(cents) AS BIGINT) AS max_cents
+    FROM v
+    GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over exact integer cents, with the
+    SQL-standard width_bucket semantics written out as integer
+    arithmetic (under/overflow buckets 0 and N+1) — all-integer so
+    bucket edges can't drift by a float epsilon in either engine. One
+    partial+final aggregate — the single-pass histogram that feeds
+    range-partitioning decisions and data-quality checks."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    span = HIST_HI - HIST_LO
+    bucket = (
+        F.when(F.col("cents") < HIST_LO, F.lit(0))
+        .when(F.col("cents") >= HIST_HI, F.lit(HIST_N + 1))
+        .otherwise(
+            1 + int_div((F.col("cents") - HIST_LO) * HIST_N, F.lit(span))
+        )
+        .cast("int")
+    )
+    return (
+        l.select(cents.alias("cents"))
+        .select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@query(
+    "orders_scd2_intervals",
+    oracle="""
+    SELECT
+      o_custkey,
+      CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS valid_from_day,
+      CAST(coalesce(
+        lead(epoch_us(o_orderdate) // 86400000000)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        9999999
+      ) AS BIGINT) AS valid_to_day,
+      o_orderkey,
+      CAST(round(o_totalprice * 100) AS BIGINT) AS state_cents
+    FROM orders
+    """,
+)
+def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    customer order becomes a versioned state row valid from its order
+    day until the next order (lead window, open-ended sentinel for the
+    current state). The per-key window partitioning IS the scale story
+    — no global sort; this is the standard point-in-time-join feed for
+    feature stores and temporal audits."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        day.cast("long").alias("valid_from_day"),
+        F.coalesce(F.lead(day.cast("long")).over(w), F.lit(9999999))
+        .cast("long")
+        .alias("valid_to_day"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("state_cents"),
+    )
