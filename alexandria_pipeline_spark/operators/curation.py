@@ -1,0 +1,353 @@
+"""Training-corpus curation operators — benchmark decontamination,
+PII redaction, repetition filtering, TF-IDF keyword extraction.
+
+These extend the reference's document pipeline (run.py, run_extra.py —
+which embeds documents but never filters them) with the curation
+passes a 100 TB pretraining pipeline runs before embedding: drop
+benchmark-contaminated documents (n-gram overlap), scrub PII, drop
+degenerate/repetitive text (Gopher-style rules), and surface salient
+terms. All arithmetic in the hash contract is exact-integer
+(functions.exact) so DuckDB reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
+from alexandria_pipeline_spark.functions.text import (
+    SHINGLE_MOD,
+    SHINGLE_MULT,
+    duck_shingle_codes,
+    duck_word_code,
+    shingle_codes,
+    word_code,
+)
+from alexandria_pipeline_spark.registry import query
+
+# Deterministic benchmark membership: ~1% of docs stand in for a held
+# out eval set (the real pipeline would read these from a second
+# table; the modulus keeps the oracle expressible on one table).
+BENCH_MOD = 97
+# Flag a document when >= 20% of its shingles appear in the benchmark.
+CONTAM_E6 = 200_000
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Replacement order: emails first (they contain dots and digits that
+# the narrower numeric patterns could nibble), then SSN before the
+# more general phone shape, IPs last.
+PII_PATTERNS = [
+    (EMAIL_RE, "<EMAIL>"),
+    (SSN_RE, "<SSN>"),
+    (PHONE_RE, "<PHONE>"),
+    (IP_RE, "<IP>"),
+]
+
+# Gopher-style repetition gates (Rae et al. 2021, table A1 spirit):
+# most-frequent-token fraction > 0.20 or duplicate-bigram fraction
+# > 0.30 flags the document.
+TOP_TOK_E6 = 200_000
+DUP_BIGRAM_E6 = 300_000
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(codes) AS code FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(codes) AS code FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+      FROM corpus JOIN bench USING (code)
+      GROUP BY corpus.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.codes) AS BIGINT) AS n_codes,
+           coalesce(h.n_contam, 0) AS n_contam,
+           CAST(coalesce(h.n_contam, 0) * 1000000 // len(s.codes) AS BIGINT)
+             / 1000000.0 AS contam_ratio,
+           CAST(CASE WHEN coalesce(h.n_contam, 0) * 1000000 // len(s.codes)
+                          >= {CONTAM_E6}
+                     THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % {BENCH_MOD} <> 0
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each corpus document's
+    distinct word-trigram shingles that appear anywhere in the
+    benchmark set (docs with doc_id % 97 == 0 stand in for the eval
+    suite). The shape that scales: the benchmark's DISTINCT shingle
+    union is tiny and fixed (eval suites don't grow with the corpus),
+    so it BROADCASTS, and the corpus side is one explode + one
+    broadcast-semi-ish inner join + one groupBy(doc_id) — a single
+    shuffle keyed by doc_id no matter how many petabytes the corpus
+    is. Contamination ratio is truncating-integer e6 arithmetic, so
+    the flag threshold is an exact integer comparison in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", shingle_codes(toks).alias("codes"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("codes").alias("code"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("codes").alias("code"))
+        .join(F.broadcast(bench), "code")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    n_contam = F.coalesce("n_contam", F.lit(0)).cast("long")
+    contam_e6 = int_div(n_contam * 1_000_000, F.col("n_codes"))
+    return (
+        corpus.select("doc_id", F.size("codes").cast("long").alias("n_codes"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_codes",
+            n_contam.alias("n_contam"),
+            (contam_e6 / 1_000_000.0).alias("contam_ratio"),
+            (contam_e6 >= CONTAM_E6).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _duck_redacted(col: str) -> str:
+    expr = col
+    for pat, tag in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained global regexp_replace over the four PII shapes."""
+    for pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{SSN_RE}')) AS INT)   AS n_ssns,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{IP_RE}')) AS INT)    AS n_ips,
+           CAST(length({_duck_redacted("text")}) AS BIGINT)         AS red_len,
+           md5({_duck_redacted("text")})                            AS red_md5
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / SSNs / phones / IPv4s with
+    patterns valid in BOTH regex engines (Java util.regex and DuckDB's
+    RE2 — no backrefs, no lookaround, ASCII \\b only). Map-only narrow
+    transform, zero shuffle, whole-stage codegen; the redacted text is
+    emitted as (length, md5) rather than the full string so the hash
+    contract stays cheap at any document size. The synthetic corpus is
+    PII-free by construction (counts are the true zeros), so the regex
+    behavior itself is proven on a planted-PII fixture in
+    tests/test_curation.py."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast(
+            "int"
+        )
+
+    red = redact_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_matches(EMAIL_RE).alias("n_emails"),
+        n_matches(SSN_RE).alias("n_ssns"),
+        n_matches(PHONE_RE).alias("n_phones"),
+        n_matches(IP_RE).alias("n_ips"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+def _duck_bigram_codes(toks: str) -> str:
+    wc = duck_word_code
+    t = lambda i: f"{toks}[{i}]"  # noqa: E731
+    return (
+        f"list_distinct(list_transform(range(1, len({toks})), "
+        f"i -> ({wc(t('i'))} * {SHINGLE_MULT} + {wc(t('i+1'))})"
+        f" % {SHINGLE_MOD}))"
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+             CAST(sum(c) AS BIGINT) AS n_toks
+      FROM cnt GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id,
+             CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len({_duck_bigram_codes("toks")}) AS BIGINT) AS uniq_bigrams
+      FROM t
+    )
+    SELECT top.doc_id, top.n_toks,
+           CAST(top.top_cnt * 1000000 // top.n_toks AS BIGINT)
+             / 1000000.0 AS top_tok_ratio,
+           CAST((bi.n_bigrams - bi.uniq_bigrams) * 1000000 // bi.n_bigrams
+                AS BIGINT) / 1000000.0 AS dup_bigram_ratio,
+           CAST(CASE WHEN top.top_cnt * 1000000 // top.n_toks > {TOP_TOK_E6}
+                       OR (bi.n_bigrams - bi.uniq_bigrams) * 1000000
+                          // bi.n_bigrams > {DUP_BIGRAM_E6}
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM top JOIN bi ON top.doc_id = bi.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: most-frequent-token fraction and
+    duplicate-bigram fraction per document, with the paper's flag
+    thresholds as exact integer comparisons. Two independent per-doc
+    signals, two plan shapes: token frequencies go explode →
+    groupBy(doc_id, tok) → groupBy(doc_id) (partial aggregation
+    map-side combines the explode, so the shuffle carries one row per
+    DISTINCT (doc, token), not per token); bigram uniqueness never
+    leaves the row — hashed bigram codes via zip_with over shifted
+    slices, array_distinct, all linear-time codegen. The join of the
+    two per-doc frames rides the same doc_id partitioning Catalyst
+    already produced for the aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.filter(F.size(toks) >= 2).select(
+        "doc_id", toks.alias("toks")
+    )
+    cnt = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_toks")
+    )
+    wcodes = F.transform(F.col("toks"), word_code)
+    n = F.size("toks")
+    big = F.zip_with(
+        F.slice(wcodes, 1, n - 1),
+        F.slice(wcodes, 2, n - 1),
+        lambda x, y: (x * SHINGLE_MULT + y) % SHINGLE_MOD,
+    )
+    bi = base.select(
+        "doc_id",
+        (n - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(big)).cast("long").alias("uniq_bigrams"),
+    )
+    top_e6 = int_div(F.col("top_cnt") * 1_000_000, F.col("n_toks"))
+    dup_e6 = int_div(
+        (F.col("n_bigrams") - F.col("uniq_bigrams")) * 1_000_000,
+        F.col("n_bigrams"),
+    )
+    return top.join(bi, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        (top_e6 / 1_000_000.0).alias("top_tok_ratio"),
+        (dup_e6 / 1_000_000.0).alias("dup_bigram_ratio"),
+        ((top_e6 > TOP_TOK_E6) | (dup_e6 > DUP_BIGRAM_E6))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * 1000000 // df.df AS score_e6
+      FROM tf JOIN df USING (tok)
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tf, df, score_e6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_e6 DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, tf, df,
+           CAST(score_e6 AS BIGINT) / 1000000.0 AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by rarity-weighted frequency
+    (tf·1e6 // df — the integer-exact stand-in for tf-idf's tf/df
+    core; the log() dressing adds nothing to the RANKING and would
+    cost cross-engine float identity). Plan: one explode feeding a
+    (doc_id, tok) count whose shuffle is pre-shrunk by partial
+    aggregation; document frequency reuses those counts grouped by
+    tok; the tf⋈df equi-join on tok is a plain shuffle join (the
+    vocabulary grows with the corpus — not assumed broadcastable);
+    final top-3 is a row_number window partitioned by doc_id with a
+    deterministic (score DESC, tok) order, never a global sort. Ties
+    are impossible to mis-order across engines: the tiebreaker is the
+    token itself."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "score_e6", int_div(F.col("tf") * 1_000_000, F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            "tf",
+            "df",
+            (F.col("score_e6") / 1_000_000.0).alias("score"),
+        )
+    )

@@ -516,3 +516,97 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v_c", ignorenulls=True).over(w_fill).alias("value_cents"),
         F.col("v_c").isNull().cast("int").alias("is_filled"),
     )
+
+
+@query(
+    "events_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, dayn,
+             dayn - row_number() OVER (PARTITION BY user_id ORDER BY dayn)
+               AS island
+      FROM days
+    ),
+    st AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(len)                     AS longest_streak,
+           CAST(count(*) AS BIGINT)     AS n_streaks,
+           CAST(sum(len) AS BIGINT)     AS n_active_days
+    FROM st GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands idiom: distinct (user, day), then day_number -
+    row_number() is constant within a consecutive run, so grouping on
+    that difference splits runs exactly. Every window and aggregate is
+    partitioned by user_id: ONE shuffle on user_id feeds the distinct,
+    the row_number window, and both groupBys (Catalyst reuses the
+    partitioning — no global sort anywhere, no skew beyond a user's
+    own day count, which is bounded by the calendar)."""
+    e = load_table(spark, sf_dir, "events")
+    dayn = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    days = e.select("user_id", dayn.alias("dayn")).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    isl = days.select(
+        "user_id", (F.col("dayn") - F.row_number().over(w)).alias("island")
+    )
+    st = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return st.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS first_day
+      FROM events GROUP BY user_id
+    ),
+    pd AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM fs GROUP BY first_day
+    )
+    SELECT first_day AS dayn, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM pd
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT a running
+    count-distinct: each user collapses to their first-seen day (one
+    user_id-keyed agg over the fact table — the only shuffle that
+    scales with data), daily new-user counts follow, and the running
+    sum is a window over ONE ROW PER CALENDAR DAY. That final window
+    is unpartitioned but its input cardinality is bounded by the time
+    span (365 rows/year), not the corpus — the single-partition sort
+    the plan gate forbids elsewhere is safe here by construction and
+    documented as such in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events")
+    dayn = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    fs = e.groupBy("user_id").agg(F.min(dayn).alias("first_day"))
+    pd_ = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pd_.select(
+        F.col("first_day").alias("dayn"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

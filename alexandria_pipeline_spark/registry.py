@@ -65,6 +65,7 @@ def register_all() -> None:
         text_analysis,
         multimodal,
         graph,
+        curation,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 
