@@ -1,0 +1,263 @@
+"""Training-batch construction operators — sequence packing, corpus
+mixing weights, content-hash train/eval splits, length-bucketed
+batching.
+
+The reference pipeline embeds documents one shard at a time
+(run.py:31-48) and never decides HOW documents become training
+batches; these operators add that missing stage for a 100 TB
+pretraining corpus: pack variable-length documents into fixed
+token-capacity sequences, compute per-language resampling weights for
+a target mixture, split train/val/test by CONTENT hash (so byte-dup
+documents can never leak across splits), and bucket by length for
+padding-efficient inference batches. Every ratio in the hash contract
+is truncating-integer ppm arithmetic (functions.exact) so DuckDB
+reproduces each value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
+from alexandria_pipeline_spark.functions.text import (
+    duck_rolling_fingerprint,
+    rolling_fingerprint,
+)
+from alexandria_pipeline_spark.registry import query
+
+# Token capacity of one packed training sequence. Real pipelines use
+# 2k-128k; 512 keeps the testdata (~25 whitespace tokens/doc) at ~20
+# docs per bin so bin boundaries are actually exercised.
+PACK_CAPACITY = 512
+# Sub-buckets bound every packing window: the window partition key is
+# (lang, doc_id % PACK_BUCKETS), so no partition ever exceeds
+# corpus/PACK_BUCKETS rows regardless of how skewed languages are.
+# At 100 TB this is the knob to raise (each bucket packs
+# independently; bins are named per-bucket so results don't change).
+PACK_BUCKETS = 8
+
+# Length-bucket width in tokens for padding-efficient batching.
+BUCKET_W = 8
+
+# Content-hash split: fingerprint % 100 → [0,90) train / [90,95) val /
+# [95,100) test.
+TRAIN_CUT = 90
+VAL_CUT = 95
+
+
+def _n_tok(text_col) -> F.Column:
+    return F.size(F.split(text_col, " ")).cast("long")
+
+
+@query(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, doc_id % {PACK_BUCKETS} AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, bucket, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {PACK_CAPACITY} AS bin_id
+      FROM docs
+    )
+    SELECT lang, bucket, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(sum(n_tok) * 1000000 // {PACK_CAPACITY} AS BIGINT)
+             AS fill_ppm
+    FROM placed
+    GROUP BY lang, bucket, bin_id
+    """,
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-capacity training sequences by
+    contiguous fill: within each (lang, bucket) stream ordered by
+    doc_id, a document lands in bin = floor(prefix_tokens / capacity)
+    where prefix_tokens counts only PRECEDING documents. One window +
+    one groupBy, both keyed by (lang, bucket, ...) — a single shuffle,
+    and every window partition is bounded by corpus/PACK_BUCKETS rows
+    (the bucket key exists purely to cap partition size; raise
+    PACK_BUCKETS at scale and each bucket still packs independently
+    and deterministically). fill_ppm > 1e6 marks bins whose last
+    document overflowed capacity — contiguous packing accepts the
+    overflow rather than splitting a document (the reference's chunker
+    run_extra.py:61-74 handles intra-document splitting upstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        _n_tok("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        "lang",
+        "bucket",
+        "n_tok",
+        int_div(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)),
+            F.lit(PACK_CAPACITY),
+        ).alias("bin_id"),
+    )
+    bin_tokens = F.sum("n_tok").cast("long")
+    return placed.groupBy("lang", "bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        bin_tokens.alias("bin_tokens"),
+        int_div(bin_tokens * 1_000_000, F.lit(PACK_CAPACITY)).alias("fill_ppm"),
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT)         AS n_langs
+      FROM per_lang
+    )
+    SELECT lang, n_docs, lang_tokens,
+           CAST(lang_tokens * 1000000 // total_tokens AS BIGINT) AS share_ppm,
+           CAST(total_tokens * 1000000 // (n_langs * lang_tokens) AS BIGINT)
+             AS weight_ppm
+    FROM per_lang, tot
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language resampling weights for a uniform target mixture:
+    weight = target_share / actual_share, in exact ppm integers
+    (weight_ppm > 1e6 → upsample, < 1e6 → downsample). The plan is one
+    token-count aggregation keyed by lang (the only shuffle that
+    scales with data) and a 1-row totals aggregate broadcast back via
+    cross join — per-group-vs-global, the mixture-balancing idiom
+    (Xie et al. 2023 DoReMi computes fancier weights over exactly
+    these per-domain token totals). Integer range: lang_tokens * 1e6
+    stays in int64 up to ~9.2e12 tokens per language; past that, cast
+    the products to decimal(38,0) — same plan, same truncation."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tok("text")).alias("lang_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        int_div(F.col("lang_tokens") * 1_000_000, F.col("total_tokens")).alias(
+            "share_ppm"
+        ),
+        int_div(
+            F.col("total_tokens") * 1_000_000,
+            F.col("n_langs") * F.col("lang_tokens"),
+        ).alias("weight_ppm"),
+    )
+
+
+@query(
+    "split_train_eval_hash",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             {duck_rolling_fingerprint("string_split(text, ' ')")} % 100
+               AS slot
+      FROM documents
+    )
+    SELECT CASE WHEN slot < {TRAIN_CUT} THEN 'train'
+                WHEN slot < {VAL_CUT}   THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS split_tokens
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def split_train_eval_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by CONTENT hash, not doc_id: the
+    rolling token fingerprint mod 100 decides the split, so two
+    byte-identical documents can never land in different splits — the
+    leakage mode a row-number or random split invites on a corpus
+    with duplicates. Map-only tagging (the fingerprint is a codegen'd
+    aggregate over the token array, no shuffle) followed by one
+    groupBy — and the assignment is reproducible from the text alone,
+    shard order and cluster size irrelevant. Trade-off vs the
+    reference's positional sharding (run.py:31-36, filename order):
+    deterministic under re-sharding, at the cost of hashing every
+    document once."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = rolling_fingerprint(F.split("text", " ")) % 100
+    tagged = d.select(
+        "lang",
+        _n_tok("text").alias("n_tok"),
+        F.when(slot < TRAIN_CUT, "train")
+        .when(slot < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("split_tokens"),
+    )
+
+
+@query(
+    "batch_length_buckets",
+    oracle=f"""
+    WITH docs AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST((n_tok // {BUCKET_W}) * {BUCKET_W} AS BIGINT) AS bucket_start,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bucket_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST((max(n_tok) * count(*) - sum(n_tok)) * 1000000
+                 // (max(n_tok) * count(*)) AS BIGINT) AS pad_waste_ppm
+    FROM docs
+    GROUP BY 1
+    """,
+)
+def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching for inference: group documents into
+    token-length buckets of width BUCKET_W and report the padding a
+    batch padded to the bucket max would waste (ppm, exact integers).
+    This is the batching stage the reference runs implicitly by
+    slicing 512 docs at a time regardless of length
+    (script512.py:16-24, worst-case padding); bucketing first is the
+    standard fix. One groupBy on a derived integer key — a single
+    bounded shuffle (at most max_len/BUCKET_W groups exist)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(_n_tok("text").alias("n_tok"))
+    bucket = int_div(F.col("n_tok"), F.lit(BUCKET_W))
+    padded = F.max("n_tok") * F.count(F.lit(1))
+    return (
+        docs.groupBy((bucket * BUCKET_W).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bucket_tokens"),
+            F.max("n_tok").alias("max_tok"),
+            int_div(
+                (padded - F.sum("n_tok")) * 1_000_000, padded
+            ).alias("pad_waste_ppm"),
+        )
+    )

@@ -66,6 +66,7 @@ def register_all() -> None:
         multimodal,
         graph,
         curation,
+        packing,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 

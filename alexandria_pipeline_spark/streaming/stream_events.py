@@ -53,6 +53,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    # Self-sufficient in a bare session (same contract as
+    # catalog.load_table): the ns-timestamp column only reads as int64
+    # with this conf, and callers may hit the stream path first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"apspark_stream_src_{tag}")
     os.makedirs(stage, exist_ok=True)
