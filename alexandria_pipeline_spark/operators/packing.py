@@ -173,6 +173,86 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mix_apply",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT)         AS n_langs
+      FROM per_lang
+    ),
+    w AS (
+      SELECT lang,
+             least(CAST(total_tokens * 1000000
+                        // (n_langs * lang_tokens) AS BIGINT), 1000000)
+               AS keep_ppm
+      FROM per_lang, tot
+    ),
+    tagged AS (
+      SELECT d.lang, w.keep_ppm,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             {duck_rolling_fingerprint("string_split(d.text, ' ')")} % 1000000
+               AS slot
+      FROM documents d JOIN w USING (lang)
+    )
+    SELECT lang, keep_ppm,
+           CAST(count(*) AS BIGINT)                          AS orig_docs,
+           CAST(sum(CASE WHEN slot < keep_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(sum(CASE WHEN slot < keep_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM tagged
+    GROUP BY lang, keep_ppm
+    """,
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the uniform-mixture weights as a DETERMINISTIC downsample:
+    keep a document iff its content fingerprint mod 1e6 falls under
+    the language's keep_ppm (weights > 1e6 — languages that would need
+    upsampling — are capped at keep-everything; replication is a
+    separate explode stage). Hash-threshold sampling gives every
+    engine, every run, every cluster size the same kept set — the
+    property `df.sample()` cannot offer — and composes with
+    [split_train_eval_hash]: both decisions are pure functions of the
+    text. Plan: one lang-keyed token aggregate, weights broadcast back
+    onto the fact scan (map-side tag + filterable), one final bounded
+    groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.sum(_n_tok("text")).alias("lang_tokens"))
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    weights = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            int_div(
+                F.col("total_tokens") * 1_000_000,
+                F.col("n_langs") * F.col("lang_tokens"),
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("keep_ppm"),
+    )
+    slot = rolling_fingerprint(F.split("text", " ")) % 1_000_000
+    tagged = d.join(F.broadcast(weights), "lang").select(
+        "lang",
+        "keep_ppm",
+        _n_tok("text").alias("n_tok"),
+        slot.alias("slot"),
+    )
+    keep = F.col("slot") < F.col("keep_ppm")
+    return tagged.groupBy("lang", "keep_ppm").agg(
+        F.count(F.lit(1)).alias("orig_docs"),
+        F.sum(keep.cast("long")).alias("kept_docs"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+@query(
     "split_train_eval_hash",
     oracle=f"""
     WITH tagged AS (

@@ -66,6 +66,10 @@ HEADLINE = [
     "customer_rfm_segments",
     "hybrid_search_rrf",
     "multimodal_decode_bmp",
+    "decontam_ngram_overlap",
+    "pack_sequences_contiguous",
+    "split_train_eval_hash",
+    "tfidf_top_terms",
 ]
 
 

@@ -115,6 +115,19 @@ def test_split_tagging_is_map_side(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_mix_apply_weights_broadcast_onto_fact(spark):
+    """The weight table joins the fact scan via broadcast — the corpus
+    is never shuffled to meet a table whose cardinality is n_langs."""
+    plan = formatted_plan(QUERIES["corpus_mix_apply"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mix_apply_never_keeps_more_than_orig(spark):
+    for r in QUERIES["corpus_mix_apply"](spark, SF_SMOKE).collect():
+        assert 0 <= r.kept_docs <= r.orig_docs
+        assert r.keep_ppm <= 1_000_000
+
+
 def test_mix_weights_sum_to_one_million(spark):
     out = QUERIES["corpus_mix_weights"](spark, SF_SMOKE).collect()
     share = sum(r.share_ppm for r in out)
