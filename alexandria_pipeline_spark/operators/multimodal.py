@@ -363,3 +363,136 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return sample_video_frames(media, every_n_bytes=1024)
+
+
+# --------------------------------------------------------------------------
+# REAL decode seam #2: RIFF/WAVE PCM16 audio, parsed in pure Python.
+# Like the BMP path above, WAV PCM needs no codec library, so the audio
+# modality gets a true bytes-in → stats-out decode: synthesize wave
+# files whose samples follow a modular formula in doc_id, parse the
+# RIFF container back (chunk walk, fmt validation, LE int16 frames),
+# and emit exact integer sample statistics the oracle recomputes from
+# the formula alone.
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM format chunk + one data chunk,
+    mono 16-bit little-endian."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = bytearray()
+    out += struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(body), b"WAVE")
+    out += struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+    out += struct.pack("<4sI", b"data", len(body)) + body
+    return bytes(out)
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, int, int, int, int]:
+    """Walk the RIFF chunks of a PCM16 mono WAV; returns
+    (sample_rate, n_samples, sum_abs, sum_sq, peak) with exact integer
+    sums. Raises ValueError on anything that isn't PCM16 mono."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+        elif cid == b"data":
+            samples = struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    sum_abs = sum(abs(s) for s in samples)
+    sum_sq = sum(s * s for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    return rate, len(samples), sum_abs, sum_sq, peak
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def decode_wav_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode: undecodable payloads are dropped, the
+    same drop-vs-fail contract as decode_bmp_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "sum_abs", "sum_sq", "peak"
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, n, sa, sq, pk = decode_wav_pcm16(bytes(payload))
+                except ValueError:
+                    continue
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["sum_abs"].append(sa)
+                rows["sum_sq"].append(sq)
+                rows["peak"].append(pk)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH spec AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_samples
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n_samples,
+             CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT) AS s
+      FROM spec
+      CROSS JOIN LATERAL (SELECT unnest(range(0, n_samples)) AS k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INT)            AS sample_rate,
+           n_samples,
+           CAST(sum(abs(s)) AS BIGINT)   AS sum_abs,
+           CAST(sum(s * s) AS BIGINT)    AS sum_sq,
+           CAST(max(abs(s)) AS INT)      AS peak
+    FROM px GROUP BY doc_id, n_samples
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real audio decode: PCM16 WAV files are synthesized
+    per document (sample k = (doc_id*31 + k*17) % 65536 - 32768, rate
+    16 kHz, doc_id%50+20 samples), shipped as binary payloads, and
+    decoded back by walking actual RIFF chunk bytes. The oracle
+    recomputes the sample statistics from the FORMULA, so a hash match
+    proves the byte round-trip. Map-only plan, integer-exact stats,
+    payload never shuffles — the same scale contract as
+    multimodal_decode_bmp."""
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for did in ids:
+                n = did % 50 + 20
+                samples = [(did * 31 + k * 17) % 65536 - 32768 for k in range(n)]
+                payloads.append(encode_wav_pcm16(16000, samples))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return decode_wav_stats(media)

@@ -1154,3 +1154,43 @@ def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("state_cents"),
     )
+
+
+@query(
+    "unpivot_priority_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value
+    FROM agg
+    UNPIVOT (value FOR measure IN (n_orders, total_cents, max_cents))
+    """,
+)
+def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-priority order measures melt into
+    (priority, measure, value) rows — the inverse reshape of
+    pivot_event_types. Spark's DataFrame.unpivot is a zero-shuffle
+    projection (each input row fans out to one row per value column
+    inside the same stage), so the only shuffle here is the upstream
+    groupBy; at 100 TB the melt itself adds no exchange. Measures are
+    exact integer cents so the long-form `value` column is one BIGINT
+    type in both engines (unpivot requires a common value type — the
+    integer-cents idiom gives it for free)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_cents", "max_cents"],
+        "measure",
+        "value",
+    )

@@ -558,3 +558,161 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# the memory-compression ANN path (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011). At 100 TB the raw float
+# corpus cannot live in memory; PQ codes (PQ_M bytes/vector here vs
+# 64×4 raw) can, and query-time scoring touches ONLY the codes.
+# --------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces per vector
+PQ_DSUB = 8   # dims per subspace (PQ_M * PQ_DSUB = embedding dim 64)
+PQ_K = 16     # codewords per subspace (first PQ_K corpus vectors seed
+              # the codebook, the same oracle-expressible stand-in for
+              # k-means that knn_ivf_pruned uses for its centroids)
+
+# Exactness: every subspace distance is floored to integer PICO-units
+# BEFORE any cross-subspace aggregation, so the ADC sum is an integer
+# sum — associative, order-independent, and bitwise-identical across
+# engines. floor (unlike round) has no half-boundary ambiguity, and
+# IEEE double multiply-by-1e12 is deterministic in both engines.
+_PQ_SCALE = "1000000000000"  # 1e12 as an exact integer literal
+
+
+def _sub_l2_pico(a, b) -> "Column":
+    """floor(||a - b||^2 * 1e12) as long — a,b are array<double> of
+    PQ_DSUB elements. Left fold seeded with 0.0 (0.0 + x1 is exact, so
+    it matches DuckDB's first-element-seeded list_reduce)."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(sq * F.lit(float(_PQ_SCALE))).cast("long")
+
+
+def _duck_sub_l2_pico(a_expr: str, b_expr: str) -> str:
+    return (
+        f"CAST(floor(list_reduce(list_transform(range(1, {PQ_DSUB} + 1), "
+        f"i -> ({a_expr}[i] - {b_expr}[i]) * ({a_expr}[i] - {b_expr}[i])), "
+        f"(acc, x) -> acc + x) * {_PQ_SCALE}) AS BIGINT)"
+    )
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    codebook AS (
+      SELECT ms.m, cb.vec_id AS j,
+             list_transform(range(1, {PQ_DSUB} + 1),
+                            i -> CAST(cb.embedding[ms.m * {PQ_DSUB} + i] AS DOUBLE)) AS c_sub
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {PQ_K}) cb
+      CROSS JOIN ms
+    ),
+    subs AS (
+      SELECT e.vec_id, ms.m,
+             list_transform(range(1, {PQ_DSUB} + 1),
+                            i -> CAST(e.embedding[ms.m * {PQ_DSUB} + i] AS DOUBLE)) AS x_sub
+      FROM embeddings e CROSS JOIN ms
+    ),
+    dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             {_duck_sub_l2_pico('s.x_sub', 'c.c_sub')} AS d_pico
+      FROM subs s JOIN codebook c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY d_pico, j
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, j, d_pico
+      FROM dists WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(q.d_pico) AS BIGINT) AS adc_dist_pico
+      FROM codes c JOIN qtab q ON q.m = c.m AND q.j = c.code
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist_pico, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist_pico, neighbor_id
+      ) AS rk FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate k-NN with ADC scoring.
+
+    Index build (one-time at scale): each vector splits into PQ_M
+    subvectors; each subvector is assigned the nearest of PQ_K
+    codewords (argmin window, tie → lowest codeword id). The corpus
+    reduces to (vec_id, m, code) — PQ_M small ints per vector, ~32×
+    smaller than the raw floats, the representation you'd persist and
+    bucket at 100 TB.
+
+    Query (the part that must be fast): the query's distance table —
+    d(query_sub_m, codeword_j) for all m,j — is PQ_M×PQ_K rows per
+    query, broadcast everywhere; scoring is a broadcast hash join of
+    the code table against it plus an integer sum per candidate. The
+    raw corpus vectors are NEVER read at query time: that is the whole
+    point of ADC, and the plan shows it (one scan for the build, none
+    for the search).
+
+    Distances are integer pico-units end to end (see _sub_l2_pico), so
+    the cross-engine hash is exact despite float inputs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+
+    def sub_at(vec, m_col):
+        return F.transform(
+            F.slice(vec, m_col * PQ_DSUB + 1, PQ_DSUB), lambda x: x.cast("double")
+        )
+
+    codebook = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("j"), "embedding")
+        .crossJoin(F.broadcast(ms))
+        .select("m", "j", sub_at(F.col("embedding"), F.col("m")).alias("c_sub"))
+    )
+    subs = (
+        e.crossJoin(F.broadcast(ms))
+        .select("vec_id", "m", sub_at(F.col("embedding"), F.col("m")).alias("x_sub"))
+    )
+    dists = subs.join(F.broadcast(codebook), "m").select(
+        "vec_id", "m", "j", _sub_l2_pico(F.col("x_sub"), F.col("c_sub")).alias("d_pico")
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d_pico", "j")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qtab = dists.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "d_pico"
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes.m == qtab.m) & (codes.code == qtab.j),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_pico").alias("adc_dist_pico"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_pico", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist_pico", F.col("rk").cast("int").alias("rk"))
+    )

@@ -77,7 +77,7 @@ def test_streaming_python_datasource_offsets_and_replay(spark):
             .trigger(processingTime="1 second")
             .start()
         )
-        deadline = time.time() + 60
+        deadline = time.time() + 150
         while time.time() < deadline:
             try:
                 if spark.read.parquet(out).count() >= target_rows:

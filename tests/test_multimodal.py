@@ -94,3 +94,44 @@ def test_bmp_decode_drops_undecodable_rows(spark):
     # sums over x in 0..2, y in 0..1: r=sum(x)*2=6, g=sum(y)*3=3, b=7*6=42
     assert (r["width"], r["height"]) == (3, 2)
     assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (6, 3, 42)
+
+
+def test_wav_roundtrip_exact_stats():
+    """Pure-Python WAV encode→decode round trip: stats must equal the
+    directly-computed values, including negative samples and word-
+    aligned odd-length chunk handling."""
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rate, n, sum_abs, sum_sq, peak = decode_wav_pcm16(
+        encode_wav_pcm16(8000, samples)
+    )
+    assert (rate, n) == (8000, len(samples))
+    assert sum_abs == sum(abs(s) for s in samples)
+    assert sum_sq == sum(s * s for s in samples)
+    assert peak == 32768
+
+
+def test_wav_decode_drops_undecodable_rows(spark):
+    import pandas as pd
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_wav_stats,
+        encode_wav_pcm16,
+    )
+
+    good = encode_wav_pcm16(16000, [5, -5, 10])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [good, b"RIFFjunkWAVE", b"not audio at all"],
+            }
+        )
+    )
+    out = decode_wav_stats(df).collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["sum_abs"] == 20 and out[0]["peak"] == 10
