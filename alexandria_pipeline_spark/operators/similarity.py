@@ -670,7 +670,26 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the search).
 
     Distances are integer pico-units end to end (see _sub_l2_pico), so
-    the cross-engine hash is exact despite float inputs."""
+    the cross-engine hash is exact despite float inputs.
+
+    Recall on the clustered fixture is 0.33 (test_similarity_recall) —
+    pure ADC over a formula-seeded 16-codeword codebook is a COARSE
+    filter, which is exactly how production PQ uses it: see
+    knn_pq_rerank for the shortlist-then-exact-rerank pipeline that
+    recovers full recall."""
+    scored = _pq_adc_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_dist_pico", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist_pico", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _pq_adc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ plumbing: build the codebook + code table, score every
+    (query, candidate) pair by ADC; returns (query_id, neighbor_id,
+    adc_dist_pico). See knn_pq_adc docstring for the scale shape."""
     e = load_table(spark, sf_dir, "embeddings")
     ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
 
@@ -701,7 +720,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtab = dists.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "m", "j", "d_pico"
     )
-    scored = (
+    return (
         codes.join(
             F.broadcast(qtab),
             (codes.m == qtab.m) & (codes.code == qtab.j),
@@ -710,9 +729,116 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d_pico").alias("adc_dist_pico"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist_pico", "neighbor_id")
+
+
+PQ_SHORTLIST = 50  # ADC candidates per query that survive to exact rerank
+
+# The shared CTE block both PQ oracles start from (codebook → codes →
+# query distance table → integer ADC scores per candidate).
+_PQ_ADC_SQL = f"""
+    WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    codebook AS (
+      SELECT ms.m, cb.vec_id AS j,
+             list_transform(range(1, {PQ_DSUB} + 1),
+                            i -> CAST(cb.embedding[ms.m * {PQ_DSUB} + i] AS DOUBLE)) AS c_sub
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {PQ_K}) cb
+      CROSS JOIN ms
+    ),
+    subs AS (
+      SELECT e.vec_id, ms.m,
+             list_transform(range(1, {PQ_DSUB} + 1),
+                            i -> CAST(e.embedding[ms.m * {PQ_DSUB} + i] AS DOUBLE)) AS x_sub
+      FROM embeddings e CROSS JOIN ms
+    ),
+    dists AS (
+      SELECT s.vec_id, s.m, c.j,
+             {_duck_sub_l2_pico('s.x_sub', 'c.c_sub')} AS d_pico
+      FROM subs s JOIN codebook c ON c.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY d_pico, j
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, m, j, d_pico
+      FROM dists WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(q.d_pico) AS BIGINT) AS adc_dist_pico
+      FROM codes c JOIN qtab q ON q.m = c.m AND q.j = c.code
+      WHERE c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id
+    )
+"""
+
+
+@query(
+    "knn_pq_rerank",
+    oracle=_PQ_ADC_SQL
+    + f""",
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist_pico, neighbor_id
+        ) AS srk FROM scored
+      ) WHERE srk <= {PQ_SHORTLIST}
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id,
+             {duck_dot('qe.embedding', 'ne.embedding')} AS score
+      FROM shortlist s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(score, 6) + 0 AS cos_sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rk FROM rerank
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pipeline: ADC shortlists PQ_SHORTLIST
+    candidates per query from the compressed codes alone, then ONLY
+    those rows fetch their raw vectors for an exact rerank. Recall on
+    the clustered fixture goes 0.33 (pure ADC) → 1.0 (reranked), at
+    the cost of reading Q×PQ_SHORTLIST raw vectors instead of zero —
+    the standard accuracy/IO dial every production ANN system exposes.
+
+    Scale shape: the shortlist is broadcast-joined back to the corpus
+    (Q×50 rows vs N — always broadcastable), so the rerank adds no
+    corpus-sized shuffle; output matches knn_brute_force's schema, and
+    on this fixture its values too."""
+    scored = _pq_adc_scores(spark, sf_dir)
+    w_s = Window.partitionBy("query_id").orderBy("adc_dist_pico", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(w_s))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    rerank = (
+        F.broadcast(shortlist)
+        .join(ne, "neighbor_id")
+        .join(F.broadcast(qe), "query_id")
+        .select("query_id", "neighbor_id", dot("q_emb", "n_emb").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        rerank.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist_pico", F.col("rk").cast("int").alias("rk"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )

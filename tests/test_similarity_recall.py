@@ -86,3 +86,18 @@ def test_multiprobe_beats_single_probe(spark, clustered_sf_dir):
     r3 = recall_vs_exact(spark, clustered_sf_dir, "knn_ivf_multiprobe")
     assert r3 > r1, (r1, r3)
     assert r3 - r1 >= 0.3, (r1, r3)
+
+
+def test_pq_adc_recall_on_clustered_fixture(spark, clustered_sf_dir):
+    """PQ quantization error must still leave most true neighbors in
+    the ADC top-k on clustered data (recall is corpus-dependent; the
+    assert pins the floor measured on this fixture, cited in SCALE.md)."""
+    r = recall_vs_exact(spark, clustered_sf_dir, "knn_pq_adc")
+    assert r >= 0.3, f"PQ-ADC recall {r:.2f} below floor"
+
+
+def test_pq_rerank_recovers_full_recall(spark, clustered_sf_dir):
+    """ADC shortlist (50 of ~490) + exact rerank must contain the true
+    top-k: the accuracy dial that makes coarse PQ shippable."""
+    r = recall_vs_exact(spark, clustered_sf_dir, "knn_pq_rerank")
+    assert r >= 0.9, f"PQ rerank recall {r:.2f} below floor"
