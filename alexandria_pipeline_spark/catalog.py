@@ -29,26 +29,61 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazily read one testdata table.
+def _ensure_event_time_confs(spark: SparkSession) -> None:
+    """Confs the events table needs, set at RUNTIME, not only in our
+    session factory: callers (the correctness driver, a notebook,
+    spark-submit) construct their own SparkSession and never see
+    session.py, so every read path must be self-sufficient in a bare
+    session. Both confs are runtime-settable.
 
-    events.ts is stored as timestamp[ns], which Spark's Parquet reader
-    only accepts as a raw int64 via `spark.sql.legacy.parquet.nanosAsLong`.
-    That conf is set HERE, at runtime, not only in our session factory:
-    callers (the correctness driver, a notebook, spark-submit) construct
-    their own SparkSession and never see session.py, so the read must be
-    self-sufficient in a bare session. The conf is runtime-settable, so
-    `spark.conf.set` before the scan is enough. We then convert to a
-    microsecond timestamp with *integer* division — ns-since-epoch
-    (~1.7e18) exceeds double's 53-bit mantissa, so float division would
-    corrupt the low microseconds. DuckDB 1.0 reads the same column as a
-    microsecond TIMESTAMP, so both engines see identical values.
+    - nanosAsLong: a timestamp[ns] parquet column is only readable as a
+      raw int64 with this on (Spark rejects TIMESTAMP(NANOS) otherwise).
+    - session.timeZone=UTC: a timestamp[us] column WITHOUT
+      isAdjustedToUTC reads as TIMESTAMP_NTZ; interpreting that
+      wall-clock as an instant goes through the session timezone. The
+      oracle engine (DuckDB) treats the same column as naive-UTC, so the
+      session MUST be UTC for the engines to agree — measured: in an
+      America/New_York session, `to_utc_timestamp(ntz, 'UTC')` lands
+      5 h off DuckDB's epoch_us. Forcing UTC here matches session.py's
+      documented contract.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (UTC instant),
+    whatever physical type the testdata generator chose this round:
+
+    - int64 ns-since-epoch (timestamp[ns] + nanosAsLong) → integer
+      division to µs, then timestamp_micros. Integer division because
+      ns-since-epoch (~1.7e18) exceeds double's 53-bit mantissa; float
+      division would corrupt the low microseconds.
+    - TIMESTAMP_NTZ (timestamp[us], no UTC flag) → cast to TIMESTAMP.
+      Exact because _ensure_event_time_confs pinned the session to UTC.
+    - TIMESTAMP → already an instant; passthrough.
+
+    Every downstream operator (unix_micros, windows, watermarks, as-of
+    joins) sees one stable type regardless of the source file's choice.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily read one testdata table; events.ts is normalized to a
+    UTC-instant TIMESTAMP across all physical encodings the generator
+    has shipped (int64 ns, timestamp[ns], timestamp[us] NTZ,
+    timestamp[us] UTC) — see normalize_event_ts."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_event_time_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -18,28 +18,12 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from alexandria_pipeline_spark.catalog import (
+    _ensure_event_time_confs,
+    normalize_event_ts,
+)
 from alexandria_pipeline_spark.registry import query
-
-# File-stream sources need an explicit schema (no inference at stream
-# start); ts arrives as raw int64 nanos (see catalog.load_table).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,9 +38,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     # Self-sufficient in a bare session (same contract as
-    # catalog.load_table): the ns-timestamp column only reads as int64
-    # with this conf, and callers may hit the stream path first.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # catalog.load_table); callers may hit the stream path first.
+    _ensure_event_time_confs(spark)
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"apspark_stream_src_{tag}")
@@ -64,12 +47,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events-0000.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    # File-stream sources need an explicit schema (no inference at
+    # stream start). Hard-coding one broke when the generator switched
+    # ts from timestamp[ns] to timestamp[us]; instead read the CURRENT
+    # schema from the parquet footer (driver-side metadata read, no
+    # job) so the stream always matches the file, then normalize ts the
+    # same way the batch path does.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

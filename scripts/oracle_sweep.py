@@ -10,21 +10,22 @@ failure.
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from alexandria_pipeline_spark import ORACLES, QUERIES, register_all
-from alexandria_pipeline_spark.session import get_session
+from alexandria_pipeline_spark.session import get_spark
 from tests.oracle import compare, duck_connection
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     register_all()
-    spark = get_session()
+    spark = get_spark("oracle-sweep")
     con = duck_connection(sf_dir)
     failures: list[str] = []
     t_all = time.time()
