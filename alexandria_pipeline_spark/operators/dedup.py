@@ -348,23 +348,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # --------------------------------------------------------------------------
+# Stop-shingle valve sizing: a shingle present in more than this
+# fraction of the corpus carries ~zero discriminating power (it matches
+# everything) but emits df² join rows — the inverted index's only
+# failure mode at scale. 5% is far above any real near-dup signal; the
+# floor keeps tiny corpora from capping legitimate shingles.
+JACCARD_DF_CAP_FRACTION = 0.05
+JACCARD_DF_CAP_FLOOR = 64
+
+
 def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFrame:
     """Explode per-doc shingle-code sets into index rows
     (doc_id, lang, n_toks, n_codes, code) for the inverted-index join.
 
-    df_cap (default: SPARK_GRAFT_JACCARD_DF_CAP env, 0 = off) is the
-    Σdf² skew valve: a shingle appearing in d documents emits d² join
-    rows downstream, so one stop-shingle in 10^6 docs is 10^12 rows —
-    the inverted-index cost model's only failure mode. With the cap on,
-    codes with df > cap are dropped BEFORE the join, and n_codes is
-    recomputed over the surviving codes so the downstream Jaccard is
-    the self-consistent df-capped Jaccard (both |A∩B| and |A∪B| see
-    the same universe). High-df shingles carry ~zero discriminating
-    power (they match everything), so the capped measure orders
-    near-dup candidates the same way in practice."""
+    The df cap is the Σdf² skew valve: a shingle appearing in d
+    documents emits d² join rows downstream, so one stop-shingle in
+    10^6 docs is 10^12 rows. Codes with df > cap are dropped BEFORE
+    the join, and n_codes is recomputed over the surviving codes so
+    the downstream Jaccard is the self-consistent df-capped Jaccard
+    (both |A∩B| and |A∪B| see the same universe).
+
+    The cap DEFAULTS ON, derived in-plan from the corpus size
+    (greatest(64, ceil(0.05 · n_docs)) — no collect, the one-row cap
+    aggregate is broadcast), so the default plan is the scale-safe
+    one. SPARK_GRAFT_JACCARD_DF_CAP overrides: a positive value fixes
+    the cap, 0/negative disables it (exact Jaccard). The oracle SQL
+    mirrors the same derived cap, so correctness checks exercise the
+    capped semantics end-to-end.
+    """
     if df_cap is None:
-        df_cap = int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP", "0"))
-    if df_cap <= 0:
+        env = os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP", "")
+        df_cap = int(env) if env.strip() else None
+    if df_cap is not None and df_cap <= 0:
         return sh.select(
             "doc_id",
             "lang",
@@ -373,16 +388,29 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
             F.explode("codes").alias("code"),
         )
     ex = sh.select("doc_id", "lang", "n_toks", F.explode("codes").alias("code"))
-    low_df = (
-        ex.groupBy("lang", "code")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("lang", "code")
+    # df per shingle via a whole-partition window: one shuffle on
+    # (lang, code) — the same key the downstream self-join shuffles on.
+    flagged = ex.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "code"))
     )
-    kept = ex.join(low_df, ["lang", "code"])
-    n_codes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_codes"))
-    return kept.join(n_codes, "doc_id").select(
-        "doc_id", "lang", "n_toks", "n_codes", "code"
+    if df_cap is None:
+        cap = sh.agg(
+            F.greatest(
+                F.lit(JACCARD_DF_CAP_FLOOR),
+                F.ceil(F.count(F.lit(1)) * JACCARD_DF_CAP_FRACTION),
+            )
+            .cast("long")
+            .alias("df_cap")
+        )
+        kept = (
+            flagged.join(F.broadcast(cap))  # 1-row broadcast, no shuffle
+            .filter(F.col("df") <= F.col("df_cap"))
+            .drop("df", "df_cap")
+        )
+    else:
+        kept = flagged.filter(F.col("df") <= df_cap).drop("df")
+    return kept.withColumn(
+        "n_codes", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
 
 
@@ -396,16 +424,43 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
         {duck_shingle_codes("string_split(text, ' ')")} AS codes
       FROM documents
       WHERE len(string_split(text, ' ')) >= 3
+    ),
+    cap AS (
+      SELECT GREATEST({JACCARD_DF_CAP_FLOOR},
+                      CAST(ceil({JACCARD_DF_CAP_FRACTION} * count(*)) AS BIGINT))
+             AS df_cap
+      FROM shingled
+    ),
+    ex AS (
+      SELECT doc_id, lang, n_toks, unnest(codes) AS code FROM shingled
+    ),
+    flagged AS (
+      SELECT doc_id, lang, n_toks, code,
+             count(*) OVER (PARTITION BY lang, code) AS df
+      FROM ex
+    ),
+    sized AS (
+      SELECT doc_id, lang, n_toks, code,
+             count(*) OVER (PARTITION BY doc_id) AS n_codes
+      FROM flagged, cap
+      WHERE df <= df_cap
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_codes AS nc_a, b.n_codes AS nc_b,
+             count(*) AS n_inter
+      FROM sized a JOIN sized b
+        ON a.lang = b.lang AND a.code = b.code
+       AND a.doc_id < b.doc_id
+       AND abs(a.n_toks - b.n_toks) <= 8
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT
-      a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(CAST(len(list_intersect(a.codes, b.codes)) AS BIGINT) * 1000000
-           // len(list_distinct(list_concat(a.codes, b.codes))) AS BIGINT) / 1000000.0 AS jaccard
-    FROM shingled a JOIN shingled b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(a.n_toks - b.n_toks) <= 8
-    WHERE CAST(len(list_intersect(a.codes, b.codes)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.codes, b.codes))) >= {JACCARD_THRESHOLD}
+    SELECT doc_a, doc_b,
+           CAST(n_inter * 1000000 // (nc_a + nc_b - n_inter) AS BIGINT)
+             / 1000000.0 AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (nc_a + nc_b - n_inter)
+          >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,17 +472,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This replaced a blocked self-join + per-pair array_intersect that
     evaluated interpreted array HOFs on every candidate pair (~62s at
-    sf0.1); the index form is two shuffles of scalar rows, fully
+    sf0.1); the index form is shuffles of scalar rows, fully
     whole-stage-codegen (~3s). At 100 TB the one hazard is shingle-
-    frequency skew (a code shared by d docs emits d² join rows) —
-    profiled max document frequency here is 19, and AQE skew-join
-    splits hot codes. For corpora where that isn't enough, the
-    SPARK_GRAFT_JACCARD_DF_CAP knob drops stop-shingles (df > cap)
-    BEFORE the join — see jaccard_exploded_codes; it defaults off so
-    the oracle stays exact, and capped runs compute df-capped Jaccard
-    (per-doc code counts shrink consistently with the dropped codes).
-    Length blocking (|Δtokens| <= 8) rides along in the join residual
-    so no new pair survives that the verifier formulation wouldn't."""
+    frequency skew (a code shared by d docs emits d² join rows), so
+    the stop-shingle valve DEFAULTS ON: codes with df above
+    greatest(64, 5% of corpus) are dropped before the join and the
+    Jaccard is the self-consistent df-capped measure — see
+    jaccard_exploded_codes. The oracle SQL computes the identical
+    capped Jaccard (same derived cap, same window arithmetic), so the
+    scale-safe default plan is the oracle-checked one; set
+    SPARK_GRAFT_JACCARD_DF_CAP=0 for exact uncapped Jaccard. Length
+    blocking (|Δtokens| <= 8) rides along in the join residual so no
+    new pair survives that the verifier formulation wouldn't."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sh = d.filter(F.size(toks) >= 3).select(

