@@ -610,3 +610,164 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "events_funnel_sequential",
+    oracle="""
+    WITH m1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    m2 AS (
+      SELECT user_id, t_view,
+             min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM (SELECT DISTINCT user_id, t_view FROM m1) u
+      JOIN events USING (user_id)
+    ),
+    m3 AS (
+      SELECT user_id, t_view, t_click,
+             min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM (SELECT DISTINCT user_id, t_view, t_click FROM m2) u
+      JOIN events USING (user_id)
+    ),
+    stages AS (
+      SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM m3
+    )
+    SELECT
+      user_id,
+      CASE WHEN t_purchase IS NOT NULL THEN 3
+           WHEN t_click    IS NOT NULL THEN 2
+           WHEN t_view     IS NOT NULL THEN 1
+           ELSE 0 END AS stage,
+      CAST(CASE WHEN t_purchase IS NOT NULL
+                THEN epoch_us(t_purchase) // 1000000
+                     - epoch_us(t_view) // 1000000 END AS BIGINT)
+        AS view_to_purchase_s
+    FROM stages
+    """,
+)
+def events_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY SEQUENTIAL funnel (view → click → purchase): for each
+    user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly after that click — the attribution-correct
+    funnel, not three independent mins.
+
+    Plan shape: three whole-partition window passes over the SAME
+    user_id partitioning (Spark reuses one hash partitioning for all
+    three — a single shuffle of (user_id, ts, type) triples), then one
+    distinct per user. No self-joins of the fact table, no collect;
+    state per user is three timestamps. The oracle mirrors each pass
+    with join-back CTEs because DuckDB window chains can't reference a
+    prior window's alias in the same SELECT."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    with_v = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    with_c = with_v.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    with_p = with_c.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    stages = with_p.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    secs = F.when(
+        F.col("t_purchase").isNotNull(),
+        F.expr("unix_micros(t_purchase) div 1000000")
+        - F.expr("unix_micros(t_view) div 1000000"),
+    )
+    return stages.select(
+        "user_id",
+        stage.alias("stage"),
+        secs.alias("view_to_purchase_s"),
+    )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT
+      CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+           WHEN grouping(d) = 0 THEN 'day'
+           ELSE 'week' END AS grain,
+      CAST(epoch_us(coalesce(h, d, wk)) // 1000000 AS BIGINT)
+        AS bucket_start_s,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(sum(value), 2)     AS sum_value
+    FROM (
+      SELECT value,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts)  AS d,
+             date_trunc('week', ts) AS wk
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((wk, d, h), (wk, d), (wk))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour, day, and week
+    aggregates of the event stream in ONE pass via ROLLUP over nested
+    truncations (week ⊃ day ⊃ hour, so rollup's suffix-drop IS the
+    grain hierarchy — no union of three scans, no re-shuffle per
+    grain). This is the continuous-aggregate maintenance shape: at
+    100 TB each partial-agg row is (bucket, count, sum), mergeable
+    across incremental loads. Buckets are emitted as epoch seconds
+    (registry rule: no raw timestamps in output)."""
+    e = load_table(spark, sf_dir, "events")
+    truncs = e.select(
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("wk"),
+    )
+    rolled = (
+        truncs.rollup("wk", "d", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping("d").alias("gd"),
+            F.grouping("h").alias("gh"),
+            F.grouping("wk").alias("gw"),
+        )
+        .filter(F.col("gw") == 0)  # drop the grand-total row
+    )
+    grain = (
+        F.when((F.col("gd") == 0) & (F.col("gh") == 0), "hour")
+        .when(F.col("gd") == 0, "day")
+        .otherwise("week")
+    )
+    bucket = F.expr(
+        "unix_micros(coalesce(h, d, wk)) div 1000000"
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_start_s"),
+        "n_events",
+        "sum_value",
+    )

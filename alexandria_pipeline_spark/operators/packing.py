@@ -341,3 +341,49 @@ def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste_ppm"),
         )
     )
+
+
+# Per-stratum sample size for sample_stratified_hash.
+STRATA_N = 25
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             {duck_rolling_fingerprint("string_split(text, ' ')")} AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, fp,
+             row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn
+      FROM hashed
+    )
+    SELECT lang, doc_id, fp AS sample_key
+    FROM ranked WHERE rn <= {STRATA_N}
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(N, |stratum|)
+    documents per language, chosen as the N smallest CONTENT-hash
+    values (rolling fingerprint, doc_id tiebreak). Hash-ordered
+    selection makes the sample (a) reproducible across runs and
+    engines, (b) stable under corpus growth — a document's membership
+    changes only if a new document hashes below it, never because
+    input order changed — and (c) leakage-consistent with the
+    content-hash split (byte-identical docs always sample together).
+
+    Plan: one window (single shuffle on lang); rank truncation is
+    TopK-per-group, the same shape as window_rank_topn_per_group. At
+    100 TB with few strata, per-stratum heaps via AQE skew handling
+    keep hot languages bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = rolling_fingerprint(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("fp", "doc_id")
+    return (
+        d.select("doc_id", "lang", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATA_N)
+        .select("lang", "doc_id", F.col("fp").alias("sample_key"))
+    )

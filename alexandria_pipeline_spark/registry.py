@@ -54,6 +54,7 @@ def register_all() -> None:
     # Imports deferred so `import alexandria_pipeline_spark` stays cheap.
     from alexandria_pipeline_spark.operators import (  # noqa: F401
         anomaly,
+        bloom,
         relational,
         relational_ext,
         tpch_full,

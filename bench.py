@@ -70,6 +70,12 @@ HEADLINE = [
     "pack_sequences_contiguous",
     "split_train_eval_hash",
     "tfidf_top_terms",
+    # round-3 additions
+    "join_bloom_pruned",
+    "events_funnel_sequential",
+    "events_time_rollup",
+    "sample_stratified_hash",
+    "multimodal_decode_png",
 ]
 
 

@@ -135,3 +135,44 @@ def test_wav_decode_drops_undecodable_rows(spark):
     out = decode_wav_stats(df).collect()
     assert [r["media_id"] for r in out] == [1]
     assert out[0]["sum_abs"] == 20 and out[0]["peak"] == 10
+
+
+def test_png_roundtrip_exact_stats():
+    """PNG encode→inflate→decode round trip: stats equal the pixel
+    array's own, proving the zlib + unfilter path end to end."""
+    import numpy as np
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    px = np.arange(35, dtype=np.uint8).reshape(5, 7) * 7 % 256
+    w, h, s, lo, hi = decode_png_gray8(encode_png_gray8(7, 5, px))
+    assert (w, h) == (7, 5)
+    assert s == int(px.sum())
+    assert lo == int(px.min()) and hi == int(px.max())
+
+
+def test_png_decode_drops_undecodable_rows(spark):
+    import numpy as np
+    import pandas as pd
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+        encode_png_gray8,
+    )
+
+    good = encode_png_gray8(3, 2, np.full((2, 3), 9, dtype=np.uint8))
+    corrupt_idat = good[:40] + b"\x00\x01\x02" + good[43:]  # break the deflate
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [good, b"\x89PNG\r\n\x1a\njunk", corrupt_idat],
+            }
+        )
+    )
+    out = decode_png_stats(df).collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["sum_lum"] == 9 * 6

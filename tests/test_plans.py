@@ -106,12 +106,31 @@ def test_tpch_full_dimension_broadcasts(spark):
 
 def test_ngram_jaccard_inverted_index_plan(spark):
     """The Jaccard verifier must stay on the inverted-index plan: no
-    Python eval, no nested-loop join, and no per-pair array set ops
-    (the interpreted form this replaced)."""
+    Python eval, no per-pair array set ops (the interpreted form this
+    replaced), and the CANDIDATE join must be a real equi-join. One
+    nested-loop join is expected and benign: the df-cap's one-row
+    broadcast (a 16-byte build side) — anything beyond that means the
+    candidate join degenerated."""
+    import re
+
     plan = formatted_plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
     assert "EvalPython" not in plan, "Python in the hot path"
-    assert "NestedLoop" not in plan, "candidate join degenerated to NL"
+    # every NL join must be the df-cap comparison (the a/b self-join
+    # duplicates that subtree, so it appears twice)
+    nl_conds = re.findall(
+        r"\(\d+\) BroadcastNestedLoopJoin\s*\nJoin type: [^\n]+\s*\n"
+        r"Join condition: ([^\n]+)",
+        plan,
+    )
+    assert all("df_cap" in c for c in nl_conds), (
+        f"non-cap NL join in plan: {nl_conds}"
+    )
     assert "array_intersect" not in plan, "per-pair array ops are back"
+    # the pair-generation equi-join survives as a hash/sort-merge join
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "candidate equi-join missing from plan"
 
 
 def test_quantize_map_only(spark):
