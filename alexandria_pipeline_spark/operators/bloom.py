@@ -55,29 +55,44 @@ def _bit(pos) -> F.Column:
 
 
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
-    """Aggregate a key column into a ONE-ROW Bloom filter:
-    map<word_idx:long, word:long>. Two narrow aggregations — positions
-    → (word_idx, bit_or(bits)) → map_from_entries — then the single
-    row broadcasts everywhere. The filter is ~m/8 bytes regardless of
-    key count."""
+    """Aggregate a key column into a ONE-ROW Bloom filter: a DENSE
+    array<long> of exactly m/64 words. Positions → (word_idx,
+    bit_or(bits)) → left join against the full index range → ordered
+    collect into the array. Dense (not map<idx,word>) because Spark's
+    map element_at is a LINEAR scan of the entries — at m=2^20 that
+    made every probe O(16k) and the probe stage ~10× slower than the
+    exact join it was meant to prune; array element_at is a direct
+    offset read. The single row is ~m/8 bytes regardless of key
+    count."""
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
     )
     words = pos.groupBy((F.col("pos") / 64).cast("long").alias("w")).agg(
         F.bit_or(_bit(F.col("pos"))).alias("word")
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom")
+    idx = keys.sparkSession.range(BLOOM_BITS // 64).select(
+        F.col("id").alias("w")
+    )
+    dense = idx.join(words, "w", "left").select(
+        "w", F.coalesce("word", F.lit(0).cast("long")).alias("word")
+    )
+    # array_sort on structs orders by the first field (w), so the
+    # collect is deterministic and the array index IS the word index.
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda s: s["word"],
+        ).alias("bloom")
     )
 
 
 def bloom_might_contain(key, bloom_col) -> F.Column:
-    """True iff ALL k bits for the key are set in the broadcast map.
-    Missing words (element_at → NULL) mean bit unset → False."""
+    """True iff ALL k bits for the key are set in the broadcast dense
+    word array (1-based element_at, O(1) per probe)."""
     tests = []
     for p in _positions(key):
-        word = F.element_at(bloom_col, (p / 64).cast("long"))
-        tests.append(word.isNotNull() & (word.bitwiseAND(_bit(p)) != 0))
+        word = F.element_at(bloom_col, (p / 64).cast("int") + 1)
+        tests.append(word.bitwiseAND(_bit(p)) != 0)
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
