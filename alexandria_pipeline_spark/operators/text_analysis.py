@@ -15,7 +15,9 @@ from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     duck_rolling_fingerprint,
+    duck_word_code,
     rolling_fingerprint,
+    word_code,
 )
 from alexandria_pipeline_spark.registry import query
 
@@ -308,4 +310,105 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.split(clean, " ")).alias("n_words"),
         F.length(clean).cast("int").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters. The sketch's hash rows reuse the
+# cross-engine affine-mix family (code * (2d+3) + (5d+7) mod P), so the
+# ENTIRE sketch — not just its output — is reproducible in ANSI SQL and
+# the oracle checks the estimates bit-for-bit. Exact counts ride along
+# to exhibit the one-sided error (est >= exact always).
+# --------------------------------------------------------------------------
+CM_DEPTH = 4  # hash rows
+CM_WIDTH = 8192  # buckets per row
+CM_TOPK = 20
+_CM_P = 2_147_483_647  # mix modulus (Mersenne 2^31-1, same family as MinHash)
+
+
+def _cm_bucket(code, d: int):
+    return F.pmod(F.pmod(code * (2 * d + 3) + (5 * d + 7), _CM_P), CM_WIDTH)
+
+
+def _duck_cm_bucket(code: str, d: str) -> str:
+    return f"((({code}) * (2 * {d} + 3) + (5 * {d} + 7)) % {_CM_P}) % {CM_WIDTH}"
+
+
+@query(
+    "text_heavy_hitters_countmin",
+    oracle=f"""
+    WITH occ AS (
+      SELECT w, {duck_word_code('w')} AS code
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    sketch AS (
+      SELECT CAST(d AS INT) AS d, {_duck_cm_bucket('code', 'd')} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM occ CROSS JOIN LATERAL (SELECT unnest(range(0, {CM_DEPTH})) AS d)
+      GROUP BY 1, 2
+    ),
+    words AS (
+      SELECT w, any_value(code) AS code, CAST(count(*) AS BIGINT) AS exact
+      FROM occ GROUP BY w
+    ),
+    est AS (
+      SELECT words.w, words.exact, min(s.c) AS est
+      FROM words
+      CROSS JOIN LATERAL (SELECT unnest(range(0, {CM_DEPTH})) AS dd)
+      JOIN sketch s
+        ON s.d = CAST(dd AS INT) AND s.bucket = {_duck_cm_bucket('code', 'dd')}
+      GROUP BY words.w, words.exact
+    )
+    SELECT w AS word, est, exact
+    FROM est
+    ORDER BY est DESC, w
+    LIMIT {CM_TOPK}
+    """,
+)
+def text_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH (Cormode-Muthukrishnan '05):
+    every token occurrence increments one bucket per hash row; a
+    word's estimate is the MIN of its row buckets — one-sided error
+    (est >= exact, overshoot <= N/width per row whp).
+
+    Why a sketch when the exact groupBy also appears in this plan? The
+    exact counts here are the AUDIT column: at 100 TB the sketch is
+    the object you'd actually ship — it is mergeable (bucket-wise sum
+    across partitions/days: the groupBy(d, bucket) partial aggregate
+    IS the merge), fixed-size (depth × width counters regardless of
+    vocabulary), and queryable without rescanning the corpus. The
+    oracle reproduces sketch construction AND estimation exactly, so
+    this is a correctness-checked sketch, not a rows-only one (cf. the
+    engine-specific HLL/t-digest sketches, which can only be
+    bounds-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.split("text", " ")).alias("w")).select(
+        "w", word_code(F.col("w")).alias("code")
+    )
+    buckets = occ.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col("code"), i) for i in range(CM_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    sketch = buckets.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    words = occ.groupBy("w").agg(
+        F.any_value("code").alias("code"), F.count(F.lit(1)).alias("exact")
+    )
+    probes = words.select(
+        "w",
+        "exact",
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col("code"), i) for i in range(CM_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("w", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.select(F.col("w").alias("word"), "est", "exact")
+        .orderBy(F.col("est").desc(), "word")
+        .limit(CM_TOPK)
     )

@@ -76,6 +76,8 @@ HEADLINE = [
     "events_time_rollup",
     "sample_stratified_hash",
     "multimodal_decode_png",
+    "dedup_incremental_antijoin",
+    "text_heavy_hitters_countmin",
 ]
 
 

@@ -190,3 +190,32 @@ def test_compaction_reduces_files(spark):
     n_files = compact(spark, out, target_rows_per_file=500)
     assert n_files == -(-n // 500)
     assert spark.read.parquet(out).count() == n
+
+
+def test_range_partitioned_sink_files_are_disjoint_and_sorted(spark, tmp_path):
+    """Every output file must cover a disjoint key range with rows
+    sorted inside — the file-level-pruning contract."""
+    import pyarrow.parquet as pq
+
+    from alexandria_pipeline_spark.operators.jobs import run_range_partitioned_sink
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id * 37 % 10007 AS k", "id AS payload"
+    )
+    out = str(tmp_path / "ranged")
+    back = run_range_partitioned_sink(spark, df, out, key="k", num_ranges=8)
+    assert back.count() == 10_000
+
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        t = pq.read_table(f, columns=["k"])
+        ks = t.column("k").to_pylist()
+        assert ks == sorted(ks), f"{f} not sorted within file"
+        if ks:
+            spans.append((min(ks), max(ks)))
+    spans.sort()
+    assert len(spans) >= 2, "expected multiple range files"
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
