@@ -1194,3 +1194,182 @@ def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# Range joins at scale: the naive interval join is a nested-loop over
+# every (user, click, purchase) combination. Bucketing rewrites it as
+# an EQUI-join: floor both sides to window-width buckets, explode the
+# probe side to the <=2 buckets its interval can touch, join on
+# (user_id, bucket), and keep the residual range predicate. Candidate
+# volume drops from |clicks|x|purchases| per user to only the pairs
+# whose buckets coincide.
+# --------------------------------------------------------------------------
+INTERVAL_W_S = 1800  # 30-minute attribution window = bucket width
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=f"""
+    SELECT
+      c.event_id AS click_id,
+      p.event_id AS purchase_id,
+      c.user_id  AS user_id,
+      epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS delay_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {INTERVAL_W_S} SECOND
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join rewritten as a bucketed EQUI-join: clicks attach
+    purchases by the same user within 30 minutes. Each purchase lives
+    in exactly ONE 30-min bucket; each click's window spans at most
+    TWO, so the click side explodes 2× and joins on (user_id, bucket)
+    — a hash-partitionable shuffle Spark executes as a sort-merge/
+    hash join, never a nested loop. The residual p.ts BETWEEN c.ts
+    AND c.ts+30min runs as a join filter on candidates only. A (c,p)
+    pair can match through just the purchase's single bucket, so no
+    dedup pass is needed. The oracle is the plain range-predicate
+    join: the rewrite must be result-invisible.
+
+    At 100 TB this is THE difference between a feasible attribution
+    join and a cross product: candidates are bounded by events that
+    share a (user, half-hour) cell, and skewed users split via AQE."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    bucket = (us / (INTERVAL_W_S * 1_000_000)).cast("long")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            us.alias("c_us"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        bucket.alias("bucket"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (clicks.bucket == purchases.bucket)
+        & (F.col("p_us") >= F.col("c_us"))
+        & (F.col("p_us") <= F.col("c_us") + INTERVAL_W_S * 1_000_000),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        # floor-div each side separately, exactly as the oracle's
+        # epoch_us // 1000000 arithmetic does
+        F.expr("p_us div 1000000 - c_us div 1000000").alias("delay_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: the deterministic,
+# cross-engine-reproducible counterpart to HLL. Hash every key with the
+# affine mix, keep the k smallest DISTINCT hash values per group; the
+# kth value's position estimates the distinct count as
+# (k-1) * M / h_k (Bar-Yossef et al. '02). Mergeable (union the value
+# sets, re-take the k smallest), fixed-size (k longs per group), and —
+# unlike HLL — bit-identical in any engine that can sort integers, so
+# the ORACLE checks the estimate itself.
+# --------------------------------------------------------------------------
+KMV_K = 64
+# Two LCG rounds so the hash actually WRAPS the modulus and lands
+# ~uniform on [0, M) even for small dense keys (one round of
+# key * 48271 never exceeds M for key < 44k, which made the kth-min
+# constant and the estimate useless — caught by the audit column).
+# Max intermediate: (M-1)*A + B < 2.4e18 < int64 max.
+_KMV_A = 1_103_515_245
+_KMV_B = 12_345
+_KMV_M = 2_147_483_647  # Mersenne 2^31-1
+
+
+@query(
+    "agg_distinct_kmv",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderstatus,
+        ((o_custkey * {_KMV_A} + {_KMV_B}) % {_KMV_M} * {_KMV_A}
+          + {_KMV_B}) % {_KMV_M} AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn,
+             count(*)    OVER (PARTITION BY o_orderstatus) AS n_exact_h
+      FROM hashed
+    ),
+    est AS (
+      SELECT o_orderstatus,
+             CASE WHEN n_exact_h < {KMV_K} THEN n_exact_h
+                  ELSE CAST({KMV_K} - 1 AS BIGINT) * {_KMV_M} // h
+                  END AS est_distinct
+      FROM ranked
+      WHERE rn = CASE WHEN n_exact_h < {KMV_K} THEN 1 ELSE {KMV_K} END
+    )
+    SELECT e.o_orderstatus, CAST(e.est_distinct AS BIGINT) AS est_distinct,
+           x.exact_distinct
+    FROM est e
+    JOIN (SELECT o_orderstatus,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders GROUP BY 1) x
+      ON e.o_orderstatus = x.o_orderstatus
+    """,
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a KMV sketch with the
+    cross-engine mix hash, so — unlike the engine-internal HLL of
+    agg_approx_distinct (rows-only) — the estimate itself is
+    oracle-checked. Plan: distinct on (group, hash) [one shuffle],
+    per-group windows on the distinct hashes [reuses the partitioning]
+    , then the estimate formula in exact int64. Exact counts ride
+    along as the audit column. At 100 TB the sketch state is k longs
+    per group and merges by set-union + re-truncation — the partial
+    aggregate IS the mergeable object, same contract as the count-min
+    sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    hashed = (
+        o.select(
+            "o_orderstatus",
+            (
+                (
+                    (F.col("o_custkey") * _KMV_A + _KMV_B) % _KMV_M * _KMV_A
+                    + _KMV_B
+                )
+                % _KMV_M
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_orderstatus")
+    ranked = hashed.select(
+        "o_orderstatus",
+        "h",
+        F.row_number().over(w.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_exact_h"),
+    )
+    est = ranked.filter(
+        F.col("rn")
+        == F.when(F.col("n_exact_h") < KMV_K, 1).otherwise(KMV_K)
+    ).select(
+        "o_orderstatus",
+        F.when(F.col("n_exact_h") < KMV_K, F.col("n_exact_h"))
+        .otherwise(F.expr(f"({KMV_K} - 1) * {_KMV_M}L div h"))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderstatus")

@@ -78,6 +78,8 @@ HEADLINE = [
     "multimodal_decode_png",
     "dedup_incremental_antijoin",
     "text_heavy_hitters_countmin",
+    "join_interval_bucketed",
+    "agg_distinct_kmv",
 ]
 
 

@@ -219,3 +219,42 @@ def test_range_partitioned_sink_files_are_disjoint_and_sorted(spark, tmp_path):
     assert len(spans) >= 2, "expected multiple range files"
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"overlapping ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_zorder_sink_prunes_on_both_keys(spark, tmp_path):
+    """Z-order layout must keep per-file min/max tight on BOTH
+    dimensions: a box predicate on (a, b) should overlap only a small
+    fraction of files, where a hash/random layout overlaps all of
+    them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from alexandria_pipeline_spark.operators.jobs import run_zorder_sink
+
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(id % 200 AS BIGINT) AS a",
+        "CAST((id * 7919) % 200 AS BIGINT) AS b",
+        "id AS payload",
+    )
+    out = str(tmp_path / "zorder")
+    back = run_zorder_sink(spark, df, out, "a", "b", num_files=16, bits=8)
+    assert back.count() == 40_000
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 8
+    # 50x50 box in a 200x200 space = 1/16 of the area; count files
+    # whose (min,max) spans overlap the box on BOTH dims
+    box = (50, 99, 50, 99)
+    touched = 0
+    for f in files:
+        t = pq.read_table(f, columns=["a", "b"])
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        if not a:
+            continue
+        if min(a) <= box[1] and max(a) >= box[0] and min(b) <= box[3] and max(b) >= box[2]:
+            touched += 1
+    assert touched <= len(files) // 2, (
+        f"z-order pruning ineffective: {touched}/{len(files)} files overlap"
+        " a 1/16-area box"
+    )
