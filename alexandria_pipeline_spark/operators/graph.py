@@ -123,3 +123,91 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = pagerank_ranks(edges_deg, deg, PR_ITERS)
     return ranks.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))
+
+
+# --------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT count(*) AS n
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph with the
+    DEGREE-ORIENTED wedge join (Cohen '09 / Suri-Vassilvitskii '11):
+    orient every undirected edge from its lower-degree endpoint
+    (ties by id), enumerate wedges by joining oriented edges on their
+    shared source, and close each wedge against the canonical edge
+    set. Orientation bounds every node's out-degree by O(√m), so the
+    wedge join — the step that explodes on hub nodes in the naive
+    algorithm — generates O(m^{3/2}) candidates worst-case instead of
+    Σdeg², and the skewed-hub hazard disappears by construction (AQE
+    handles the residue). The oracle counts the same triangles with
+    the simple a<b<c three-way join, so the oriented rewrite must be
+    count-invisible."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    o2 = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        op.join(o2, (op.l_orderkey == o2.k) & (op.l_partkey < o2.p2))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
+    # v < w makes the wedge pair canonical, matching the a < b edge
+    # form directly. Each triangle closes exactly one wedge (the one
+    # whose apex is the triangle's minimum in the (deg, id) total
+    # order), so an INNER join count — not a semi-join, which would
+    # collapse distinct wedges sharing a closing edge — is the
+    # triangle count.
+    wedges = w1.join(
+        w2, (F.col("src") == F.col("src2")) & (F.col("v") < F.col("w"))
+    ).select(F.col("v").alias("ca"), F.col("w").alias("cb"))
+    closed = wedges.join(
+        edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        (wedges.ca == F.col("ea")) & (wedges.cb == F.col("eb")),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    tris = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # both aggregates are single rows; the cross join stays lazy (no
+    # driver-side count at plan-build time)
+    return n_edges.join(tris).select(
+        F.col("n_edges").cast("long"), F.col("n_triangles")
+    )

@@ -184,3 +184,31 @@ def test_rrf_ranks_within_bounded_candidates(spark):
     for the final top-20)."""
     plan = formatted_plan(QUERIES["hybrid_search_rrf"](spark, SF_SMOKE))
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_round3_single_shuffle_plans(spark):
+    """The round-3 analytics ops must keep their one-Exchange shapes:
+    funnel's three windows share a single user_id shuffle, the time
+    rollup is one expand+agg pass, stratified sampling is one window."""
+    import re
+
+    for name in (
+        "events_funnel_sequential",
+        "events_time_rollup",
+        "sample_stratified_hash",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        tree = plan.split("(1) Scan")[0]
+        n_shuffles = len(re.findall(r"\bExchange \(\d+\)", tree))
+        assert n_shuffles == 1, f"{name}: {n_shuffles} shuffles, expected 1"
+
+
+def test_interval_bucketed_join_is_equi(spark):
+    """The bucketed interval join must plan as a hash/sort-merge join
+    (the whole point of the rewrite) — never a nested loop."""
+    plan = formatted_plan(QUERIES["join_interval_bucketed"](spark, SF_SMOKE))
+    assert "NestedLoop" not in plan, "range join degenerated to NL"
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
