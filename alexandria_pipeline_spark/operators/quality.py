@@ -1,0 +1,130 @@
+"""Declarative data-quality constraint checking (Deequ-style): a rule
+set evaluated in as few passes as the rules allow, emitting one row
+per rule with its violation count. This is the validation stage a
+100 TB ingest runs BEFORE publishing a snapshot — uniqueness,
+completeness, domain, range, and referential integrity — expressed so
+that per-table rules collapse into ONE wide aggregate scan per table
+(not one scan per rule) and the referential check is the only join.
+
+Reference analog: the reference's ad-hoc reconciliation counts
+(process.py:131-149, §2.5 A3) are the hand-rolled version of exactly
+this; here the rules are data, not code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.registry import query
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "dq_constraint_check",
+    oracle=f"""
+    WITH o AS (
+      SELECT
+        count(*) - count(DISTINCT o_orderkey)              AS unique_orderkey,
+        count(*) FILTER (WHERE o_totalprice <= 0)          AS positive_totalprice,
+        count(*) FILTER (WHERE o_custkey IS NULL)          AS custkey_complete
+      FROM orders
+    ),
+    l AS (
+      SELECT
+        count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 100)
+          AS quantity_in_range,
+        count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+          AS discount_in_range
+      FROM lineitem
+    ),
+    e AS (
+      SELECT
+        count(*) FILTER (WHERE event_type NOT IN
+          ({", ".join(f"'{t}'" for t in EVENT_TYPES)}))    AS event_type_domain,
+        count(*) FILTER (WHERE ts IS NULL)                 AS ts_complete
+      FROM events
+    ),
+    ri AS (
+      SELECT count(*) AS orders_custkey_fk
+      FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      SELECT 'orders.o_orderkey unique' AS rule, unique_orderkey AS n_violations FROM o
+      UNION ALL SELECT 'orders.o_totalprice > 0', positive_totalprice FROM o
+      UNION ALL SELECT 'orders.o_custkey not null', custkey_complete FROM o
+      UNION ALL SELECT 'lineitem.l_quantity in (0,100]', quantity_in_range FROM l
+      UNION ALL SELECT 'lineitem.l_discount in [0,1]', discount_in_range FROM l
+      UNION ALL SELECT 'events.event_type in domain', event_type_domain FROM e
+      UNION ALL SELECT 'events.ts not null', ts_complete FROM e
+      UNION ALL SELECT 'orders.o_custkey references customer', orders_custkey_fk FROM ri
+    )
+    """,
+)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight constraints over three tables in THREE wide-aggregate
+    scans plus one anti join — rules over the same table share a
+    single pass (conditional counts in one agg), so adding a rule
+    costs an expression, not a scan. Violation counts (not booleans)
+    so a failing snapshot quantifies how bad. At 100 TB the
+    uniqueness rule is the only one that shuffles (count distinct);
+    the rest are map-side conditional sums, and the FK check
+    broadcasts the dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    o_agg = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "unique_orderkey"
+        ),
+        cnt(F.col("o_totalprice") <= 0).alias("positive_totalprice"),
+        cnt(F.col("o_custkey").isNull()).alias("custkey_complete"),
+    )
+    l_agg = l.agg(
+        cnt((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100)).alias(
+            "quantity_in_range"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "discount_in_range"
+        ),
+    )
+    e_agg = e.agg(
+        cnt(~F.col("event_type").isin(EVENT_TYPES)).alias("event_type_domain"),
+        cnt(F.col("ts").isNull()).alias("ts_complete"),
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_custkey_fk"))
+    )
+
+    def rows(agg: DataFrame, rules: dict[str, str]) -> DataFrame:
+        stack = ", ".join(f"'{label}', {col}" for col, label in rules.items())
+        return agg.selectExpr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        )
+
+    out = (
+        rows(o_agg, {
+            "unique_orderkey": "orders.o_orderkey unique",
+            "positive_totalprice": "orders.o_totalprice > 0",
+            "custkey_complete": "orders.o_custkey not null",
+        })
+        .unionByName(rows(l_agg, {
+            "quantity_in_range": "lineitem.l_quantity in (0,100]",
+            "discount_in_range": "lineitem.l_discount in [0,1]",
+        }))
+        .unionByName(rows(e_agg, {
+            "event_type_domain": "events.event_type in domain",
+            "ts_complete": "events.ts not null",
+        }))
+        .unionByName(rows(fk, {
+            "orders_custkey_fk": "orders.o_custkey references customer",
+        }))
+    )
+    return out.select("rule", F.col("n_violations").cast("long"))

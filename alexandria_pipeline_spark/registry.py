@@ -68,6 +68,7 @@ def register_all() -> None:
         graph,
         curation,
         packing,
+        quality,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 

@@ -80,6 +80,8 @@ HEADLINE = [
     "text_heavy_hitters_countmin",
     "join_interval_bucketed",
     "agg_distinct_kmv",
+    "graph_triangle_count",
+    "dq_constraint_check",
 ]
 
 

@@ -112,3 +112,119 @@ def test_jaccard_bounds_and_symmetry(a, b):
     assert j == len(sb & sa) / len(sb | sa)
     if sa == sb:
         assert j == 1.0
+
+
+# --------------------------------------------------------------------------
+# Round-3 primitives: pure-Python mirrors of the codec + sketch math,
+# fuzzed without a JVM round trip.
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_image(w, h, seed):
+    """encode→inflate→decode is the identity on stats for ANY gray8
+    image, any dimensions."""
+    import numpy as np
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    ww, hh, s, lo, hi = decode_png_gray8(encode_png_gray8(w, h, px))
+    assert (ww, hh) == (w, h)
+    assert s == int(px.sum()) and lo == int(px.min()) and hi == int(px.max())
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_image(w, h, seed):
+    import numpy as np
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    data = encode_bmp24(w, h, lambda x, y: tuple(int(v) for v in px[y, x]))
+    ww, hh, sr, sg, sb = decode_bmp24(data)
+    assert (ww, hh) == (w, h)
+    assert (sr, sg, sb) == tuple(int(px[:, :, i].sum()) for i in range(3))
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_samples(samples):
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rate, n, sum_abs, sum_sq, peak = decode_wav_pcm16(
+        encode_wav_pcm16(16000, samples)
+    )
+    assert n == len(samples)
+    assert sum_abs == sum(abs(s) for s in samples)
+    assert sum_sq == sum(s * s for s in samples)
+    assert peak == max((abs(s) for s in samples), default=0)
+
+
+def _py_zvalue(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**16 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_zvalue_is_monotone_per_dimension(a1, b1, a2, b2):
+    """Morton order preserves dominance: if a1<=a2 AND b1<=b2 then
+    z(a1,b1) <= z(a2,b2) — the property that makes min/max file stats
+    usable for 2-D pruning."""
+    if a1 <= a2 and b1 <= b2:
+        assert _py_zvalue(a1, b1) <= _py_zvalue(a2, b2)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_kmv_estimate_error_bound(keys):
+    """Pure-Python KMV mirror: estimate within 4/sqrt(k) of the true
+    distinct count for any key multiset (generous vs the 1/sqrt(k)
+    typical error)."""
+    from alexandria_pipeline_spark.operators.relational_ext import (
+        KMV_K,
+        _KMV_A,
+        _KMV_B,
+        _KMV_M,
+    )
+
+    hs = sorted({((k * _KMV_A + _KMV_B) % _KMV_M * _KMV_A + _KMV_B) % _KMV_M
+                 for k in keys})
+    n = len(set(keys))
+    if len(hs) < KMV_K:
+        est = len(hs)
+    else:
+        est = (KMV_K - 1) * _KMV_M // hs[KMV_K - 1]
+    assert abs(est - n) <= max(2, 4 / (KMV_K ** 0.5) * n)
