@@ -492,7 +492,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_toks"),
         shingle_codes(toks).alias("codes"),
     )
-    ex = jaccard_exploded_codes(sh)
+    # Persist the capped index: the self-join references it from both
+    # sides and Spark re-evaluates the explode + df-cap windows per
+    # branch (same re-evaluation minhash's sketch hit). ~24 bytes/code
+    # row, MEMORY_AND_DISK spills safely; production would WRITE the
+    # index once and read it twice.
+    ex = jaccard_exploded_codes(sh).persist(StorageLevel.MEMORY_AND_DISK)
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         "lang",

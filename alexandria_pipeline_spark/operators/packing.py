@@ -387,3 +387,60 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATA_N)
         .select("lang", "doc_id", F.col("fp").alias("sample_key"))
     )
+
+
+# Buckets for the two-phase global shuffle rank; bounds the only
+# unpartitioned window at B rows regardless of corpus size.
+SHUFFLE_BUCKETS = 64
+
+
+@query(
+    "corpus_shuffle_rank",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {duck_rolling_fingerprint("string_split(text, ' ')")} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+    FROM hashed
+    """,
+)
+def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle: every document
+    gets a total-order position by content-hash (ties by doc_id) —
+    the 'shuffle the corpus once per epoch' primitive, reproducible
+    across runs and engines.
+
+    A naive row_number over the whole corpus is a single-partition
+    sort. Instead, two-phase numbering (the technique
+    sources/parquet.py uses for shard offsets, kept fully in-plan):
+    rank within hash-range buckets (window partitioned by bucket),
+    plus each bucket's global offset (cumulative counts over a
+    B=64-row aggregate — the only unpartitioned window runs on B rows,
+    bounded by construction, not by data). Equal-width hash buckets
+    are order-preserving, so bucket_offset + local_rank IS the global
+    rank. At 100 TB: one shuffle on bucket id, one B-row window, one
+    broadcast join."""
+    d = load_table(spark, sf_dir, "documents")
+    h = rolling_fingerprint(F.split("text", " "))
+    # FP_MOD-sized hash space split into equal-width buckets;
+    # bucket id is monotone in h, so bucket order = hash order.
+    from alexandria_pipeline_spark.functions.text import FP_MOD
+
+    width = FP_MOD // SHUFFLE_BUCKETS + 1
+    hashed = d.select("doc_id", h.alias("h")).withColumn(
+        "bucket", (F.col("h") / width).cast("long")
+    )
+    counts = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (F.sum("n").over(Window.orderBy("bucket")) - F.col("n")).alias("off"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("rk", F.row_number().over(w_local) - 1)
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("off") + F.col("rk")).alias("shuffle_pos"))
+    )
