@@ -9,7 +9,7 @@ rest are the LLM-data-pipeline additions from BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
@@ -411,4 +411,81 @@ def text_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.select(F.col("w").alias("word"), "est", "exact")
         .orderBy(F.col("est").desc(), "word")
         .limit(CM_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+NGRAM_TOPK = 15
+
+
+@query(
+    "text_ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT 1 AS n, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT 2, t[i] || ' ' || t[i+1]
+      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      UNION ALL
+      SELECT 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ),
+    counted AS (
+      SELECT n, gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n, gram, c,
+             row_number() OVER (PARTITION BY n ORDER BY c DESC, gram) AS rk
+      FROM counted
+    )
+    SELECT n, gram, c FROM ranked WHERE rk <= {NGRAM_TOPK}
+    """,
+)
+def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model count collection (KenLM-style prep):
+    unigram/bigram/trigram counts in one pass over the corpus, top-15
+    per order for the bounded output. The n-gram fan-out is a
+    transform over token-index sequences + ONE explode (no
+    string-concat UDF, no self-join of the token stream); counting is
+    a single groupBy(n, gram) — at 100 TB this is the map-side-combine
+    workload par excellence (heavy key repetition collapses before the
+    shuffle), and the top-k per order is a bounded window over the
+    count table, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams = d.select(
+        F.explode(
+            F.flatten(
+                F.array(
+                    t,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+                        ),
+                    ),
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(t, i + 1),
+                            F.element_at(t, i + 2),
+                            F.element_at(t, i + 3),
+                        ),
+                    ),
+                )
+            )
+        ).alias("gram")
+    ).select(
+        (F.size(F.split("gram", " "))).cast("int").alias("n"), "gram"
+    )
+    counted = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), "gram")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NGRAM_TOPK)
+        .select("n", "gram", "c")
     )
