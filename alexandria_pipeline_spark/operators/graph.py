@@ -179,16 +179,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # deg is per-NODE (parts — a dimension, not a fact): broadcast both
+    # sides so orientation is map-only instead of two edge shuffles.
+    da = F.broadcast(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    )
     with_deg = edges.join(da, "a").join(db, "b")
     fwd = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # persisted: the wedge self-join references this from BOTH sides
+    # (otherwise each side re-derives the orientation)
     oriented = with_deg.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w1 = oriented.select("src", F.col("dst").alias("v"))
     w2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("w"))
     # v < w makes the wedge pair canonical, matching the a < b edge
@@ -197,13 +205,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order), so an INNER join count — not a semi-join, which would
     # collapse distinct wedges sharing a closing edge — is the
     # triangle count.
+    # pack the canonical pair into ONE long key (partkeys < 2^31) so
+    # the 41M-wedge closing shuffle carries 8-byte keys, not pairs
+    pair = F.col("v") * F.lit(1 << 31).cast("long") + F.col("w")
     wedges = w1.join(
         w2, (F.col("src") == F.col("src2")) & (F.col("v") < F.col("w"))
-    ).select(F.col("v").alias("ca"), F.col("w").alias("cb"))
-    closed = wedges.join(
-        edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
-        (wedges.ca == F.col("ea")) & (wedges.cb == F.col("eb")),
-    )
+    ).select(pair.alias("pk"))
+    # Broadcast the packed edge set for the closure probe: |E| longs
+    # (~10 MB/M edges) vs shuffling O(Σ outdeg²) wedge rows through a
+    # sort-merge join — the wedge side stays map-side and the count's
+    # partial aggregation collapses it before any exchange. On graphs
+    # whose edge set outgrows broadcast range, drop the hint and AQE
+    # reverts to the shuffled join; the wedge bound is unchanged.
+    epair = (F.col("a") * F.lit(1 << 31).cast("long") + F.col("b")).alias("pk")
+    closed = wedges.join(F.broadcast(edges.select(epair)), "pk")
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     tris = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     # both aggregates are single rows; the cross join stays lazy (no
