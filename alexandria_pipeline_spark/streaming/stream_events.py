@@ -406,3 +406,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_dq_monitor",
+    oracle="""
+    SELECT
+      CAST(count(*) FILTER (WHERE event_type NOT IN
+        ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT)
+        AS domain_violations,
+      CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT)
+        AS null_ts,
+      CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+        AS negative_value,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS data-quality monitoring: the streaming twin of
+    dq_constraint_check's per-table rules, run BY THE STREAMING ENGINE
+    as a global conditional aggregate in complete mode — the
+    violations dashboard a live ingest tails. State is one counter per
+    rule (bytes, not rows), so the monitor runs unchanged against a
+    live source at any volume; with availableNow over the full input
+    the final totals equal the batch rule counts, which is what the
+    oracle checks."""
+    from alexandria_pipeline_spark.operators.quality import EVENT_TYPES
+
+    events = read_events_stream(spark, sf_dir)
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    agg = events.agg(
+        cnt(~F.col("event_type").isin(EVENT_TYPES)).alias("domain_violations"),
+        cnt(F.col("ts").isNull()).alias("null_ts"),
+        cnt(F.col("value") < 0).alias("negative_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return _run_to_memory(agg, "complete")
