@@ -868,3 +868,96 @@ def dedup_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = batch.join(hist, "content_key", "left_anti")
     return fresh.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+
+
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+CONTAINMENT_MIN_CODES = 5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT
+        doc_id, lang,
+        len(string_split(text, ' ')) AS n_toks,
+        {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, lang, len(codes) AS n_codes, unnest(codes) AS code
+      FROM shingled
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+             a.n_codes AS nc_small, count(*) AS n_inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.code = b.code
+       AND a.doc_id <> b.doc_id
+      WHERE a.n_codes >= {CONTAINMENT_MIN_CODES}
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_small, doc_big,
+           CAST(n_inter * 1000000 // nc_small AS BIGINT) / 1000000.0
+             AS containment
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / nc_small >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup: shingle containment C(A→B) = |A∩B| / |A|
+    (Broder's containment, the measure Jaccard hides — an excerpt
+    quoted inside a 100× larger document has tiny Jaccard but
+    containment ≈ 1). Same inverted-index shape as
+    dedup_ngram_jaccard: explode codes, equi-join on (lang, code),
+    count shared codes per ORDERED pair, normalize by the contained
+    side's code count. The min-codes floor keeps trivial shingle sets
+    out. Σdf² scale hazard and remedy are identical to the jaccard
+    query (this one runs UNCAPPED so the oracle is plain set
+    arithmetic; production corpora flip the same df-cap valve)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        "lang",
+        shingle_codes(toks).alias("codes"),
+    )
+    ex = sh.select(
+        "doc_id", "lang", F.size("codes").alias("n_codes"),
+        F.explode("codes").alias("code"),
+    )
+    a = ex.filter(F.col("n_codes") >= CONTAINMENT_MIN_CODES).select(
+        F.col("doc_id").alias("doc_small"),
+        "lang",
+        F.col("n_codes").alias("nc_small"),
+        "code",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_big"),
+        F.col("lang").alias("lang_b"),
+        F.col("code").alias("code_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("doc_small") != F.col("doc_big")),
+        )
+        .groupBy("doc_small", "doc_big", "nc_small")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.filter(
+            F.col("n_inter").cast("double") / F.col("nc_small")
+            >= F.lit(CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_small",
+            "doc_big",
+            (int_div(F.col("n_inter") * 1_000_000, F.col("nc_small"))
+             / 1_000_000.0).alias("containment"),
+        )
+    )
