@@ -46,8 +46,23 @@ def _ensure_event_time_confs(spark: SparkSession) -> None:
       America/New_York session, `to_utc_timestamp(ntz, 'UTC')` lands
       5 h off DuckDB's epoch_us. Forcing UTC here matches session.py's
       documented contract.
+
+    The timezone pin is a GLOBAL session mutation: it also changes how
+    the caller's own timestamp/date-string expressions resolve after the
+    first events read. We warn (once per divergent session) rather than
+    silently overwrite.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"load_table('events') is pinning spark.sql.session.timeZone "
+            f"to UTC (was {prev_tz!r}) for event-time correctness; this "
+            f"affects ALL timestamp expressions in this session.",
+            stacklevel=3,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -78,7 +93,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one testdata table; events.ts is normalized to a
     UTC-instant TIMESTAMP across all physical encodings the generator
     has shipped (int64 ns, timestamp[ns], timestamp[us] NTZ,
-    timestamp[us] UTC) — see normalize_event_ts."""
+    timestamp[us] UTC) — see normalize_event_ts.
+
+    SIDE EFFECT: loading 'events' pins spark.sql.session.timeZone=UTC
+    for the WHOLE session (required for NTZ correctness vs the oracle);
+    a warning is emitted if the session was on a different timezone."""
     if name == "events":
         _ensure_event_time_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -817,7 +817,7 @@ INCREMENTAL_CUTOFF_PCT = 80  # first 80% of doc_ids play the "historical" corpus
     "dedup_incremental_antijoin",
     oracle=f"""
     WITH cut AS (
-      SELECT CAST(max(doc_id) * {INCREMENTAL_CUTOFF_PCT} / 100 AS BIGINT)
+      SELECT max(doc_id) * {INCREMENTAL_CUTOFF_PCT} // 100
              AS cutoff
       FROM documents
     ),
@@ -854,8 +854,12 @@ def dedup_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     prefix = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
     keyed = d.select("doc_id", prefix.alias("content_key"))
+    # Integer floor division on BOTH sides: Spark's cast('long') of a double
+    # truncates while DuckDB's CAST(... AS BIGINT) rounds to nearest, so the
+    # cutoffs diverge whenever max(doc_id) % 5 ∈ {1, 2}. `div` / `//` floor
+    # identically in both engines for non-negative ids.
     cutoff = keyed.agg(
-        (F.max("doc_id") * INCREMENTAL_CUTOFF_PCT / 100).cast("long").alias("cutoff")
+        F.expr(f"max(doc_id) * {INCREMENTAL_CUTOFF_PCT} div 100").alias("cutoff")
     )
     keyed = keyed.join(F.broadcast(cutoff))  # 1-row broadcast
     hist = (
@@ -924,10 +928,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         shingle_codes(toks).alias("codes"),
     )
+    # The exploded index feeds BOTH sides of the self-join below; without
+    # persist, the explode + shingle_codes subtree (the costliest part of
+    # the plan) is evaluated twice — same rationale as dedup_ngram_jaccard.
     ex = sh.select(
         "doc_id", "lang", F.size("codes").alias("n_codes"),
         F.explode("codes").alias("code"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = ex.filter(F.col("n_codes") >= CONTAINMENT_MIN_CODES).select(
         F.col("doc_id").alias("doc_small"),
         "lang",

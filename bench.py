@@ -122,15 +122,22 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # "value" is only meaningful when every headline query was timed — a
+    # partial sum would read a regression-induced failure as a speedup in
+    # round-over-round comparisons. Null it out on any failure and always
+    # emit n_timed/n_failed so aggregate readers can't misread partial runs.
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": None if errors else round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_timed": len(timings),
+        "n_failed": len(errors),
         "queries": timings,
         "sf": sf_val,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
     spark.stop()
     sys.exit(0 if timings else 1)

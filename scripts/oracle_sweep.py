@@ -3,7 +3,9 @@ the scale the correctness driver actually uses, vs the sf0.001 the
 fast test suite runs at). Replicates the driver's t2 check locally so
 sampling blind spots are caught before the driver finds them.
 
-Usage: python scripts/oracle_sweep.py [sf_dir]
+Usage: python scripts/oracle_sweep.py [sf_dir] [query_substr ...]
+Optional query_substr args restrict the sweep to queries whose name
+contains any of the substrings (fast iteration on one operator).
 Prints one line per query and a final summary; exit code 1 on any
 failure.
 """
@@ -24,12 +26,16 @@ from tests.oracle import compare, duck_connection
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    substrs = sys.argv[2:]
     register_all()
+    names = sorted(
+        n for n in QUERIES if not substrs or any(s in n for s in substrs)
+    )
     spark = get_spark("oracle-sweep")
     con = duck_connection(sf_dir)
     failures: list[str] = []
     t_all = time.time()
-    for name in sorted(QUERIES):
+    for name in names:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -45,7 +51,7 @@ def main() -> int:
             traceback.print_exc()
         print(f"{name:45s} {status:18s} {time.time() - t0:6.2f}s", flush=True)
     print(
-        f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed at {sf_dir} "
+        f"\n{len(names) - len(failures)}/{len(names)} passed at {sf_dir} "
         f"in {time.time() - t_all:.1f}s"
     )
     if failures:
