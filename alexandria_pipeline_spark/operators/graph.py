@@ -29,6 +29,13 @@ PR_ITERS = 3
 DAMP_MICRO = 850_000
 BASE_MICRO = 150_000
 
+# graph_triangle_count broadcasts its (fact-derived) degree table and
+# packed edge set only below this edge count: ~5M edges ≈ 40 MB of
+# packed longs / ≤10M degree rows — comfortably inside a 4 GB executor
+# even with hash-relation overhead. Above it, plain shuffle joins (AQE
+# can still pick broadcast from measured sizes).
+BROADCAST_EDGE_LIMIT = 5_000_000
+
 
 def _duck_pagerank_sql() -> str:
     ctes = [
@@ -156,9 +163,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join — the step that explodes on hub nodes in the naive
     algorithm — generates O(m^{3/2}) candidates worst-case instead of
     Σdeg², and the skewed-hub hazard disappears by construction (AQE
-    handles the residue). The oracle counts the same triangles with
-    the simple a<b<c three-way join, so the oriented rewrite must be
-    count-invisible."""
+    handles the residue). The degree-table and edge-set broadcasts are
+    SIZE-GATED by a plan-time count of the persisted edge frame
+    (BROADCAST_EDGE_LIMIT): both frames grow with the fact data, so an
+    unconditional hint would OOM at scale; above the cap the plan
+    falls back to shuffle joins. The oracle counts the same triangles
+    with the simple a<b<c three-way join, so the oriented rewrite must
+    be count-invisible."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -173,20 +184,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Plan-time size gate: the edge set and the degree table are both
+    # FACT-DERIVED (the part universe grows with the corpus), so an
+    # unconditional F.broadcast — which Spark obeys regardless of size
+    # — is an executor OOM at 100×, not a graceful fallback. One count
+    # on the persisted edge frame (the materialization is reused by
+    # every downstream stage) sizes both gates; above the cap the plan
+    # falls back to shuffle joins, which AQE may still convert to
+    # broadcast from actual runtime sizes.
+    n_edges_val = edges.count()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # deg is per-NODE (parts — a dimension, not a fact): broadcast both
-    # sides so orientation is map-only instead of two edge shuffles.
-    da = F.broadcast(
-        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    )
-    db = F.broadcast(
-        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    if n_edges_val <= BROADCAST_EDGE_LIMIT:
+        # nodes <= 2*edges, so the edge gate also bounds the degree
+        # table; broadcasting makes orientation map-only (no edge
+        # shuffle) and the closure probe a broadcast-hash build of
+        # packed 8-byte keys.
+        da, db = F.broadcast(da), F.broadcast(db)
     with_deg = edges.join(da, "a").join(db, "b")
     fwd = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
@@ -211,14 +232,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = w1.join(
         w2, (F.col("src") == F.col("src2")) & (F.col("v") < F.col("w"))
     ).select(pair.alias("pk"))
-    # Broadcast the packed edge set for the closure probe: |E| longs
-    # (~10 MB/M edges) vs shuffling O(Σ outdeg²) wedge rows through a
-    # sort-merge join — the wedge side stays map-side and the count's
-    # partial aggregation collapses it before any exchange. On graphs
-    # whose edge set outgrows broadcast range, drop the hint and AQE
-    # reverts to the shuffled join; the wedge bound is unchanged.
+    # Closure probe build side: |E| packed longs (~10 MB/M edges when
+    # broadcast) vs shuffling O(Σ outdeg²) wedge rows through a
+    # sort-merge join — broadcast keeps the wedge side map-side and the
+    # count's partial aggregation collapses it before any exchange.
+    # Gated by the same plan-time edge count: above the cap the hint is
+    # omitted and the closure is a shuffled join (wedge bound unchanged).
     epair = (F.col("a") * F.lit(1 << 31).cast("long") + F.col("b")).alias("pk")
-    closed = wedges.join(F.broadcast(edges.select(epair)), "pk")
+    eset = edges.select(epair)
+    if n_edges_val <= BROADCAST_EDGE_LIMIT:
+        eset = F.broadcast(eset)
+    closed = wedges.join(eset, "pk")
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     tris = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     # both aggregates are single rows; the cross join stays lazy (no

@@ -212,3 +212,22 @@ def test_interval_bucketed_join_is_equi(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_triangle_count_broadcasts_are_size_gated(spark, monkeypatch):
+    """graph_triangle_count broadcasts its fact-derived degree table
+    and edge set ONLY below BROADCAST_EDGE_LIMIT. Above the cap the
+    explicit hints must vanish from the plan (AQE may still choose
+    broadcast at runtime from measured sizes — the invariant is that
+    WE never force it)."""
+    from alexandria_pipeline_spark.operators import graph
+
+    plan = formatted_plan(QUERIES["graph_triangle_count"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, "small graph should broadcast"
+
+    monkeypatch.setattr(graph, "BROADCAST_EDGE_LIMIT", 0)
+    df = QUERIES["graph_triangle_count"](spark, SF_SMOKE)
+    # the analyzed plan records explicit hints as ResolvedHint nodes;
+    # AQE-chosen broadcasts (fine) never appear there
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
