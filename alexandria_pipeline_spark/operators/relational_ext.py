@@ -295,22 +295,71 @@ def sql_api_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist / first_value — distribution window
-    functions over the (small) supplier table. The unpartitioned
-    ORDER BY window is a deliberate single-partition case: fine for a
-    dimension, never for a fact table (partition it or pre-bucket)."""
-    s = load_table(spark, sf_dir, "supplier")
-    w_all = Window.orderBy("s_acctbal", "s_suppkey")
+    """percent_rank / cume_dist / first_value over supplier — WITHOUT
+    the single-partition global window the naive form plans (supplier
+    grows with SF, unlike region/nation). Two-phase global rank, the
+    corpus_shuffle_rank technique (packing.py): range-bucket on the
+    order key, rank within buckets (partitioned window), add each
+    bucket's broadcast offset. The ORDER BY (s_acctbal, s_suppkey) is
+    a total order, so rank == row_number and the distribution
+    functions are closed forms: percent_rank = (rank-1)/(N-1),
+    cume_dist = rank/N. Bucket offsets come from a triangular
+    self-join over the B=64-row count aggregate (B² = 4096 joined
+    rows, constant), so the plan contains NO unpartitioned window at
+    all — every WindowExec is partitioned. At 100 TB: one shuffle on
+    bucket id, one constant-size join, one broadcast join."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    B = 64
+    # data-derived equal-width range buckets: monotone in s_acctbal, so
+    # bucket order = global order; the 1-row stats frame is broadcast
+    stats = s.agg(
+        F.min("s_acctbal").alias("lo"),
+        F.max("s_acctbal").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    bucket = F.least(
+        F.lit(B - 1),
+        F.floor(
+            (F.col("s_acctbal") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / B + F.lit(1e-9))
+        ),
+    ).alias("bucket")
+    bucketed = s.join(F.broadcast(stats)).select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "n_total", bucket
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    prior = counts.select(
+        F.col("bucket").alias("pb"), F.col("n").alias("pn")
+    )
+    offsets = (
+        counts.join(prior, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("off"))
+    )
+    w_local = Window.partitionBy("bucket").orderBy("s_acctbal", "s_suppkey")
+    ranked = (
+        bucketed.withColumn("rk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn("rank", F.col("off") + F.col("rk"))
+    )
     w_nat = (
         Window.partitionBy("s_nationkey")
         .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return s.select(
+    one = F.lit(1).cast("long")
+    return ranked.select(
         "s_suppkey",
         "s_nationkey",
-        F.round(F.percent_rank().over(w_all), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w_all), 6).alias("bal_cume_dist"),
+        F.round(
+            F.when(F.col("n_total") > 1,
+                   (F.col("rank") - one) / (F.col("n_total") - one))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("bal_pct_rank"),
+        F.round(F.col("rank") / F.col("n_total"), 6).alias("bal_cume_dist"),
         F.first("s_suppkey").over(w_nat).alias("richest_in_nation"),
     )
 

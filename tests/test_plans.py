@@ -231,3 +231,24 @@ def test_triangle_count_broadcasts_are_size_gated(spark, monkeypatch):
     # AQE-chosen broadcasts (fine) never appear there
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_window_distribution_has_no_unpartitioned_window(spark):
+    """window_distribution_funcs computes percent_rank/cume_dist via
+    two-phase bucket ranks + closed forms — the single-partition
+    global window (supplier grows with SF) must never reappear. Every
+    Window node in the plan must carry a partition spec, and the
+    native distribution window functions must be gone."""
+    plan = formatted_plan(QUERIES["window_distribution_funcs"](spark, SF_SMOKE))
+    # function-call form with paren — the output aliases legitimately
+    # contain the substrings (bal_pct_rank / bal_cume_dist)
+    assert "percent_rank(" not in plan, plan
+    assert "cume_dist(" not in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            inner = ln.split("windowspecdefinition(", 1)[1]
+            # spec args: [part cols...,] order col ASC/DESC, frame; an
+            # unpartitioned spec starts directly with the ordered col
+            assert not inner.lstrip().startswith(
+                ("s_acctbal ASC", "s_acctbal DESC")
+            ) or "s_nationkey" in inner.split("specifiedwindowframe")[0], ln
