@@ -387,11 +387,16 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
             F.size("codes").alias("n_codes"),
             F.explode("codes").alias("code"),
         )
-    ex = sh.select("doc_id", "lang", "n_toks", F.explode("codes").alias("code"))
-    # df per shingle via a whole-partition window: one shuffle on
-    # (lang, code) — the same key the downstream self-join shuffles on.
-    flagged = ex.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "code"))
+    # df per (lang, code) via groupBy: map-side partial aggregation
+    # collapses duplicate codes before the exchange. (The previous form
+    # — a count window over the raw exploded rows — sort-shuffled every
+    # exploded row twice, once for df and once for n_codes, and was the
+    # measured bottleneck of the whole jaccard plan: ~5s of its 4-6s at
+    # sf0.1 was index construction, not the candidate join.)
+    dfc = (
+        sh.select("lang", F.explode("codes").alias("code"))
+        .groupBy("lang", "code")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     if df_cap is None:
         cap = sh.agg(
@@ -402,15 +407,37 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
             .cast("long")
             .alias("df_cap")
         )
-        kept = (
-            flagged.join(F.broadcast(cap))  # 1-row broadcast, no shuffle
-            .filter(F.col("df") <= F.col("df_cap"))
-            .drop("df", "df_cap")
+        stop = (
+            dfc.join(F.broadcast(cap))  # 1-row broadcast, no shuffle
+            .filter(F.col("df") > F.col("df_cap"))
         )
     else:
-        kept = flagged.filter(F.col("df") <= df_cap).drop("df")
-    return kept.withColumn(
-        "n_codes", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        stop = dfc.filter(F.col("df") > F.lit(df_cap))
+    # Stop codes grouped into per-lang arrays and broadcast BACK to the
+    # document sets: with the derived cap, at most Σdf / (0.05·n_docs)
+    # ≈ 20 · avg_codes_per_doc codes can exceed it — bounded regardless
+    # of corpus size, so the broadcast is scale-safe. (An explicit LOW
+    # df_cap override can make this set large; that path is a
+    # test/debug valve, not the default.) Subtracting the stop set with
+    # array_except BEFORE the explode makes the index build map-only —
+    # no window, no doc_id shuffle — and n_codes is simply the size of
+    # the surviving set, so the downstream capped-Jaccard semantics are
+    # unchanged.
+    stop_arrs = stop.groupBy("lang").agg(
+        F.collect_list("code").alias("stop_codes")
+    )
+    kept = sh.join(F.broadcast(stop_arrs), "lang", "left").withColumn(
+        "kept_codes",
+        F.when(F.col("stop_codes").isNull(), F.col("codes")).otherwise(
+            F.array_except("codes", "stop_codes")
+        ),
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.size("kept_codes").alias("n_codes"),
+        F.explode("kept_codes").alias("code"),
     )
 
 
