@@ -43,15 +43,24 @@ _KEYWORDS = ["spark", "join", "data", "the"]
 
 
 def featurize(text: Column | str) -> Column:
-    """Spark-native (codegen, no UDF) deterministic embedding."""
+    """Spark-native (codegen, no UDF) deterministic embedding.
+
+    Deliberately HOF-free: higher-order functions (aggregate / filter
+    with lambdas) evaluate interpreted, per-element, outside
+    whole-stage codegen, and were the measured bulk of this
+    expression's cost (~30% of embed_documents' map stage). Instead:
+
+    - token-length sum via the single-char-delimiter split identity
+      length(text) = Σ len(tok) + (n_tokens - 1) — exact for every
+      input including empty strings and repeated spaces (empty tokens
+      contribute 0), so the value matches the oracle's list_reduce.
+    - keyword counts as n_tokens - size(array_remove(toks, k)) —
+      array_remove is a codegen-capable native.
+    """
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(text, " ")
     n_tokens = F.size(toks)
-    tok_len_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    tok_len_sum = (F.length(text) - (n_tokens - F.lit(1))).cast("long")
     # integer div then exact /1e6 — see module docstring. (a - a%n)/n
     # stays in exact int64 until the final exact-integer double divide.
     scaled = tok_len_sum * 1_000_000
@@ -64,7 +73,7 @@ def featurize(text: Column | str) -> Column:
         F.size(F.array_distinct(toks)).cast("double"),
         mean_len,
     ] + [
-        F.size(F.filter(toks, lambda t: t == F.lit(k))).cast("double")
+        (n_tokens - F.size(F.array_remove(toks, k))).cast("double")
         for k in _KEYWORDS
     ]
     return F.array(*dims)

@@ -190,33 +190,45 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def merge_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """process.py:119-129 done right: a keyed equi join (J1) replaces
-    the positional zip whose alignment assert was tautological
-    (process.py:21-23), then the M9 scaled concat
-    concat(title*0.2, abstract*0.8) doubles the dim (process.py:126).
-    'title' = first 8 tokens, 'abstract' = full text, so both sides
-    derive from one scan — Catalyst plans a single-pass self-join on
-    doc_id with no duplicate parquet read at runtime cost. Output is
-    exploded to (doc_id, dim, value) rows — registered queries emit
-    scalar columns only."""
+    """process.py:119-129's M9 scaled concat:
+    concat(title*0.2, abstract*0.8) doubles the dim (process.py:126),
+    replacing the positional zip whose alignment assert was
+    tautological (process.py:21-23). 'title' = first 8 tokens,
+    'abstract' = full text — BOTH embeddings derive from the same row
+    of the same scan, so the plan is one map-only pass with zero
+    joins. (An earlier form self-joined the two projections on doc_id;
+    at scale that shuffles a fact table against itself to recombine
+    columns that never left the row. The genuinely two-source keyed
+    merge — J1 — is exercised by embed_prompt_pairs and the
+    join_alignment_check/missing_docs_anti_join queries.)
+
+    Plan shape matters here: the scale/round merge happens AFTER the
+    posexplode, on the generated scalar, never on the arrays. Wrapping
+    featurize() in F.transform HOFs re-evaluated the title expression
+    per element (interpreted HOFs don't subexpression-eliminate), and
+    an element_at unrolling triggered SimplifyExtractValueOps to
+    inline the whole featurize tree once per dim (405 split() nodes in
+    the optimized plan). Exploding concat(t_emb, a_emb) first makes
+    the Generate node evaluate each featurize exactly once per row —
+    nothing downstream can duplicate it. Output is (doc_id, dim,
+    value) rows — registered queries emit scalar columns only."""
     d = load_table(spark, sf_dir, "documents")
     title_text = F.array_join(
         F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
     )
-    titles = d.select("doc_id", featurize(title_text).alias("t_emb"))
-    abstracts = d.select("doc_id", featurize("text").alias("a_emb"))
-    joined = titles.join(abstracts, "doc_id")
-    merged = F.concat(
-        F.transform("t_emb", lambda x: x * TITLE_WEIGHT),
-        F.transform("a_emb", lambda x: x * (1 - TITLE_WEIGHT)),
+    raw = d.select(
+        "doc_id",
+        F.posexplode(
+            F.concat(featurize(title_text), featurize("text"))
+        ).alias("dim0", "rawval"),
     )
-    return (
-        joined.select(
-            "doc_id",
-            F.transform(merged, lambda x: F.round(x, 6)).alias("merged"),
-        )
-        .select("doc_id", F.posexplode("merged").alias("dim0", "value"))
-        .select("doc_id", (F.col("dim0") + 1).cast("int").alias("dim"), "value")
+    weight = F.when(
+        F.col("dim0") < FEATURE_DIM, F.lit(TITLE_WEIGHT)
+    ).otherwise(F.lit(1 - TITLE_WEIGHT))
+    return raw.select(
+        "doc_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("rawval") * weight, 6).alias("value"),
     )
 
 
