@@ -6,10 +6,14 @@ resize / frame-sample run as Arrow-batched functions over
 `mapInPandas`, so the JVM never interprets the bytes and Python sees
 them zero-copy per batch.
 
-The container has no image/audio libs, so decoding is STUBBED: real
-mode raises NotImplementedError at the decode seam; fake mode computes
-deterministic pseudo-metadata from the bytes, keeping the Spark-side
-plumbing (schema, batch iteration, partitioning) real and tested
+The container has no image/audio libs, but three formats need none:
+24-bit BMP, gray8 PNG (stdlib zlib inflate), and PCM16 WAV are parsed
+for real by the in-repo pure-Python codecs, and real-mode
+decode_image_features routes through them by magic sniff. Only
+genuinely absent codecs (JPEG, MP3, …) raise NotImplementedError at
+the seam; fake mode computes deterministic pseudo-metadata from the
+bytes for payloads of any format, keeping the Spark-side plumbing
+(schema, batch iteration, partitioning) testable either way
 (tests/test_multimodal.py).
 
 The oracle-checked query below exercises the binary column path that
@@ -61,13 +65,42 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_real_features(b: bytes) -> tuple[int, int, list[float]]:
+    """Real-mode dispatch over the in-repo codecs by magic sniff:
+
+    - BMP (24-bit)   → (width, height, [sum_r, sum_g, sum_b])
+    - PNG (gray8)    → (width, height, [sum_lum, min_lum, max_lum])
+    - WAV (PCM16)    → (n_samples, 1,  [sum_abs, sum_sq, peak])
+
+    Raises NotImplementedError ONLY for formats with no in-repo codec
+    (JPEG, MP3, …) — that is the true external-library seam. A
+    recognized container that fails to parse raises ValueError, which
+    the batch loop maps to drop-row (the same drop-vs-fail contract as
+    the per-format decoders)."""
+    if b[:2] == b"BM":
+        w, h, sr, sg, sb = decode_bmp24(b)
+        return w, h, [float(sr), float(sg), float(sb)]
+    if b[:8] == _PNG_SIG:
+        w, h, s, lo, hi = decode_png_gray8(b)
+        return w, h, [float(s), float(lo), float(hi)]
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        _rate, n, sa, sq, pk = decode_wav_pcm16(b)
+        return n, 1, [float(sa), float(sq), float(pk)]
+    raise NotImplementedError(
+        f"no in-repo codec for magic {bytes(b[:4])!r}; BMP/PNG/WAV decode "
+        "natively — install pillow/soundfile for JPEG, MP3, etc."
+    )
+
+
 def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract over mapInPandas.
 
-    Real mode is the seam where PIL/torchvision would go — it raises
-    NotImplementedError (libs absent in this container). Fake mode
-    derives deterministic pseudo width/height/features from the raw
-    bytes so the distributed plumbing is testable end-to-end.
+    Real mode routes through the in-repo pure-Python codecs (24-bit
+    BMP, gray8 PNG, PCM16 WAV — see _decode_real_features) and raises
+    NotImplementedError only for genuinely absent codecs (JPEG, …).
+    Fake mode derives deterministic pseudo width/height/features from
+    the raw bytes so the distributed plumbing is testable on payloads
+    of ANY format.
 
     mapInPandas (not a scalar UDF) because decode is 1-row→1-row but
     wants per-batch library state and may drop undecodable rows —
@@ -78,11 +111,23 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image codecs not available in this environment; "
-                    "install pillow and replace this branch with "
-                    "PIL.Image.open(io.BytesIO(b))"
-                )
+                rows = {
+                    k: []
+                    for k in ("media_id", "n_bytes", "width", "height", "features")
+                }
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    try:
+                        w, h, feats = _decode_real_features(b)
+                    except ValueError:
+                        continue  # recognized container, corrupt body: drop
+                    rows["media_id"].append(mid)
+                    rows["n_bytes"].append(len(b))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["features"].append(feats)
+                yield pd.DataFrame(rows)
+                continue
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -244,6 +289,37 @@ def decode_bmp24(data: bytes) -> tuple[int, int, int, int, int]:
     return width, height, int(sr), int(sg), int(sb)
 
 
+def bmp_formula_payload(did: int) -> bytes:
+    """Deterministic 24-bit BMP for doc `did` (pixel channels are
+    modular formulas in doc_id/x/y — the oracle recomputes the sums
+    from the formula). Vectorized twin of encode_bmp24: the per-pixel
+    Python callback was the bench hot spot; numpy builds the whole BGR
+    plane in three broadcast expressions."""
+    w, h = did % 13 + 4, did % 9 + 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (did * 7 + x * 3 + y * 5) % 256
+    g = (did * 11 + x + y * 2) % 256
+    b = (did * 13 + x * 2 + y) % 256
+    bgr = np.stack(
+        [b, g, r], axis=-1
+    ).astype(np.uint8)[::-1]  # BGR on disk, bottom-up rows
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = bgr.reshape(h, row_raw)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + rows.size, 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 0, 0, 0, 0
+    )
+    return header + rows.tobytes()
+
+
 BMP_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -316,39 +392,11 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the plumbing. Both hops are mapInPandas (Arrow moves the
     binary column zero-copy); the plan is map-only, no shuffle."""
 
-    def _bmp_payload(did: int) -> bytes:
-        # Vectorized twin of encode_bmp24 for the formula pixels: the
-        # per-pixel Python callback was the bench hot spot; numpy
-        # builds the whole BGR plane in three broadcast expressions.
-        w, h = did % 13 + 4, did % 9 + 4
-        x = np.arange(w, dtype=np.int64)[None, :]
-        y = np.arange(h, dtype=np.int64)[:, None]
-        r = (did * 7 + x * 3 + y * 5) % 256
-        g = (did * 11 + x + y * 2) % 256
-        b = (did * 13 + x * 2 + y) % 256
-        bgr = np.stack(
-            [b, g, r], axis=-1
-        ).astype(np.uint8)[::-1]  # BGR on disk, bottom-up rows
-        row_raw = w * 3
-        pad = (4 - row_raw % 4) % 4
-        rows = bgr.reshape(h, row_raw)
-        if pad:
-            rows = np.concatenate(
-                [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1
-            )
-        off = 14 + 40
-        header = struct.pack(
-            "<2sIHHI", b"BM", off + rows.size, 0, 0, off
-        ) + struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 0, 0, 0, 0
-        )
-        return header + rows.tobytes()
-
     def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
-                {"media_id": ids, "payload": [_bmp_payload(did) for did in ids]}
+                {"media_id": ids, "payload": [bmp_formula_payload(did) for did in ids]}
             )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -436,6 +484,15 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, int, int, int, int]:
     return rate, len(samples), sum_abs, sum_sq, peak
 
 
+def wav_formula_payload(did: int) -> bytes:
+    """Deterministic PCM16 WAV for doc `did`: sample k =
+    (did*31 + k*17) % 65536 - 32768, 16 kHz, did%50+20 samples — the
+    oracle recomputes the stats from the formula."""
+    n = did % 50 + 20
+    samples = (did * 31 + np.arange(n, dtype=np.int64) * 17) % 65536 - 32768
+    return encode_wav_pcm16(16000, samples.tolist())
+
+
 WAV_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -508,15 +565,9 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            payloads = []
-            for did in ids:
-                n = did % 50 + 20
-                samples = (
-                    (did * 31 + np.arange(n, dtype=np.int64) * 17) % 65536
-                    - 32768
-                )
-                payloads.append(encode_wav_pcm16(16000, samples.tolist()))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [wav_formula_payload(did) for did in ids]}
+            )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(make_payloads, "media_id long, payload binary")
@@ -605,6 +656,16 @@ def decode_png_gray8(data: bytes) -> tuple[int, int, int, int, int]:
     )
 
 
+def png_formula_payload(did: int) -> bytes:
+    """Deterministic gray8 PNG for doc `did` (lum = (did·5 + x·7 + y·3)
+    mod 256) — the oracle recomputes the stats from the formula."""
+    w, h = did % 11 + 4, did % 7 + 4
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    lum = ((did * 5 + x * 7 + y * 3) % 256).astype(np.uint8)
+    return encode_png_gray8(w, h, lum)
+
+
 PNG_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -676,20 +737,123 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan; payloads never shuffle (same contract as the BMP/WAV
     decoders)."""
 
-    def _png_payload(did: int) -> bytes:
-        w, h = did % 11 + 4, did % 7 + 4
-        x = np.arange(w, dtype=np.int64)[None, :]
-        y = np.arange(h, dtype=np.int64)[:, None]
-        lum = ((did * 5 + x * 7 + y * 3) % 256).astype(np.uint8)
-        return encode_png_gray8(w, h, lum)
-
     def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
-                {"media_id": ids, "payload": [_png_payload(did) for did in ids]}
+                {"media_id": ids, "payload": [png_formula_payload(did) for did in ids]}
             )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = d.mapInPandas(make_payloads, "media_id long, payload binary")
     return decode_png_stats(media)
+
+
+@query(
+    "multimodal_decode_mixed",
+    oracle="""
+    WITH bmp AS (
+      SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 9 + 4 AS INT)  AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    bmp_px AS (
+      SELECT doc_id, width, height,
+             CAST((doc_id * 7 + x * 3 + y * 5) % 256 AS BIGINT) AS r,
+             CAST((doc_id * 11 + x + y * 2) % 256 AS BIGINT)    AS g,
+             CAST((doc_id * 13 + x * 2 + y) % 256 AS BIGINT)    AS b
+      FROM bmp
+      CROSS JOIN LATERAL (SELECT unnest(range(0, width)) AS x)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, height)) AS y)
+    ),
+    bmp_out AS (
+      SELECT doc_id AS media_id, 'image/bmp' AS modality, width, height,
+             CAST(sum(r) AS DOUBLE) AS f1,
+             CAST(sum(g) AS DOUBLE) AS f2,
+             CAST(sum(b) AS DOUBLE) AS f3
+      FROM bmp_px GROUP BY doc_id, width, height
+    ),
+    png AS (
+      SELECT doc_id,
+             CAST(doc_id % 11 + 4 AS INT) AS width,
+             CAST(doc_id % 7 + 4 AS INT)  AS height
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    png_px AS (
+      SELECT doc_id, width, height,
+             CAST((doc_id * 5 + x * 7 + y * 3) % 256 AS BIGINT) AS lum
+      FROM png
+      CROSS JOIN LATERAL (SELECT unnest(range(0, width)) AS x)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, height)) AS y)
+    ),
+    png_out AS (
+      SELECT doc_id AS media_id, 'image/png' AS modality, width, height,
+             CAST(sum(lum) AS DOUBLE) AS f1,
+             CAST(min(lum) AS DOUBLE) AS f2,
+             CAST(max(lum) AS DOUBLE) AS f3
+      FROM png_px GROUP BY doc_id, width, height
+    ),
+    wav AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_samples
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    wav_px AS (
+      SELECT doc_id, n_samples,
+             CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT) AS s
+      FROM wav
+      CROSS JOIN LATERAL (SELECT unnest(range(0, n_samples)) AS k)
+    ),
+    wav_out AS (
+      SELECT doc_id AS media_id, 'audio/wav' AS modality,
+             n_samples AS width, CAST(1 AS INT) AS height,
+             CAST(sum(abs(s)) AS DOUBLE) AS f1,
+             CAST(sum(s * s) AS DOUBLE)  AS f2,
+             CAST(max(abs(s)) AS DOUBLE) AS f3
+      FROM wav_px GROUP BY doc_id, n_samples
+    )
+    SELECT * FROM bmp_out
+    UNION ALL SELECT * FROM png_out
+    UNION ALL SELECT * FROM wav_out
+    """,
+)
+def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-mode dispatch end to end: a mixed media table (each doc
+    becomes a BMP, PNG, or WAV payload by doc_id % 3 — genuine bytes
+    from the same writers the per-format queries use) is decoded in
+    ONE mapInPandas pass by decode_image_features(fake=False), which
+    magic-sniffs each payload and routes to the matching in-repo
+    codec. The oracle recomputes every stat from the pixel/sample
+    formulas per modality, so a hash match proves byte round-trip AND
+    correct per-row dispatch. This is the 100-TB shape of a
+    heterogeneous media lake: one scan, one Python stage, no shuffle,
+    payload never leaves its partition."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = [bmp_formula_payload, png_formula_payload, wav_formula_payload]
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [builders[did % 3](did) for did in ids],
+                }
+            )
+
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    decoded = decode_image_features(media, fake=False)
+    modality = (
+        F.when(F.col("media_id") % 3 == 0, "image/bmp")
+        .when(F.col("media_id") % 3 == 1, "image/png")
+        .otherwise("audio/wav")
+    )
+    return decoded.select(
+        "media_id",
+        modality.alias("modality"),
+        "width",
+        "height",
+        F.element_at("features", 1).alias("f1"),
+        F.element_at("features", 2).alias("f2"),
+        F.element_at("features", 3).alias("f3"),
+    )

@@ -84,6 +84,8 @@ HEADLINE = [
     "dq_constraint_check",
     "corpus_shuffle_rank",
     "text_ngram_lm_counts",
+    # round-4 additions
+    "multimodal_decode_mixed",
 ]
 
 

@@ -45,13 +45,64 @@ def test_fake_decode_schema_and_determinism(spark):
     assert rows == again
 
 
-def test_real_decode_raises_not_implemented(spark):
-    out = decode_image_features(_media(spark, n=5), fake=False)
+def test_real_decode_raises_only_for_absent_codecs(spark):
+    """Real mode handles BMP/PNG/WAV natively; a format with no
+    in-repo codec (JPEG magic here) is the one that must raise."""
+    jpeg = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0" + b"\x00" * 64)], "media_id long, payload binary"
+    )
+    out = decode_image_features(jpeg, fake=False)
     with pytest.raises(Exception) as exc_info:
         out.collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_real_decode_parity_with_per_format_decoders(spark):
+    """decode_image_features(fake=False) must agree with the dedicated
+    per-format decode paths on real BMP/PNG/WAV bytes, and decode a
+    MIXED-format frame in one pass (the point of the magic dispatch)."""
+    import numpy as np
+
+    from alexandria_pipeline_spark.operators.multimodal import (
+        decode_bmp_stats,
+        decode_png_stats,
+        decode_wav_stats,
+        encode_bmp24,
+        encode_png_gray8,
+        encode_wav_pcm16,
+    )
+
+    bmp = encode_bmp24(5, 3, lambda x, y: ((x * 3) % 256, (y * 5) % 256, (x + y) % 256))
+    png = encode_png_gray8(4, 6, np.arange(24, dtype=np.uint8).reshape(6, 4))
+    wav = encode_wav_pcm16(16000, [100, -200, 300, -400, 500])
+    media = spark.createDataFrame(
+        [(1, bmp), (2, png), (3, wav)], "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: r
+        for r in decode_image_features(media, fake=False).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    b = decode_bmp_stats(media.filter("media_id = 1")).collect()[0]
+    assert (got[1]["width"], got[1]["height"]) == (b["width"], b["height"])
+    assert got[1]["features"] == [
+        float(b["sum_r"]), float(b["sum_g"]), float(b["sum_b"])
+    ]
+
+    p = decode_png_stats(media.filter("media_id = 2")).collect()[0]
+    assert (got[2]["width"], got[2]["height"]) == (p["width"], p["height"])
+    assert got[2]["features"] == [
+        float(p["sum_lum"]), float(p["min_lum"]), float(p["max_lum"])
+    ]
+
+    w = decode_wav_stats(media.filter("media_id = 3")).collect()[0]
+    assert (got[3]["width"], got[3]["height"]) == (w["n_samples"], 1)
+    assert got[3]["features"] == [
+        float(w["sum_abs"]), float(w["sum_sq"]), float(w["peak"])
+    ]
 
 
 def test_frame_sampling_explodes_rows(spark):
