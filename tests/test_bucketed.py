@@ -29,9 +29,14 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan  # the whole point of bucketing
         n_joined = joined.count()
+
+        # results match the plain (shuffled) join — checked before the
+        # teardown drops the managed tables
+        plain = li.join(od, li.l_orderkey == od.o_orderkey)
+        assert n_joined == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-
-    # and results match the plain (shuffled) join
-    plain = li.join(od, li.l_orderkey == od.o_orderkey)
-    assert n_joined == plain.count()
+        # drop the managed tables so spark-warehouse/ never accumulates
+        # in the working tree (round-3 verdict hygiene item)
+        for t in ("t_lineitem_b", "t_orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
