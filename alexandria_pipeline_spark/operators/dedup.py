@@ -58,8 +58,16 @@ COSINE_THRESHOLD = 0.35
 
 # Deterministic "random" hyperplanes for embedding LSH: integer entries
 # in [-6, 6] from a fixed affine formula — exactly representable, so
-# both engines compute identical projections.
-LSH_PLANES = 4
+# both engines compute identical projections. The plane count is the
+# bucket-granularity knob (2^planes buckets): in-bucket pair volume is
+# ~n²/2^planes, so planes MUST grow with the corpus (~log2(n) - const).
+# Env-overridable like the band knobs above — the oracle SQL is built
+# from the same constant at import, so any setting stays oracle-exact
+# (the measure is bucket-scoped by definition, mirroring the jaccard
+# df-cap convention). sf1 stress measured the cost of NOT scaling it:
+# 4 planes = 16 buckets went quadratic (123 s); 8 planes restored
+# linear-ish scaling.
+LSH_PLANES = int(os.environ.get("SPARK_GRAFT_LSH_PLANES", "4"))
 EMBED_DIM = 64
 _planes = [
     [((p * 31 + d * 17) % 13) - 6 for d in range(EMBED_DIM)] for p in range(LSH_PLANES)
