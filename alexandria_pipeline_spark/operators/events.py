@@ -771,3 +771,40 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "events_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id                 AS last_event_id,
+           round(value, 2)          AS last_value,
+           epoch_us(ts) // 1000000  AS last_ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / last-writer-wins: collapse a change feed to
+    the latest record per key — the MERGE-INTO pattern every lakehouse
+    ingest job runs. Deliberately NOT a row_number window (that
+    sort-shuffles every change row): max(struct(ts, event_id, value))
+    is an ordinary aggregate, so map-side partial aggregation collapses
+    each key to one row per input partition BEFORE the exchange — at
+    100 TB of changes with a bounded key universe, the shuffle carries
+    keys, not history. Struct max is lexicographic, so (ts, event_id)
+    gives the same deterministic tie-break the oracle's ORDER BY
+    ts DESC, event_id DESC does."""
+    e = load_table(spark, sf_dir, "events")
+    latest = e.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("m.event_id").alias("last_event_id"),
+        F.round("m.value", 2).alias("last_value"),
+        F.expr("unix_micros(m.ts) div 1000000").alias("last_ts_s"),
+    )

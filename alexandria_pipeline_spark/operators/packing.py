@@ -444,3 +444,61 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(offsets), "bucket")
         .select("doc_id", (F.col("off") + F.col("rk")).alias("shuffle_pos"))
     )
+
+
+# --------------------------------------------------------------------------
+NEG_SAMPLES_K = 4
+NEG_MULT_A = 1_000_003
+NEG_MULT_B = 10_007
+NEG_OFFSET_C = 7
+
+
+@query(
+    "training_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    cand AS (
+      SELECT a.doc_id, k,
+             (a.doc_id * {NEG_MULT_A} + k * {NEG_MULT_B} + {NEG_OFFSET_C})
+               % n_docs AS neg_key
+      FROM documents a, n
+      CROSS JOIN LATERAL (SELECT unnest(range(0, {NEG_SAMPLES_K})) AS k)
+    )
+    SELECT c.doc_id, CAST(c.k AS INT) AS k, d.doc_id AS neg_id
+    FROM cand c JOIN documents d ON d.doc_id = c.neg_key
+    WHERE c.neg_key <> c.doc_id
+    """,
+)
+def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets K pseudo-random negatives via a fixed affine hash
+    mod corpus size — reproducible across runs, engines, and epochs
+    (seed the constants per epoch for fresh negatives). The candidate
+    key joins back to documents, so only EXISTING docs are emitted
+    (no density assumption on the id space) and self-pairs are
+    filtered. Scale shape: a K-way explode (map-only), a 1-row count
+    broadcast, and ONE equi-join shuffle on the negative key whose
+    volume is exactly K rows per anchor — no sampling-by-sort, no
+    per-partition RNG state, no collect. The affine products stay
+    < 2^63 for doc_id up to ~9e12 (constants are ~1e6)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ks = F.explode(F.array(*[F.lit(k) for k in range(NEG_SAMPLES_K)])).alias("k")
+    cand = (
+        d.join(F.broadcast(n))
+        .select("doc_id", "n_docs", ks)
+        .withColumn(
+            "neg_key",
+            (
+                F.col("doc_id") * NEG_MULT_A
+                + F.col("k") * NEG_MULT_B
+                + NEG_OFFSET_C
+            )
+            % F.col("n_docs"),
+        )
+        .filter(F.col("neg_key") != F.col("doc_id"))
+    )
+    negs = d.select(F.col("doc_id").alias("neg_id"))
+    return cand.join(
+        negs, cand.neg_key == negs.neg_id
+    ).select("doc_id", F.col("k").cast("int").alias("k"), "neg_id")

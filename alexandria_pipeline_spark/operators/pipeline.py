@@ -444,3 +444,65 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_curated", F.lit(0)).alias("n_curated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+CHUNK_WINDOW_TOKENS = 32
+CHUNK_STRIDE_TOKENS = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "doc_chunk_overlap_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE_TOKENS} AS BIGINT) AS start_tok,
+           array_to_string(
+             t[i * {CHUNK_STRIDE_TOKENS} + 1 :
+               i * {CHUNK_STRIDE_TOKENS} + {CHUNK_WINDOW_TOKENS}], ' '
+           ) AS chunk_text
+    FROM toks
+    CROSS JOIN LATERAL (
+      SELECT unnest(range(0, (n - 1) // {CHUNK_STRIDE_TOKENS} + 1)) AS i
+    )
+    """,
+)
+def doc_chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking WITH OVERLAP — the RAG-prep primitive
+    (window 32 tokens, stride 24, so consecutive chunks share 8
+    tokens and no boundary sentence is ever lost to a hard cut;
+    chunk_embed_pool's disjoint split is the no-overlap special
+    case). Map-only: tokenize once, explode one start-offset per
+    stride via sequence(), slice the token array per window. The
+    explode fan-out is n_toks/stride ≈ 1.04 rows per 24 input tokens
+    — linear, no shuffle, payload text never leaves its partition.
+    Chunk ids are (doc_id, chunk_idx), reproducible across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n")
+    )
+    starts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.col("n") - 1) / CHUNK_STRIDE_TOKENS).cast("int"),
+        )
+    ).alias("i")
+    return base.select("doc_id", "t", starts).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i").cast("long") * CHUNK_STRIDE_TOKENS).alias("start_tok"),
+        F.array_join(
+            F.slice(
+                "t",
+                F.col("i") * CHUNK_STRIDE_TOKENS + 1,
+                F.lit(CHUNK_WINDOW_TOKENS),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

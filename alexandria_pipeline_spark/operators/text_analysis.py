@@ -15,8 +15,10 @@ from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     duck_rolling_fingerprint,
+    duck_shingle_codes,
     duck_word_code,
     rolling_fingerprint,
+    shingle_codes,
     word_code,
 )
 from alexandria_pipeline_spark.registry import query
@@ -481,4 +483,76 @@ def text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= NGRAM_TOPK)
         .select("n", "gram", "c")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, lang, unnest(codes) AS code FROM sh
+    ),
+    firstseen AS (
+      SELECT lang, code, min(doc_id) AS first_doc
+      FROM ex GROUP BY lang, code
+    ),
+    scored AS (
+      SELECT e.doc_id,
+             count(*) AS n_codes,
+             sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM ex e JOIN firstseen f ON e.lang = f.lang AND e.code = f.code
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, CAST(n_codes AS BIGINT) AS n_codes,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel * 1000000 // n_codes AS BIGINT) / 1000000.0
+             AS novelty
+    FROM scored
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the fraction of a
+    doc's trigram shingles whose FIRST occurrence (min doc_id per
+    (lang, code)) is this doc — the streaming-ingest curation metric
+    that separates fresh content from recombinations of what the
+    corpus already holds (near-zero novelty ≈ template/boilerplate).
+
+    Scale shape: explode distinct shingles (map-only), ONE groupBy on
+    (lang, code) for global first-seen, join back on the SAME key (the
+    exchange is reused — first-seen is one row per distinct shingle,
+    never df² like a pair join), then a doc_id aggregate. No window,
+    no skew hazard: the join is index-sized on both sides. Novelty is
+    integer-division exact (functions.exact convention) so both
+    engines emit identical decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", shingle_codes(toks).alias("codes")
+    )
+    ex = sh.select("doc_id", "lang", F.explode("codes").alias("code"))
+    firstseen = ex.groupBy("lang", "code").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    scored = (
+        ex.join(firstseen, ["lang", "code"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_codes"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_codes").cast("long"),
+        F.col("n_novel").cast("long"),
+        (int_div(F.col("n_novel") * 1_000_000, F.col("n_codes")) / 1_000_000.0)
+        .alias("novelty"),
     )

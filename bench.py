@@ -86,6 +86,10 @@ HEADLINE = [
     "text_ngram_lm_counts",
     # round-4 additions
     "multimodal_decode_mixed",
+    "events_cdc_latest_state",
+    "training_negative_pairs",
+    "doc_chunk_overlap_windows",
+    "text_ngram_novelty",
 ]
 
 
