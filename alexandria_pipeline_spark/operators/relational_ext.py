@@ -1422,3 +1422,161 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
     return est.join(exact, "o_orderstatus")
+
+
+@query(
+    "sql_recursive_ancestors",
+    oracle="""
+    WITH RECURSIVE anc(doc_id, ancestor, depth) AS (
+      SELECT doc_id, doc_id // 7, 1
+      FROM documents WHERE doc_id > 0
+      UNION ALL
+      SELECT doc_id, ancestor // 7, depth + 1
+      FROM anc WHERE ancestor > 0
+    )
+    SELECT doc_id, ancestor, CAST(depth AS INT) AS depth
+    FROM anc
+    """,
+)
+def sql_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): transitive closure of a
+    synthetic containment hierarchy (parent = doc_id div 7, root 0) —
+    the org-chart / bill-of-materials walk that previously needed a
+    driver-side iteration loop (the dedup_connected_components
+    pattern) and is now a single declarative statement both engines
+    execute natively.
+
+    Scale shape: each recursion step is one self-referential projection
+    + union; depth is bounded by log7(max_id) (~12 levels even at 1e10
+    ids), so the iterative plan runs a FIXED small number of stages,
+    each map-only — no joins, no shuffle growth per level. The
+    recursion depth is data-bounded, not driver-configured."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, ancestor, depth) AS (
+          SELECT doc_id, doc_id div 7, 1
+          FROM docs_v WHERE doc_id > 0
+          UNION ALL
+          SELECT doc_id, ancestor div 7, depth + 1
+          FROM anc WHERE ancestor > 0
+        )
+        SELECT doc_id, ancestor, CAST(depth AS INT) AS depth
+        FROM anc
+        """
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      first_value(o_orderkey) OVER w  AS first_in_cust,
+      last_value(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      )                               AS last_in_cust,
+      nth_value(o_orderkey, 2) OVER w AS second_in_cust
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit ROWS frames —
+    the navigation-function battery with the frame semantics spelled
+    out (last_value needs the UNBOUNDED FOLLOWING frame or it
+    degenerates to current row; nth_value(…, 2) over the default
+    running frame is NULL until the partition's second row arrives —
+    both classic SQL footguns, both mirrored exactly by the oracle).
+    One shuffle on o_custkey shared by all three functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w_run).alias("first_in_cust"),
+        F.last("o_orderkey").over(w_full).alias("last_in_cust"),
+        F.nth_value("o_orderkey", 2).over(w_run).alias("second_in_cust"),
+    )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT
+      event_id,
+      event_id & 255                    AS low_byte,
+      event_id | 4096                   AS with_flag,
+      xor(event_id, user_id)            AS id_xor,
+      event_id << 3                     AS shl3,
+      event_id >> 2                     AS shr2,
+      bit_count(CAST(event_id AS BIGINT)) AS popcount
+    FROM events
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery (&, |, xor, shifts, popcount) — the ops
+    every hash/bucket/bloom expression compiles down to, exercised as
+    first-class surface. Map-only codegen."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.shiftleft("event_id", 3).alias("shl3"),
+        F.shiftright("event_id", 2).alias("shr2"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.s_suppkey, round(t.s_acctbal, 2) AS s_acctbal
+    FROM nation n
+    CROSS JOIN LATERAL (
+      SELECT s_suppkey, s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_suppkey
+      LIMIT 3
+    ) t
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 suppliers per nation) — the
+    SQL-surface twin of window_rank_topn_per_group, run through
+    spark.sql to prove the LATERAL form plans too. Catalyst rewrites
+    the correlated limit into the same partitioned-rank shape, so the
+    plan is one supplier shuffle + a broadcast nation join — the
+    LATERAL never executes per-row."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_suppkey, round(t.s_acctbal, 2) AS s_acctbal
+        FROM nation_v n
+        JOIN LATERAL (
+          SELECT s_suppkey, s_acctbal
+          FROM supplier_v s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey
+          LIMIT 3
+        ) t
+        """
+    )
