@@ -401,6 +401,15 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
     # exploded row twice, once for df and once for n_codes, and was the
     # measured bottleneck of the whole jaccard plan: ~5s of its 4-6s at
     # sf0.1 was index construction, not the candidate join.)
+    #
+    # sh is referenced by BOTH the df-count branch and the array_except
+    # branch below; without persist the shingle_codes expression — the
+    # most expensive map work in the plan — is evaluated twice per run.
+    # (Measurement hygiene note: persist() registers in the session
+    # CacheManager keyed by the logical plan, so re-running the
+    # IDENTICAL query reuses the cache — time this operator single-shot
+    # in a fresh plan, or the second run measures the cache.)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     dfc = (
         sh.select("lang", F.explode("codes").alias("code"))
         .groupBy("lang", "code")
