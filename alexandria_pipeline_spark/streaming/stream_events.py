@@ -446,3 +446,41 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id                 AS last_event_id,
+           round(value, 2)          AS last_value,
+           epoch_us(ts) // 1000000  AS last_ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of events_cdc_latest_state: the change feed is
+    consumed by the streaming engine and compacted to latest-per-key
+    with the same map-side-combining max(struct(...)) aggregate —
+    streaming state is ONE struct per key (bounded by the key
+    universe, not the change volume), updated incrementally per
+    micro-batch. With all input available, complete-mode output equals
+    the batch CDC query, which is what the oracle checks; against a
+    live Kafka/file source this is the continuously-maintained MERGE
+    target, no rewrite per batch."""
+    events = read_events_stream(spark, sf_dir)
+    latest = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.event_id").alias("last_event_id"),
+            F.round("m.value", 2).alias("last_value"),
+            F.expr("unix_micros(m.ts) div 1000000").alias("last_ts_s"),
+        )
+    )
+    return _run_to_memory(latest, "complete")
