@@ -244,3 +244,53 @@ def test_pagerank_checkpoint_rotation_invariant(spark):
         for r in pagerank_ranks(edges_deg, deg, iters=6, checkpoint_every=2).collect()
     }
     assert plain == rotated and len(plain) == 4, (plain, rotated)
+
+
+def test_featurize_split_identity_on_adversarial_strings(spark):
+    """featurize() computes the token-length sum as
+    length(text) - (n_tokens - 1) — the single-char-delimiter split
+    identity — instead of an interpreted aggregate HOF. Lock the
+    identity (and the keyword-count array_remove rewrite) against the
+    direct HOF formulation on the inputs where split() semantics get
+    weird: empty string, lone/leading/trailing/repeated spaces, and
+    keyword-only strings."""
+    from pyspark.sql import functions as F
+
+    from alexandria_pipeline_spark.functions.featurizer import featurize
+
+    rows = [
+        (0, ""), (1, " "), (2, "  "), (3, "a"), (4, " a"), (5, "a "),
+        (6, "a  b"), (7, "spark spark the the"), (8, "the"),
+        (9, "x " * 50 + "join"), (10, "data  data   data"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    toks = F.split("text", " ")
+
+    # NB: a 2-parameter lambda means (element, index) to PySpark HOFs,
+    # so bind the keyword via a factory, not a default arg
+    def _eq(kw):
+        return lambda t: t == F.lit(kw)
+
+    ref = df.select(
+        "id",
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("len_sum"),
+        *[
+            F.size(F.filter(toks, _eq(k))).alias(f"kw_{k}")
+            for k in ("spark", "join", "data", "the")
+        ],
+    )
+    got = df.select(
+        "id",
+        (F.length("text") - (F.size(toks) - F.lit(1))).cast("long").alias("len_sum"),
+        *[
+            (F.size(toks) - F.size(F.array_remove(toks, k))).alias(f"kw_{k}")
+            for k in ("spark", "join", "data", "the")
+        ],
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+    # and the full featurize() runs clean on every adversarial row
+    assert df.select(featurize("text")).count() == len(rows)
