@@ -1012,3 +1012,109 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1_000_000.0).alias("containment"),
         )
     )
+
+
+def _duck_match_sum() -> str:
+    return " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+
+
+@query(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             ({_duck_band_case('b')}) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_duck_match_sum()}) AS INT) AS n_match,
+           CAST(({_duck_match_sum()}) * 1000000 // {NUM_HASHES} AS BIGINT)
+             / 1000000.0 AS jaccard_est
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.doc_a
+    JOIN sigs y ON y.doc_id = c.doc_b
+    """,
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE-SKETCH dedup path: same banded candidate generation as
+    dedup_minhash_lsh, but similarity comes from the SIGNATURES alone
+    — estimate = (matching permutations)/NUM_HASHES, the unbiased
+    MinHash estimator of Jaccard (Broder '97) — and the documents'
+    shingle sets are NEVER re-read after sketching. This is the plan
+    you run when exact verification can't touch the corpus again
+    (sketches fit in memory at 100 TB; documents don't): verify cost
+    is 16 bytes/pair of signature compare instead of a shingle-set
+    rejoin. dedup_minhash_lsh remains the exact-verify twin; this
+    query is the estimator whose error the sketch literature bounds at
+    O(1/sqrt(k)). Oracle computes the identical estimate, so the
+    sketch arithmetic itself is value-checked cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", shingle_codes(toks).alias("codes")
+    )
+    exploded = sh.select("doc_id", F.explode("codes").alias("code"))
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    band_vals = F.array(
+        *[
+            sum(
+                F.col(f"m{b * ROWS_PER_BAND + j}")
+                * (MINHASH_P ** (ROWS_PER_BAND - 1 - j))
+                for j in range(ROWS_PER_BAND)
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"xa{i}") for i in range(NUM_HASHES)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"yb{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("n_match", n_match.cast("int"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            (int_div(F.col("n_match").cast("long") * 1_000_000, F.lit(NUM_HASHES))
+             / 1_000_000.0).alias("jaccard_est"),
+        )
+    )

@@ -68,3 +68,29 @@ def test_approx_percentiles_within_rank_error(spark, duck):
                 f"{flag}.{col}: {r[col]} outside exact bracket"
                 f" [{lo}, {hi}] (rank +/-{slack})"
             )
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The pure-sketch estimator (n_match/8) must track the exact
+    Jaccard of the same candidate pairs: k=8 permutations give
+    std ~ sqrt(J(1-J)/8) <= 0.18, so an exact-verified pair
+    (J >= 0.5) estimating below 0.125 (~2 sigma + slack) means the
+    signature arithmetic is broken, not noisy."""
+    from alexandria_pipeline_spark import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in QUERIES["dedup_minhash_jaccard_estimate"](spark, SF_SMOKE).collect()
+    }
+    assert exact, "expected near-dup pairs in the smoke corpus"
+    # every exact-verified pair must appear among sketch candidates
+    # (identical banding) with a sane estimate
+    for pair, j in exact.items():
+        assert pair in est, pair
+        assert est[pair] >= 0.125, (pair, j, est[pair])
