@@ -556,3 +556,75 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int_div(F.col("n_novel") * 1_000_000, F.col("n_codes")) / 1_000_000.0)
         .alias("novelty"),
     )
+
+
+VOCAB_GROWTH_BUCKETS = 20
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    firstseen AS (
+      SELECT w, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    bucketed AS (
+      SELECT least({VOCAB_GROWTH_BUCKETS - 1},
+                   first_doc * {VOCAB_GROWTH_BUCKETS} // (max_id + 1)) AS bucket,
+             count(*) AS new_words
+      FROM firstseen, mx
+      GROUP BY 1
+    )
+    SELECT CAST(a.bucket AS INT) AS bucket,
+           CAST(a.new_words AS BIGINT) AS new_words,
+           CAST(sum(b.new_words) AS BIGINT) AS cum_words
+    FROM bucketed a JOIN bucketed b ON b.bucket <= a.bucket
+    GROUP BY a.bucket, a.new_words
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve in corpus-ingest order:
+    how many distinct word types exist after each twentieth of the
+    doc-id range — the saturation diagnostic that tells a data-mixing
+    job whether a source still contributes novel vocabulary or has
+    gone asymptotic (stop ingesting) and feeds tokenizer-vocab sizing.
+
+    Scale shape: explode words (map-only; partial agg collapses
+    repeats per partition), ONE groupBy on word for global first-seen
+    (the only corpus-sized shuffle; common words are exactly the ones
+    partial aggregation collapses, so the word-frequency skew never
+    reaches the exchange), bucket by a 1-row max broadcast, then the
+    cumulative sum runs as a triangular join over the B=20-row bucket
+    aggregate — constant-size, no window at all (the
+    window_distribution_funcs convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    firstseen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucket = F.least(
+        F.lit(VOCAB_GROWTH_BUCKETS - 1),
+        F.expr(f"first_doc * {VOCAB_GROWTH_BUCKETS} div (max_id + 1)"),
+    )
+    bucketed = (
+        firstseen.join(F.broadcast(mx))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    prior = bucketed.select(
+        F.col("bucket").alias("pb"), F.col("new_words").alias("pn")
+    )
+    return (
+        bucketed.join(prior, F.col("pb") <= F.col("bucket"))
+        .groupBy("bucket", "new_words")
+        .agg(F.sum("pn").alias("cum_words"))
+        .select(
+            F.col("bucket").cast("int"),
+            F.col("new_words").cast("long"),
+            F.col("cum_words").cast("long"),
+        )
+    )
