@@ -1580,3 +1580,55 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      CAST(f.cohort_m AS INT)                                  AS cohort_m,
+      CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+           - f.cohort_m AS INT)                                AS months_since,
+      CAST(count(DISTINCT o.o_custkey) AS BIGINT)              AS active_customers,
+      round(sum(o.o_totalprice), 2)                            AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort analysis: customers grouped by first-order month,
+    revenue and active count tracked by months-since-acquisition — the
+    retention/LTV matrix every growth dashboard is built on. Months as
+    exact integers (year*12 + month), never float date arithmetic.
+
+    Scale shape: the first-order table is one partial-aggregated
+    groupBy on o_custkey; the fact join shuffles on the SAME key, so
+    AQE reuses the exchange; the final cohort-cell aggregate has
+    months² cells — bounded by time span, not data. The cohort table
+    grows with customers (a fact, not a dimension), so it is NOT
+    broadcast-hinted — at dimension-like sizes AQE will pick broadcast
+    from measured stats on its own."""
+    o = load_table(spark, sf_dir, "orders")
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    firsts = (
+        o.select("o_custkey", month_idx.alias("m"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("cohort_m"))
+    )
+    return (
+        o.select("o_custkey", month_idx.alias("order_m"), "o_totalprice")
+        .join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_m").cast("int").alias("cohort_m"),
+            (F.col("order_m") - F.col("cohort_m")).cast("int").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
