@@ -808,3 +808,38 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m.value", 2).alias("last_value"),
         F.expr("unix_micros(m.ts) div 1000000").alias("last_ts_s"),
     )
+
+
+@query(
+    "events_path_analysis",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event paths (the
+    what-happens-after-X product-analytics staple, and the input to
+    any next-event prediction baseline): lead() within user ordered by
+    (ts, event_id), then count (from, to) pairs. One shuffle on
+    user_id for the window; the transition aggregate runs on
+    event-type² cells — bounded by the type vocabulary, with map-side
+    combine doing almost all of the work."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

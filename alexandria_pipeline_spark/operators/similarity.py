@@ -17,6 +17,8 @@ from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
 from alexandria_pipeline_spark.registry import query
 
+EMBED_DIM = 64  # embeddings table vector width (see module docstring)
+
 TOP_K = 5
 QUERY_IDS = (0, 1, 2)
 N_CENTROIDS = 8
@@ -841,4 +843,48 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("score", 6) + 0.0).alias("cos_sim"),
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+@query(
+    "embedding_dim_profile",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(d AS INT) AS dim,
+             CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+      FROM embeddings
+      CROSS JOIN LATERAL (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS d)
+    )
+    SELECT dim,
+           CAST(min(x_e6) AS BIGINT) / 1000000.0 AS min_val,
+           CAST(max(x_e6) AS BIGINT) / 1000000.0 AS max_val,
+           CAST(sum(x_e6) // count(*) AS BIGINT) / 1000000.0 AS mean_val,
+           CAST(count(CASE WHEN x_e6 = 0 THEN 1 END) AS BIGINT) AS n_zero
+    FROM ex GROUP BY dim
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column — min/max/mean and
+    zero counts per dim, the data-QA scan that catches dead dimensions
+    (all-zero), collapsed ranges, and scaling bugs before a 100-TB
+    index build wastes a cluster-day on broken vectors. Values are
+    profiled in exact 1e-6-scaled int64 (the functions.exact
+    convention): a float sum's result depends on reduction order, which
+    differs across engines AND across partition counts, so an exact
+    integer sum is the only mean both DuckDB and every cluster size
+    agree on bit-for-bit. One posexplode (map-only) + one partial-
+    aggregated groupBy on dim — EMBED_DIM groups regardless of corpus
+    size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("x_e6"),
+    )
+    return ex.groupBy("dim").agg(
+        (F.min("x_e6") / 1_000_000.0).alias("min_val"),
+        (F.max("x_e6") / 1_000_000.0).alias("max_val"),
+        (int_div(F.sum("x_e6"), F.count(F.lit(1))) / 1_000_000.0).alias("mean_val"),
+        F.count(F.when(F.col("x_e6") == 0, 1)).alias("n_zero"),
     )
