@@ -1,0 +1,341 @@
+"""Lakehouse-maintenance & snapshot operators: the jobs a 100 TB
+table needs BETWEEN queries — snapshot diffing for audit/CDC
+validation, small-file compaction planning, data-layout (zone-map)
+effectiveness diagnostics, exact dedup that keeps the BEST record
+rather than the first, and corpus-distribution drift monitoring.
+
+Reference analog: the reference's pipeline re-runs and reconciliation
+counts (process.py:131-149) are the manual version of snapshot_diff;
+its fixed 2k-row shard sink (run.py:96-102, SURVEY §2.1 S5) is what
+maintenance_compaction_plan exists to clean up after.
+
+All plans here are single-digit-shuffle with bounded group counts:
+snapshot diff is one co-partitioned full-outer join on the primary
+key; the compaction planner's window runs over per-partition FILE
+lists (bounded by files-per-partition, not rows); drift and zone-map
+stats aggregate to dimension-sized outputs with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+# Two deterministic snapshots derived from orders:
+#   snapshot A drops keys ≡7 (mod 10)  -> those appear "added" in B
+#   snapshot B drops keys ≡4 (mod 10)  -> those appear "deleted"
+#   snapshot B bumps totalprice on ≡3  -> those appear "changed"
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN round(o_totalprice + 1.00, 2)
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders WHERE o_orderkey % 10 <> 4
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+    FROM (
+      SELECT
+        CASE
+          WHEN a.o_orderkey IS NULL THEN 'added'
+          WHEN b.o_orderkey IS NULL THEN 'deleted'
+          WHEN a.price <> b.price OR a.o_orderstatus <> b.o_orderstatus
+            THEN 'changed'
+          ELSE 'unchanged'
+        END AS change_type,
+        coalesce(a.o_orderkey, b.o_orderkey) AS k
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    GROUP BY change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two table snapshots (added / deleted /
+    changed / unchanged) — the validation a pipeline runs after a
+    backfill or a CDC replay to prove the new snapshot differs only
+    where expected. One full-outer sort-merge join on the primary
+    key: both sides shuffle once on o_orderkey and AQE coalesces the
+    result; with bucketed snapshot storage (sources/bucketed.py) the
+    exchange disappears entirely. The summary aggregate is 4 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("a_status"),
+        F.round("o_totalprice", 2).alias("a_price"),
+    )
+    b = o.filter(F.col("o_orderkey") % 10 != 4).select(
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.round(F.col("o_totalprice") + 1.00, 2)
+        )
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("b_price"),
+    )
+    j = a.join(b, a.o_orderkey == b.b_orderkey, "full_outer")
+    classified = j.select(
+        F.when(F.col("o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b_orderkey").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("a_price") != F.col("b_price"))
+            | (F.col("a_status") != F.col("b_status")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce("o_orderkey", "b_orderkey").alias("k"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintenance_compaction_plan
+# ---------------------------------------------------------------------------
+
+N_FILES_PER_PART = 40  # modeled small files per table partition
+BYTES_PER_ROW = 128  # modeled on-disk bytes per row
+TARGET_BYTES = 100_000  # compaction target output size
+
+
+@query(
+    "maintenance_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT l_returnflag AS part_key,
+             l_orderkey % {N_FILES_PER_PART} AS file_id,
+             CAST(count(*) * {BYTES_PER_ROW} AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT part_key, file_id, bytes,
+             (sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id
+                               ROWS UNBOUNDED PRECEDING) - bytes)
+               // {TARGET_BYTES} AS grp
+      FROM files
+    )
+    SELECT part_key, CAST(grp AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS group_bytes
+    FROM planned GROUP BY part_key, grp
+    """,
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per table-partition, greedily
+    bin-pack files (in file-id order) into rewrite groups of
+    ~TARGET_BYTES via an exclusive running sum — exactly how a
+    lakehouse OPTIMIZE job plans rewrites. The only window runs over
+    per-partition FILE LISTS (≤ N_FILES_PER_PART rows each), never
+    over data rows, so the plan step costs the same at 100 TB as at
+    1 GB; the file-stats aggregate underneath is one map-side-combined
+    shuffle on (partition, file)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part_key"),
+        (F.col("l_orderkey") % N_FILES_PER_PART).alias("file_id"),
+    ).agg((F.count(F.lit(1)) * BYTES_PER_ROW).alias("bytes"))
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn(
+        "grp",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / TARGET_BYTES).cast("long"),
+    )
+    return planned.groupBy("part_key", F.col("grp").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("group_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# files_zone_map_skipping
+# ---------------------------------------------------------------------------
+
+PRED_LO, PRED_HI = "1994-01-01", "1994-12-31"
+N_ZONE_FILES = 64
+
+
+@query(
+    "files_zone_map_skipping",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT l_orderkey % {N_ZONE_FILES} AS file_id,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      FROM lineitem GROUP BY 1
+    ),
+    clustered AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS file_id,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi
+      FROM lineitem GROUP BY 1
+    ),
+    tagged AS (
+      SELECT 'hashed' AS layout, * FROM hashed
+      UNION ALL SELECT 'clustered', * FROM clustered
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (
+             WHERE hi < DATE '{PRED_LO}' OR lo > DATE '{PRED_HI}'
+           ) AS BIGINT) AS n_skippable
+    FROM tagged GROUP BY layout
+    """,
+)
+def files_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout effectiveness diagnostic: build per-file zone maps
+    (min/max l_shipdate) under two layouts — ingestion-hash file
+    assignment vs shipdate-clustered (what the in-repo Z-order sink
+    produces) — and count how many files a one-year predicate could
+    skip outright. The answer motivates clustering at 100 TB: hashed
+    layouts skip ~nothing because every file spans the full date
+    range; clustered layouts skip every out-of-range month. Two
+    map-side-combined aggregates to file-count-sized outputs; no
+    windows, no joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hashed = li.groupBy(
+        (F.col("l_orderkey") % N_ZONE_FILES).alias("file_id")
+    ).agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    clustered = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("file_id")
+    ).agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    tagged = hashed.select(F.lit("hashed").alias("layout"), "*").unionByName(
+        clustered.select(F.lit("clustered").alias("layout"), "*")
+    )
+    skippable = (F.col("hi") < F.lit(PRED_LO).cast("date")) | (
+        F.col("lo") > F.lit(PRED_HI).cast("date")
+    )
+    return tagged.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.count(F.when(skippable, 1)).alias("n_skippable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_keep_best
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_keep_best",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, h AS text_hash
+    FROM normed
+    QUALIFY row_number() OVER (
+      PARTITION BY h ORDER BY n_chars DESC, doc_id
+    ) = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST record per duplicate group
+    (longest text, then lowest doc_id) instead of an arbitrary first —
+    the policy real corpus dedup uses so the retained copy is the
+    highest-quality one. Expressed as max(struct(quality, -doc_id))
+    over the normalized-text hash: an ordinary aggregate, so map-side
+    partial aggregation collapses each duplicate group to one candidate
+    per input partition BEFORE the exchange — the shuffle carries one
+    row per group, not per duplicate. Contrast dedup_exact_keep_first
+    (dedup.py:87), which is the min-key policy."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    best = (
+        d.select("doc_id", "lang", "n_chars", h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("lang"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select(
+        (-F.col("m.neg_id")).alias("doc_id"),
+        F.col("m.lang").alias("lang"),
+        F.col("m.n_chars").alias("n_chars"),
+        F.col("text_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_lang_drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_lang_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT lang, doc_id % 2 AS snap FROM documents
+    ),
+    per AS (
+      SELECT lang,
+             count(*) FILTER (WHERE snap = 0) AS n_old,
+             count(*) FILTER (WHERE snap = 1) AS n_new
+      FROM halves GROUP BY lang
+    ),
+    tot AS (
+      SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM per
+    )
+    SELECT lang, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_old * 10000 // t_old AS BIGINT) AS old_per_10k,
+           CAST(n_new * 10000 // t_new AS BIGINT) AS new_per_10k,
+           CAST(abs(n_new * 10000 // t_new - n_old * 10000 // t_old) AS BIGINT)
+             AS drift_per_10k
+    FROM per, tot
+    """,
+)
+def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots
+    (deterministically split by doc_id parity): per-language share in
+    parts-per-10k for each snapshot plus the absolute drift — the
+    check a training-data pipeline runs before mixing a new crawl into
+    the corpus. Integer rate math (x*10000 div total) keeps the hash
+    cross-engine-exact. One conditional-count aggregate to a
+    language-sized output; the totals are a 1-row cross join broadcast
+    back — nothing here scales with corpus size except the first
+    map-side-combined scan."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_old"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_new"),
+    )
+    tot = per.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    old_rate = F.expr("n_old * 10000 div t_old")
+    new_rate = F.expr("n_new * 10000 div t_new")
+    return j.select(
+        "lang",
+        "n_old",
+        "n_new",
+        old_rate.alias("old_per_10k"),
+        new_rate.alias("new_per_10k"),
+        F.abs(new_rate - old_rate).alias("drift_per_10k"),
+    )

@@ -69,6 +69,7 @@ def register_all() -> None:
         curation,
         packing,
         quality,
+        maintenance,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 

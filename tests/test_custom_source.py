@@ -77,7 +77,9 @@ def test_streaming_python_datasource_offsets_and_replay(spark):
             .trigger(processingTime="1 second")
             .start()
         )
-        deadline = time.time() + 150
+        # generous: micro-batches take seconds normally but minutes when
+        # the suite shares the machine with other Spark sessions
+        deadline = time.time() + 420
         while time.time() < deadline:
             try:
                 if spark.read.parquet(out).count() >= target_rows:
