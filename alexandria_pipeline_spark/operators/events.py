@@ -843,3 +843,189 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_us
+      FROM events
+    ),
+    dur AS (
+      SELECT user_id, cents, (next_us - us) // 1000000 AS dur_s
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)     AS n_intervals,
+           CAST(sum(dur_s) AS BIGINT)   AS active_seconds,
+           CAST(sum(cents * dur_s) // sum(dur_s) AS BIGINT) AS twap_cents
+    FROM dur
+    GROUP BY user_id
+    HAVING sum(dur_s) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style) of the event value per user:
+    each reading holds until the next one, so its weight is the
+    interval length — the standard irregular-time-series mean for
+    sensor/price feeds, where the plain AVG over-weights bursts.
+    Exact integer math end-to-end (cents x whole seconds, integer
+    division) so the hash is cross-engine-stable with no float
+    rounding. One user_id shuffle shared by the lead() window and the
+    per-user aggregate; output is one row per active user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("next_us"),
+    )
+    dur = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "cents",
+        F.expr("(next_us - us) div 1000000").alias("dur_s"),
+    )
+    return (
+        dur.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_s").alias("active_seconds"),
+            F.expr("sum(cents * dur_s) div sum(dur_s)").alias("twap_cents"),
+        )
+        .filter(F.col("active_seconds") > 0)
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT touch AS channel,
+           CAST(count(*) AS BIGINT)   AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM tagged
+    WHERE event_type = 'purchase' AND touch IS NOT NULL
+    GROUP BY touch
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the most
+    recent preceding non-purchase event type for that user — the
+    marketing-analytics workhorse. last(..., ignorenulls) over an
+    UNBOUNDED PRECEDING..1 PRECEDING frame does the per-user carry in
+    the same single user_id shuffle the other event windows use; the
+    attribution rollup is one event-type-sized aggregate with map-side
+    combine. Revenue is integer cents so the hash is float-free."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase") & F.col("touch").isNotNull()
+        )
+        .groupBy(F.col("touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS opened,
+             max(CAST(l.l_shipdate AS DATE)) AS closed
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT opened AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT closed + 1 AS day, -1 AS delta FROM spans
+    ),
+    daily AS (
+      SELECT day,
+             CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opened,
+             CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed,
+             sum(delta) AS net
+      FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_at_eod
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time concurrency (interval stabbing): how many orders
+    were OPEN on each calendar day, where an order spans o_orderdate
+    through its last lineitem shipdate. The classic sweep-line
+    rewrite: explode each span to a +1/-1 boundary delta, aggregate
+    per day, then one running sum over DAYS — the unpartitioned window
+    runs over one row per calendar day (bounded by the time span, the
+    events_cumulative_distinct_users precedent at events.py:605),
+    never over orders. The span build is one o_orderkey join+agg
+    shuffle; everything after is day-cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("closed"))
+        .select(F.col("od").alias("opened"), "closed")
+    )
+    deltas = spans.select(
+        F.col("opened").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("closed", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_closed"),
+        F.sum("delta").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).alias("open_at_eod"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
 
 EMBED_DIM = 64  # embeddings table vector width (see module docstring)
 
@@ -887,4 +887,55 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x_e6") / 1_000_000.0).alias("max_val"),
         (int_div(F.sum("x_e6"), F.count(F.lit(1))) / 1_000_000.0).alias("mean_val"),
         F.count(F.when(F.col("x_e6") == 0, 1)).alias("n_zero"),
+    )
+
+
+# Composed evaluation: ground truth (exact brute force) vs the ANN
+# index (IVF multi-probe), both already registered above — the oracle
+# nests their oracle SQL as CTEs so the eval is checked end-to-end.
+_BF_ORACLE = ORACLES["knn_brute_force"]
+_MP_ORACLE = ORACLES["knn_ivf_multiprobe"]
+
+
+@query(
+    "ann_eval_recall",
+    oracle=f"""
+    WITH gt AS ({_BF_ORACLE}),
+         ap AS ({_MP_ORACLE})
+    SELECT gt.query_id,
+           CAST(count(*) AS BIGINT)               AS k,
+           CAST(count(ap.neighbor_id) AS BIGINT)  AS n_matched,
+           CAST(count(ap.neighbor_id) * 100 // count(*) AS BIGINT)
+             AS recall_pct
+    FROM gt LEFT JOIN ap
+      ON gt.query_id = ap.query_id AND gt.neighbor_id = ap.neighbor_id
+    GROUP BY gt.query_id
+    """,
+)
+def ann_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF multi-probe index against exact brute-force
+    ground truth — the acceptance test every ANN deployment runs
+    before trading exactness for speed, expressed as a composition of
+    the two registered operators (same plans, same constants). The
+    eval join runs over k x |queries| rows (tiny at any corpus scale:
+    ground truth and candidates are both top-k outputs), so the cost
+    IS the two underlying searches; at 100 TB the brute-force leg is
+    what you sample queries for, not the index leg. Integer recall
+    percent keeps the hash float-free."""
+    gt = QUERIES["knn_brute_force"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ap = QUERIES["knn_ivf_multiprobe"](spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+    )
+    j = gt.join(
+        ap,
+        (gt.query_id == ap.a_qid) & (gt.neighbor_id == ap.a_nid),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("a_nid").alias("n_matched"),
+        F.expr("count(a_nid) * 100 div count(1)").alias("recall_pct"),
     )

@@ -628,3 +628,100 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_words").cast("long"),
         )
     )
+
+
+PMI_MIN_COUNT = 5  # bigrams rarer than this are noise, not collocations
+PMI_TOP_N = 40
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(t) AS word FROM toks)
+      GROUP BY word
+    ),
+    tot AS (SELECT sum(n_w) AS n_tokens FROM uni),
+    bi AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+      )
+      GROUP BY bigram
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+           CAST(n_ab * n_tokens * 1000 // (a.n_w * b.n_w) AS BIGINT)
+             AS lift_milli
+    FROM bi
+    JOIN uni a ON a.word = string_split(bigram, ' ')[1]
+    JOIN uni b ON b.word = string_split(bigram, ' ')[2]
+    CROSS JOIN tot
+    ORDER BY lift_milli DESC, bigram
+    LIMIT {PMI_TOP_N}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by (integer-scaled) PMI lift
+    P(ab)/(P(a)P(b)) — how corpora surface multi-word expressions
+    worth protecting from tokenizer splits. Unigram and bigram counts
+    are two map-side-combined shuffles on word keys (the unigram table
+    grows with VOCABULARY, not corpus, so these stay shuffle joins —
+    never broadcast); the grand total is a 1-row broadcast. The top-N
+    is orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    per-partition heaps, no single-partition sort. Lift is exact
+    int64 (n_ab * n_tokens * 1000 div n_a*n_b) so the hash carries no
+    float noise; the (lift, bigram) tiebreak makes the cut unique."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    uni = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").alias("n_tokens"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bi = (
+        d.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COUNT)
+    )
+    w1 = F.split("bigram", " ").getItem(0)
+    w2 = F.split("bigram", " ").getItem(1)
+    a = uni.select(F.col("word").alias("wa"), F.col("n_w").alias("n_a"))
+    b = uni.select(F.col("word").alias("wb"), F.col("n_w").alias("n_b"))
+    joined = (
+        bi.withColumn("wa", w1)
+        .withColumn("wb", w2)
+        .join(a, "wa")
+        .join(b, "wb")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * n_tokens * 1000 div (n_a * n_b)").alias(
+                "lift_milli"
+            ),
+        )
+        .orderBy(F.desc("lift_milli"), "bigram")
+        .limit(PMI_TOP_N)
+    )
