@@ -1029,3 +1029,93 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("net").over(w).alias("open_at_eod"),
     )
+
+
+@query(
+    "events_rolling_7d_distinct",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS win_end
+      FROM user_days, range(0, 7) t(i)
+    ),
+    bounds AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                      max(CAST(ts AS DATE)) AS hi FROM events)
+    SELECT CAST(win_end AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM contrib, bounds
+    WHERE win_end >= lo AND win_end <= hi
+    GROUP BY win_end
+    """,
+)
+def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the DAU/WAU-style
+    engagement metric. Sliding DISTINCT windows don't decompose into
+    ordinary window frames, so the scalable rewrite is
+    contribute-and-count: reduce to distinct (user, day) pairs first
+    (the big map-side-combined shuffle — bounded by users x days, not
+    events), explode each pair into the 7 window-end days it serves
+    (a fixed x7 row generation, never data-dependent), and count
+    distinct per day. Two shuffles total; the bounds filter trims
+    partial windows past the data edge identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_end"),
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("win_end") >= F.col("lo")) & (F.col("win_end") <= F.col("hi")))
+        .groupBy(F.col("win_end").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
+
+
+@query(
+    "events_user_mode_type",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM cnt
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type
+    ) = 1
+    """,
+)
+def events_user_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (the per-group mode/argmax): count
+    per (user, type), then keep the max by (count, type-name
+    tiebreak) — expressed as min(struct(-n, type)) so BOTH
+    reductions are ordinary aggregates with map-side combine and the
+    user_id shuffle carries at most |type-universe| rows per user,
+    never raw events (a row_number window would sort-shuffle the
+    whole count table instead). Negating the count inside the struct
+    makes lexicographic MIN mean (count DESC, type ASC) — identical
+    to the oracle's ORDER BY n DESC, event_type — with no dependence
+    on knowing the type domain."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = cnt.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), "event_type", "n")).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.event_type").alias("modal_type"),
+        F.col("m.n").alias("n_events"),
+    )

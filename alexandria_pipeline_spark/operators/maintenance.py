@@ -339,3 +339,104 @@ def corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_rate.alias("new_per_10k"),
         F.abs(new_rate - old_rate).alias("drift_per_10k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_apply
+# ---------------------------------------------------------------------------
+
+# Deterministic change batch derived from orders:
+#   keys ≡0 (mod 7): UPDATE  (status -> 'X', price +10)
+#   keys ≡1 (mod 7): DELETE
+#   synthetic keys max+1..max+500: INSERT
+
+
+@query(
+    "merge_upsert_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders
+    ),
+    mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    changes AS (
+      SELECT o_orderkey, 'U' AS op, 'X' AS new_status,
+             round(o_totalprice + 10.00, 2) AS new_price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT mk + i, 'I', 'N', round(i * 1.25, 2)
+      FROM mx, range(1, 501) t(i)
+    ),
+    merged AS (
+      SELECT
+        coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        CASE WHEN c.op IN ('U', 'I') THEN c.new_status
+             ELSE b.o_orderstatus END AS status,
+        CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+             ELSE b.price END AS price
+      FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(price), 2) + 0 AS total_price
+    FROM merged GROUP BY status
+    """,
+)
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: apply a change batch
+    (updates / deletes / inserts) to a base snapshot in ONE full-outer
+    join on the key — the lakehouse upsert that pairs with
+    snapshot_diff (detect) and events_cdc_latest_state (compact).
+    Both sides shuffle once on the primary key; with bucketed base
+    storage the base side's exchange disappears. The summary
+    aggregates to status-cardinality rows; sums are round()ed in both
+    engines so partial-agg order can't leak into the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status0"),
+        F.round("o_totalprice", 2).alias("price0"),
+    )
+    mk = o.agg(F.max("o_orderkey").alias("mk"))
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("new_status"),
+        F.round(F.col("o_totalprice") + 10.00, 2).alias("new_price"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 7 == 1).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    inserts = (
+        spark.range(1, 501)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("mk") + F.col("id")).alias("c_key"),
+            F.lit("I").alias("op"),
+            F.lit("N").alias("new_status"),
+            F.round(F.col("id") * 1.25, 2).alias("new_price"),
+        )
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = (
+        base.join(changes, base.o_orderkey == changes.c_key, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.when(F.col("op").isin("U", "I"), F.col("new_status"))
+            .otherwise(F.col("status0"))
+            .alias("status"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+            .otherwise(F.col("price0"))
+            .alias("price"),
+        )
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.sum("price"), 2) + 0.0).alias("total_price"),
+    )

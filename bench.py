@@ -90,6 +90,12 @@ HEADLINE = [
     "training_negative_pairs",
     "doc_chunk_overlap_windows",
     "text_ngram_novelty",
+    "snapshot_diff",
+    "maintenance_compaction_plan",
+    "orders_open_backlog_daily",
+    "events_time_weighted_avg",
+    "text_pmi_bigrams",
+    "dedup_exact_keep_best",
 ]
 
 
@@ -112,13 +118,25 @@ def main() -> None:
     # (round 2 lost all bench numbers to a single AnalysisException):
     # record the failure per-query, keep timing the rest, and exit 0 as
     # long as ANY query produced a number.
+    # Per-query timing is min-of-N (default 2, SPARK_GRAFT_BENCH_RUNS to
+    # change): this host shows 2-6% CPU steal and ±50% per-query wall
+    # swings between back-to-back idle runs, so a single sample measures
+    # the neighbor's workload, not the plan. The minimum is the standard
+    # noisy-host estimator of intrinsic cost; the JSON says so
+    # explicitly (runs_per_query / timing keys) so readers compare
+    # like-for-like across rounds.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
+        best: float | None = None
         try:
-            force(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                force(QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
@@ -138,6 +156,8 @@ def main() -> None:
         "unit": "sec",
         "n_timed": len(timings),
         "n_failed": len(errors),
+        "runs_per_query": runs,
+        "timing": "min_of_runs",
         "queries": timings,
         "sf": sf_val,
     }
