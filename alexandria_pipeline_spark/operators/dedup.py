@@ -32,7 +32,7 @@ from alexandria_pipeline_spark.functions.text import (
     duck_shingle_codes,
     shingle_codes,
 )
-from alexandria_pipeline_spark.registry import QUERIES, query
+from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
 
 # Sketch width — the corpus-size knob (SCALE.md): band-bucket occupancy
 # falls exponentially with rows-per-band x log2(bands). Defaults sized
@@ -1118,3 +1118,54 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
              / 1_000_000.0).alias("jaccard_est"),
         )
     )
+
+
+# Composed over dedup_connected_components: its oracle SQL (the
+# recursive-CTE label propagation) is nested as a CTE so the
+# histogram is value-checked end-to-end through the whole
+# LSH -> verify -> cluster pipeline.
+
+
+def _register_cluster_histogram() -> None:
+    cc_oracle = ORACLES["dedup_connected_components"]
+
+    @query(
+        "dedup_cluster_size_histogram",
+        oracle=f"""
+        WITH cc AS ({cc_oracle}),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY component
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT)            AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT)   AS n_docs,
+               CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY cluster_size
+        """,
+    )
+    def dedup_cluster_size_histogram(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cluster-size histogram over the near-dup connected
+        components — the dedup IMPACT report (how many clusters of
+        each size, how many docs a keep-one policy would remove) that
+        decides whether a 100 TB dedup pass is worth running. Composes
+        the registered dedup_connected_components plan (iterative
+        min-label propagation, checkpoint-rotated lineage) and adds
+        two bounded aggregates: component -> size (one shuffle on
+        component id), size -> histogram (size-cardinality rows).
+        The oracle nests the recursive-CTE components oracle, so the
+        whole pipeline is hash-checked, not just the last stage."""
+        cc = QUERIES["dedup_connected_components"](spark, sf_dir)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
+        )
+
+
+_register_cluster_histogram()

@@ -1632,3 +1632,118 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "agg_correlation_matrix",
+    oracle="""
+    WITH ints AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    moms AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM ints GROUP BY flag
+    )
+    SELECT flag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * (n - 1)) / 100, 2) + 0
+             AS covar_samp_qty_price
+    FROM moms
+    """,
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group, computed
+    from EXACT integer moment sums (quantity as int, price in cents;
+    the one sum that can pass 2^63 — Σy² — runs in decimal/hugeint)
+    and only converted to float once, in an expression written
+    identically in both engines, so the result is IEEE-deterministic
+    and the round(6) hash is stable. The built-in corr()/covar_samp()
+    would fold doubles in partial-aggregation order — fine numerically,
+    but hash-unstable cross-engine. One map-side-combined shuffle to
+    flag-cardinality rows; moments compose, so the same plan serves
+    streaming/incremental maintenance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ints = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    )
+    moms = ints.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    covar = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * (F.col("n") - 1))
+        / 100
+    )
+    return moms.select(
+        "flag",
+        "n",
+        (F.round(corr, 6) + 0.0).alias("corr_qty_price"),
+        (F.round(covar, 2) + 0.0).alias("covar_samp_qty_price"),
+    )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Z][a-z]+)', 1)           AS first_cap_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                                                              AS n_number_runs,
+           CAST(len(regexp_extract_all(text, '\\b[a-z]{7,}\\b')) AS BIGINT)
+                                                              AS n_long_words,
+           CASE WHEN regexp_matches(text, '(the|and|of)') THEN 1 ELSE 0 END
+                                                              AS has_stopword,
+           substring(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40)
+                                                              AS devoweled_prefix
+    FROM documents
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery — extract / extract-all-count / match-test
+    / global-replace, all JVM codegen (zero Python), the text-wrangling
+    surface every log/corpus pipeline leans on. Map-only: no exchange
+    at any scale; the only care is cross-engine regex dialect (both
+    sides stick to RE2-safe syntax: classes, anchors, alternation,
+    bounded repeats — no lookaround)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Z][a-z]+)", 1).alias("first_cap_word"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_number_runs"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{7,}\\b', 0)"))
+        .cast("long")
+        .alias("n_long_words"),
+        F.when(F.col("text").rlike("(the|and|of)"), 1)
+        .otherwise(0)
+        .alias("has_stopword"),
+        F.substring(
+            F.regexp_replace("text", "[aeiou]", "_"), 1, 40
+        ).alias("devoweled_prefix"),
+    )
