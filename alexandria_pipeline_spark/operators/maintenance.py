@@ -440,3 +440,102 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         (F.round(F.sum("price"), 2) + 0.0).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ivm_merge_aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ivm_merge_aggregate",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 10 < 8 GROUP BY 1
+    ),
+    delta AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 10 >= 8 GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(b.pri, d.pri) AS pri,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+             coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents
+      FROM base b FULL OUTER JOIN delta d ON b.pri = d.pri
+    ),
+    full_recompute AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT m.pri, m.n AS n_merged, m.cents AS cents_merged,
+           CASE WHEN m.n = f.n AND m.cents = f.cents THEN 1 ELSE 0 END
+             AS matches_full
+    FROM merged m JOIN full_recompute f ON m.pri = f.pri
+    """,
+)
+def ivm_merge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized aggregate
+    by MERGING yesterday's partial state with today's delta batch
+    instead of recomputing over the full history — the only viable
+    refresh policy when history is 100 TB and the delta is gigabytes.
+    Works because count/sum are commutative monoids: the merge is a
+    full-outer join on the group key + coalesced addition, costing
+    O(|state| + |delta|), not O(|history|). The query also recomputes
+    from scratch and emits a matches_full bit per group, proving the
+    incremental path exact (in integer cents, so no float drift can
+    hide in the comparison). At scale only base/delta/merged run —
+    the audit recompute is this oracle-pairing's proof obligation."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+
+    def agg_of(df):  # mergeable partial state: (count, sum)
+        return df.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+
+    base = agg_of(o.filter(F.col("o_orderkey") % 10 < 8))
+    delta = agg_of(o.filter(F.col("o_orderkey") % 10 >= 8)).select(
+        F.col("pri").alias("d_pri"),
+        F.col("n").alias("d_n"),
+        F.col("cents").alias("d_cents"),
+    )
+    merged = base.join(
+        delta, base.pri == delta.d_pri, "full_outer"
+    ).select(
+        F.coalesce("pri", "d_pri").alias("pri"),
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n_merged"),
+        (
+            F.coalesce(F.col("cents"), F.lit(0))
+            + F.coalesce(F.col("d_cents"), F.lit(0))
+        ).alias("cents_merged"),
+    )
+    full = agg_of(o).select(
+        F.col("pri").alias("f_pri"),
+        F.col("n").alias("f_n"),
+        F.col("cents").alias("f_cents"),
+    )
+    return merged.join(full, merged.pri == full.f_pri).select(
+        "pri",
+        "n_merged",
+        "cents_merged",
+        F.when(
+            (F.col("n_merged") == F.col("f_n"))
+            & (F.col("cents_merged") == F.col("f_cents")),
+            1,
+        )
+        .otherwise(0)
+        .alias("matches_full"),
+    )

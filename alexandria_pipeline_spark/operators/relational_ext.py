@@ -1747,3 +1747,66 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", "[aeiou]", "_"), 1, 40
         ).alias("devoweled_prefix"),
     )
+
+
+BIN_CENTS = 100_000  # $1000-wide histogram bins for the quantile sketch
+
+
+@query(
+    "agg_percentile_binned",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {BIN_CENTS} AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER () AS n
+      FROM binned
+    )
+    SELECT
+      CAST(min(CASE WHEN c * 100 >= 50 * n THEN bin END) AS BIGINT) AS p50_bin,
+      CAST(min(CASE WHEN c * 100 >= 90 * n THEN bin END) AS BIGINT) AS p90_bin,
+      CAST(min(CASE WHEN c * 100 >= 99 * n THEN bin END) AS BIGINT) AS p99_bin,
+      CAST(min(n) AS BIGINT) AS n_rows,
+      CAST(min(CASE WHEN c * 100 >= 50 * n THEN bin END) * {BIN_CENTS}
+           + {BIN_CENTS} // 2 AS BIGINT) AS p50_mid_cents
+    FROM cum
+    """,
+)
+def agg_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: fixed-width integer histogram bins
+    -> cumulative counts -> percentile = first bin covering the rank.
+    Unlike GK/t-digest (engine-specific, hash-uncheckable — see
+    agg_approx_percentiles, deliberately rows-only), a fixed-bin
+    histogram is DETERMINISTIC and associative: per-partition bin
+    counts merge by addition, so the same sketch serves batch,
+    streaming state, and cross-day rollups, with error bounded by the
+    bin width. One map-side-combined shuffle to ~|price-range/bin|
+    rows; the cumulative window runs over BIN rows (bounded by value
+    range, not data size). Everything integer -> exact hash."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.groupBy(
+        F.expr(
+            f"CAST(round(o_totalprice * 100) AS BIGINT) div {BIN_CENTS}"
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = binned.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("c") * 100 >= q * F.col("n"), F.col("bin"))
+    )
+    return cum.agg(
+        pick(50).alias("p50_bin"),
+        pick(90).alias("p90_bin"),
+        pick(99).alias("p99_bin"),
+        F.min("n").alias("n_rows"),
+        (pick(50) * BIN_CENTS + BIN_CENTS // 2).alias("p50_mid_cents"),
+    )
