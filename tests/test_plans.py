@@ -252,3 +252,33 @@ def test_window_distribution_has_no_unpartitioned_window(spark):
             assert not inner.lstrip().startswith(
                 ("s_acctbal ASC", "s_acctbal DESC")
             ) or "s_nationkey" in inner.split("specifiedwindowframe")[0], ln
+
+
+def test_no_python_eval_outside_declared_seams(spark):
+    """GLOBAL invariant over the whole registered surface: the only
+    physical plans allowed to contain Python evaluation nodes are the
+    declared multimodal decode seams (Python-bound by nature, Arrow-
+    batched by construction). Everything else must stay JVM-side —
+    a Python node sneaking into a relational/dedup/text plan is a
+    10-100x regression at 100 TB, caught here at plan-build time."""
+    from alexandria_pipeline_spark import register_all
+
+    register_all()
+    py_markers = (
+        "EvalPython",
+        "MapInPandas",
+        "ArrowEval",
+        "FlatMapGroupsInPandas",
+    )
+    allowed_prefixes = ("multimodal_",)
+    skip = {"sharded_sink_roundtrip", "knn_ivf_kmeans"}  # side-effecting / ML-fit
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_") or name in skip:
+            continue
+        if name.startswith(allowed_prefixes):
+            continue
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        if any(m in plan for m in py_markers):
+            offenders.append(name)
+    assert not offenders, f"Python eval nodes in JVM-only plans: {offenders}"
