@@ -563,3 +563,110 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE o_orderkey % 3 = 0),
+         b AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE o_orderkey % 2 = 0)
+    SELECT pri, CAST(count(*) AS BIGINT) AS n, 'union_all' AS op
+    FROM (SELECT pri FROM a UNION ALL SELECT pri FROM b) GROUP BY pri
+    UNION ALL
+    SELECT pri, CAST(count(*) AS BIGINT), 'except_all'
+    FROM (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b) GROUP BY pri
+    UNION ALL
+    SELECT pri, CAST(count(*) AS BIGINT), 'intersect_all'
+    FROM (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b) GROUP BY pri
+    """,
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (UNION ALL / EXCEPT ALL /
+    INTERSECT ALL) — the multiplicity-preserving variants the
+    DISTINCT forms in setop_union_distinct_intersect don't cover.
+    EXCEPT ALL / INTERSECT ALL hash-partition both sides on the full
+    row and reconcile multiplicities per key (Spark plans a single
+    shuffle each under AQE); the summary aggregate bounds the output
+    at |priority-domain| x 3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("pri").agg(F.count(F.lit(1)).alias("n")).select(
+            "pri", "n", F.lit(op).alias("op")
+        )
+
+    return (
+        counted(a.unionAll(b), "union_all")
+        .unionByName(counted(a.exceptAll(b), "except_all"))
+        .unionByName(counted(a.intersectAll(b), "intersect_all"))
+    )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS pri,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                          AS n_rows,
+      CAST(count(pri) AS BIGINT)                        AS n_pri_nonnull,
+      CAST(count(*) FILTER (WHERE pri IS DISTINCT FROM 'URGENT')
+           AS BIGINT)                                   AS n_not_urgent_nullsafe,
+      CAST(count(*) FILTER (WHERE pri IS NOT DISTINCT FROM NULL)
+           AS BIGINT)                                   AS n_pri_null_nullsafe,
+      CAST(count(*) FILTER (WHERE coalesce(price, 0.0) = 0.0)
+           AS BIGINT)                                   AS n_price_defaulted,
+      CAST(count(*) FILTER (WHERE nullif(pri, 'URGENT') IS NULL)
+           AS BIGINT)                                   AS n_urgent_or_null,
+      round(sum(coalesce(price, 0.0)), 2) + 0           AS total_defaulted
+    FROM t
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery: COUNT vs COUNT(col), null-safe
+    comparison (Spark's <=> / SQL IS [NOT] DISTINCT FROM), COALESCE
+    defaulting, NULLIF collapsing — the three-valued-logic corners
+    that silently reshape aggregates when a pipeline's upstream
+    starts emitting nulls. Single wide-aggregate scan, map-side
+    combined, seven scalar outputs."""
+    o = load_table(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    price = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.round("o_totalprice", 2)
+    )
+    t = o.select(pri.alias("pri"), price.alias("price"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pri").alias("n_pri_nonnull"),
+        F.count(F.when(~F.col("pri").eqNullSafe("URGENT"), 1)).alias(
+            "n_not_urgent_nullsafe"
+        ),
+        F.count(F.when(F.col("pri").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_pri_null_nullsafe"
+        ),
+        F.count(F.when(F.coalesce("price", F.lit(0.0)) == 0.0, 1)).alias(
+            "n_price_defaulted"
+        ),
+        F.count(F.when(F.nullif("pri", F.lit("URGENT")).isNull(), 1)).alias(
+            "n_urgent_or_null"
+        ),
+        (F.round(F.sum(F.coalesce("price", F.lit(0.0))), 2) + 0.0).alias(
+            "total_defaulted"
+        ),
+    )

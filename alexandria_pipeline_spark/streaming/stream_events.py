@@ -17,7 +17,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import (
     _ensure_event_time_confs,
@@ -484,3 +484,58 @@ def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(latest, "complete")
+
+
+@query(
+    "stream_percentile_binned",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // {100} AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER () AS n
+      FROM binned
+    )
+    SELECT
+      CAST(min(CASE WHEN c * 100 >= 50 * n THEN bin END) AS BIGINT) AS p50_bin,
+      CAST(min(CASE WHEN c * 100 >= 95 * n THEN bin END) AS BIGINT) AS p95_bin,
+      CAST(min(n) AS BIGINT) AS n_rows
+    FROM cum
+    """,
+)
+def stream_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring via the SAME mergeable fixed-bin
+    histogram agg_percentile_binned uses in batch — the whole point of
+    choosing an associative sketch: the streaming state is just the
+    per-bin counters, updated by ordinary partial aggregation each
+    micro-batch (complete-mode groupBy bin), and the percentile
+    read-out is a bin-count-bounded post-pass on the final state. No
+    custom stateful operator needed; GK/t-digest would have required
+    one AND broken oracle checkability. The oracle is the batch SQL —
+    with all input consumed, final state must equal the batch answer
+    ($1-wide bins over the event value)."""
+    events = read_events_stream(spark, sf_dir)
+    binned = events.groupBy(
+        F.expr("CAST(round(value * 100) AS BIGINT) div 100").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    state = _run_to_memory(binned, "complete")
+    # final-state read-out (batch DataFrame from the memory sink)
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = state.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("c") * 100 >= q * F.col("n"), F.col("bin"))
+    )
+    return cum.agg(
+        pick(50).alias("p50_bin"),
+        pick(95).alias("p95_bin"),
+        F.min("n").alias("n_rows"),
+    )

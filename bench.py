@@ -125,21 +125,26 @@ def main() -> None:
     # noisy-host estimator of intrinsic cost; the JSON says so
     # explicitly (runs_per_query / timing keys) so readers compare
     # like-for-like across rounds.
+    # Passes are INTERLEAVED (pass 1 runs every query, then pass 2)
+    # rather than back-to-back per query: the noise arrives in
+    # multi-second bursts, and back-to-back samples would both land
+    # inside the same burst.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        best: float | None = None
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
+    for _ in range(runs):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
                 force(QUERIES[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 - keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
+            except Exception as exc:  # noqa: BLE001 - keep benching
+                timings.pop(name, None)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
