@@ -502,3 +502,109 @@ def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(
         negs, cand.neg_key == negs.neg_id
     ).select("doc_id", F.col("k").cast("int").alias("k"), "neg_id")
+
+
+E2E_MIN_TOK = 10
+E2E_MIN_CHARS = 80
+
+
+@query(
+    "corpus_e2e_training_prep",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {E2E_MIN_TOK}
+        AND n_chars >= {E2E_MIN_CHARS}
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text, n_tok
+      FROM (
+        SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM gated
+      )
+      QUALIFY row_number() OVER (
+        PARTITION BY h ORDER BY n_chars DESC, doc_id
+      ) = 1
+    ),
+    tagged AS (
+      SELECT lang, n_tok,
+             CASE WHEN slot < {TRAIN_CUT} THEN 'train'
+                  WHEN slot < {VAL_CUT}   THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_tok,
+               {{FP}} % 100 AS slot
+        FROM deduped
+      )
+    ),
+    tot AS (SELECT sum(n_tok) AS all_tokens FROM tagged)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS split_tokens,
+           CAST(sum(n_tok) * 1000000 // all_tokens AS BIGINT)
+             AS share_ppm
+    FROM tagged, tot
+    GROUP BY split, lang, all_tokens
+    """.replace("{FP}", duck_rolling_fingerprint("string_split(text, ' ')")),
+)
+def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END as one declarative plan:
+    quality gate -> exact dedup keeping the best copy -> leakage-proof
+    content-hash split -> per-(split, lang) token budget with corpus
+    share. Composing the stages in one DataFrame lets Catalyst fuse
+    the gate into the scan and pipeline the dedup shuffle straight
+    into the split tagging — the reason to build ETL as queries, not
+    scripts (the reference runs these as separate pandas passes,
+    run.py:20-44). Shuffle inventory: ONE wide exchange on the
+    normalized-text hash (map-side combine sends at most one candidate
+    struct per group per partition — the struct carries the kept text
+    forward), then a bounded (split, lang) aggregate; the grand total
+    is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    gated = d.filter(
+        (F.size(toks) >= E2E_MIN_TOK) & (F.col("n_chars") >= E2E_MIN_CHARS)
+    ).select("doc_id", "lang", "text", "n_chars")
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    deduped = (
+        gated.select("doc_id", "lang", "text", "n_chars", h.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_chars",
+                    (-F.col("doc_id")).alias("neg_id"),
+                    "lang",
+                    "text",
+                )
+            ).alias("m")
+        )
+        .select(F.col("m.lang").alias("lang"), F.col("m.text").alias("text"))
+    )
+    slot = rolling_fingerprint(F.split("text", " ")) % 100
+    tagged = deduped.select(
+        "lang",
+        _n_tok("text").alias("n_tok"),
+        F.when(slot < TRAIN_CUT, "train")
+        .when(slot < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = tagged.agg(F.sum("n_tok").alias("all_tokens"))
+    return (
+        tagged.crossJoin(F.broadcast(tot))
+        .groupBy("split", "lang", "all_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("split_tokens"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            "split_tokens",
+            F.expr("split_tokens * 1000000 div all_tokens").alias("share_ppm"),
+        )
+    )
