@@ -1119,3 +1119,50 @@ def events_user_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.event_type").alias("modal_type"),
         F.col("m.n").alias("n_events"),
     )
+
+
+@query(
+    "events_user_diversity_simpson",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(n) AS BIGINT)          AS n_events,
+             CAST(count(*) AS BIGINT)        AS n_types,
+             CAST(sum(n * n) AS BIGINT)      AS sum_sq
+      FROM cnt GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST(1000000 - sum_sq * 1000000 // (n_events * n_events) AS BIGINT)
+             AS simpson_ppm
+    FROM per_user
+    """,
+)
+def events_user_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as the Simpson index 1 - Σp² —
+    the log-free diversity metric (unlike Shannon entropy it needs no
+    transcendentals, so it stays exact integer ppm and hash-stable
+    cross-engine). Two stacked aggregates, both map-side combining:
+    events -> (user, type) counts -> per-user moment sums; the shuffle
+    carries at most |type-universe| rows per user. 0 ppm = one
+    behavior only; -> 1e6 = uniformly spread."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "1000000 - sum_sq * 1000000 div (n_events * n_events)"
+        ).alias("simpson_ppm"),
+    )

@@ -1810,3 +1810,132 @@ def agg_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("n_rows"),
         (pick(50) * BIN_CENTS + BIN_CENTS // 2).alias("p50_mid_cents"),
     )
+
+
+@query(
+    "orders_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(month(o_orderdate) AS INT) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    with_trail AS (
+      SELECT ym, mon, cents,
+             CAST(sum(cents) OVER (ORDER BY ym
+                                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS trail12,
+             CAST(count(*) OVER (ORDER BY ym
+                                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_win
+      FROM monthly
+    )
+    SELECT ym, mon, cents,
+           CAST(cents * 1000 * n_win // trail12 AS BIGINT)
+             AS seasonal_index_milli
+    FROM with_trail
+    WHERE n_win = 12
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality index per calendar month: revenue vs its trailing
+    12-month average, as integer milli-ratio (1000 = on-trend). The
+    only window runs over MONTH rows (one per ym — bounded by the time
+    span, the events_cumulative_distinct_users precedent), never over
+    orders; the monthly rollup underneath is one map-side-combined
+    shuffle in exact cents. The n_win=12 guard drops the ramp-up
+    months identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("ym").rowsBetween(-11, 0)
+    with_trail = monthly.select(
+        "ym",
+        "mon",
+        "cents",
+        F.sum("cents").over(w).alias("trail12"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    return with_trail.filter(F.col("n_win") == 12).select(
+        "ym",
+        "mon",
+        "cents",
+        F.expr("cents * 1000 * n_win div trail12").alias(
+            "seasonal_index_milli"
+        ),
+    )
+
+
+ADVISOR_TARGET_ROWS = 1_000_000  # rows per bucket a co-located join wants
+
+
+@query(
+    "diagnose_bucket_advisor",
+    oracle=f"""
+    WITH stats AS (
+      SELECT 'lineitem.l_orderkey' AS key, sum(cnt) AS n_rows,
+             count(*) AS n_keys, max(cnt) AS max_key_rows
+      FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'events.user_id', sum(cnt), count(*), max(cnt)
+      FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+    )
+    SELECT key,
+           CAST(n_rows AS BIGINT)        AS n_rows,
+           CAST(n_keys AS BIGINT)        AS n_keys,
+           CAST(max_key_rows AS BIGINT)  AS max_key_rows,
+           CAST(greatest(1, (n_rows + {ADVISOR_TARGET_ROWS} - 1)
+                            // {ADVISOR_TARGET_ROWS}) AS BIGINT)
+             AS advised_buckets,
+           CASE WHEN max_key_rows * 20 > n_rows THEN 1 ELSE 0 END
+             AS skew_flag
+    FROM stats
+    """,
+)
+def diagnose_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing advisor for co-located joins: per join key, the row
+    and distinct-key counts, the heaviest key, the bucket count that
+    keeps ~ADVISOR_TARGET_ROWS rows per bucket, and a skew flag (one
+    key holding >5% of rows means salting, not bucketing — see
+    skew.salted_join). This is the planning query a team runs BEFORE
+    committing to a bucketed layout (sources/bucketed.py). Each key's
+    stats are one map-side-combined groupBy + a 1-row rollup; output
+    is one row per audited key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def key_stats(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return per_key.agg(
+            F.lit(label).alias("key"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_key_rows"),
+        )
+
+    stats = key_stats(li, "l_orderkey", "lineitem.l_orderkey").unionByName(
+        key_stats(ev, "user_id", "events.user_id")
+    )
+    return stats.select(
+        "key",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(n_rows + {ADVISOR_TARGET_ROWS} - 1) div {ADVISOR_TARGET_ROWS}"
+            ),
+        ).alias("advised_buckets"),
+        F.when(F.col("max_key_rows") * 20 > F.col("n_rows"), 1)
+        .otherwise(0)
+        .alias("skew_flag"),
+    )
