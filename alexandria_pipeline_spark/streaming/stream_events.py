@@ -539,3 +539,11 @@ def stream_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(95).alias("p95_bin"),
         F.min("n").alias("n_rows"),
     )
+
+
+# NOTE: a transformWithStateInPandas (Spark 4 StatefulProcessor) variant of
+# the stateful operator was attempted and works API-wise, but the streaming
+# Python runner it spawns requires google.protobuf, which is not importable
+# in this environment (and installs are off-limits). applyInPandasWithState
+# above covers the custom-stateful-operator surface; revisit if the
+# environment gains protobuf.
