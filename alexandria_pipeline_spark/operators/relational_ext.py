@@ -1939,3 +1939,94 @@ def diagnose_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("skew_flag"),
     )
+
+
+PARETO_BAND_CENTS = 5_000_000  # $50k revenue bands for the two-phase cumsum
+PARETO_TARGET_PCT = 80
+
+
+@query(
+    "orders_pareto_8020",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(rev) AS total_rev, count(*) AS n_cust FROM per_cust),
+    cum AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) - rev AS cum_before
+      FROM per_cust
+    )
+    SELECT
+      CAST(count(*) FILTER (
+        WHERE cum_before * 100 < total_rev * {PARETO_TARGET_PCT}
+      ) AS BIGINT)                                    AS n_cust_for_80pct,
+      CAST(min(n_cust) AS BIGINT)                     AS n_customers,
+      CAST(count(*) FILTER (
+        WHERE cum_before * 100 < total_rev * {PARETO_TARGET_PCT}
+      ) * 1000000 // min(n_cust) AS BIGINT)           AS share_ppm
+    FROM cum, tot
+    """,
+)
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto 80/20): how many customers does
+    it take to cover 80% of revenue? Needs a GLOBAL cumulative sum in
+    revenue-descending order — the pattern that must NOT be a
+    single-partition window at scale. Two-phase rewrite (the
+    corpus_shuffle_rank technique): bucket customers into fixed $50k
+    revenue bands, compute per-band totals (bounded rows -> 1-row-able
+    broadcast), take the exclusive running offset over BANDS, and run
+    the within-band window PARTITIONED BY band — every window here is
+    either band-cardinality-bounded or partitioned. The count of
+    customers whose exclusive cumulative stays under the 80% line is
+    the answer; exact integer cents throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev")
+    )
+    banded = per_cust.withColumn(
+        "band", F.expr(f"rev div {PARETO_BAND_CENTS}")
+    )
+    band_tot = banded.groupBy("band").agg(F.sum("rev").alias("band_rev"))
+    w_bands = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("band_rev").over(w_bands), F.lit(0)).alias(
+            "band_offset"
+        ),
+    )
+    tot = per_cust.agg(
+        F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n_cust")
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "rev",
+            (
+                F.col("band_offset")
+                + F.coalesce(F.sum("rev").over(w_in), F.lit(0))
+            ).alias("cum_before"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    under = F.col("cum_before") * 100 < F.col("total_rev") * PARETO_TARGET_PCT
+    return cum.agg(
+        F.count(F.when(under, 1)).alias("n_cust_for_80pct"),
+        F.min("n_cust").alias("n_customers"),
+        F.expr(
+            f"count(CASE WHEN cum_before * 100 < total_rev * {PARETO_TARGET_PCT} "
+            "THEN 1 END) * 1000000 div min(n_cust)"
+        ).alias("share_ppm"),
+    )
