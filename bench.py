@@ -96,6 +96,11 @@ HEADLINE = [
     "events_time_weighted_avg",
     "text_pmi_bigrams",
     "dedup_exact_keep_best",
+    "merge_upsert_apply",
+    "events_rolling_7d_distinct",
+    "agg_correlation_matrix",
+    "corpus_e2e_training_prep",
+    "orders_pareto_8020",
 ]
 
 
