@@ -857,3 +857,107 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).alias("f2"),
         F.element_at("features", 3).alias("f3"),
     )
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF walk returning (sample_rate, int64 sample array) — the
+    raw-sample sibling of decode_wav_pcm16 for DSP passes."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+        elif cid == b"data":
+            samples = np.frombuffer(
+                body[: len(body) // 2 * 2], dtype="<i2"
+            ).astype(np.int64)
+        pos += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+VAD_FRAME = 8  # samples per energy frame
+# voiced iff frame mean-square > this (int): samples are ±32k so typical
+# frame MS ~ 3.5e8; the threshold splits the synthetic corpus ~in half
+VAD_MS_THRESHOLD = 350_000_000
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_samples
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n_samples, k // {VAD_FRAME} AS frame,
+             CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT) AS s
+      FROM spec
+      CROSS JOIN LATERAL (SELECT unnest(range(0, n_samples)) AS k)
+    ),
+    frames AS (
+      SELECT doc_id, frame,
+             sum(s * s) AS energy, count(*) AS flen
+      FROM px GROUP BY doc_id, frame
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE energy > {VAD_MS_THRESHOLD} * flen)
+                AS BIGINT)          AS n_voiced,
+           CAST(sum(energy) AS BIGINT) AS total_energy
+    FROM frames GROUP BY doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over REAL decoded audio:
+    per clip, frame the PCM16 stream (8-sample frames), mark
+    frames whose mean-square energy clears the threshold, and report
+    voiced-frame counts — the first DSP pass any speech-data pipeline
+    runs to drop silence before transcription. The decode + framing is
+    numpy inside the SAME mapInPandas seam as multimodal_decode_wav
+    (payload never shuffles, Arrow-batched, map-only); the oracle
+    regenerates the samples from the synthesis formula and frames them
+    in SQL, so a hash match proves byte-exact decode AND frame
+    arithmetic end-to-end. All-integer energies."""
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [wav_formula_payload(did) for did in ids],
+                }
+            )
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "n_voiced": [], "total_energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav_samples(bytes(payload))
+                n_frames = (len(s) + VAD_FRAME - 1) // VAD_FRAME
+                voiced = 0
+                total = int((s * s).sum())
+                for f in range(n_frames):
+                    fr = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                    if int((fr * fr).sum()) > VAD_MS_THRESHOLD * len(fr):
+                        voiced += 1
+                out["media_id"].append(mid)
+                out["n_frames"].append(n_frames)
+                out["n_voiced"].append(voiced)
+                out["total_energy"].append(total)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return media.mapInPandas(
+        vad,
+        "media_id long, n_frames long, n_voiced long, total_energy long",
+    )
