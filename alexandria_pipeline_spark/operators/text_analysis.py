@@ -21,7 +21,7 @@ from alexandria_pipeline_spark.functions.text import (
     shingle_codes,
     word_code,
 )
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
 
 STOPWORDS = ["the", "a", "of", "and", "is"]
 TOKEN_RE = "[a-zA-Z]+|[0-9]+"
@@ -736,3 +736,46 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_milli"), "bigram")
         .limit(PMI_TOP_N)
     )
+
+
+def _register_lang_id_confusion() -> None:
+    lang_oracle = ORACLES["text_lang_id"]
+
+    @query(
+        "text_lang_id_confusion",
+        oracle=f"""
+        WITH pred AS ({lang_oracle}),
+        cells AS (
+          SELECT lang AS actual, predicted,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, predicted
+        ),
+        tot AS (SELECT sum(n) AS total FROM cells)
+        SELECT actual, predicted, n,
+               CAST(n * 1000000 // total AS BIGINT) AS cell_ppm
+        FROM cells, tot
+        """,
+    )
+    def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Classifier evaluation as a query: the confusion matrix of
+        the language-ID heuristic against the labeled lang column —
+        the accuracy audit run before trusting any classifier-driven
+        corpus filter. Composes the registered text_lang_id plan (the
+        oracle nests its SQL), adds one |langs x classes|-bounded
+        aggregate and a 1-row total broadcast. The same composition
+        shape evaluates any future model slotted into the pandas-UDF
+        seam."""
+        pred = QUERIES["text_lang_id"](spark, sf_dir)
+        cells = pred.groupBy(
+            F.col("lang").alias("actual"), "predicted"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        tot = cells.agg(F.sum("n").alias("total"))
+        return cells.crossJoin(F.broadcast(tot)).select(
+            "actual",
+            "predicted",
+            "n",
+            F.expr("n * 1000000 div total").alias("cell_ppm"),
+        )
+
+
+_register_lang_id_confusion()
