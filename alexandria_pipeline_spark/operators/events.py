@@ -1004,11 +1004,14 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; everything after is day-cardinality."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    spans = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("closed"))
-        .select(F.col("od").alias("opened"), "closed")
+    # aggregate lineitem to one row per order BEFORE the join: the
+    # map-side combine collapses ~4 items/order pre-shuffle and the
+    # join then moves order-count rows, not lineitem-count rows
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("closed")
+    )
+    spans = o.join(closes, o.o_orderkey == closes.l_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("opened"), "closed"
     )
     deltas = spans.select(
         F.col("opened").alias("day"), F.lit(1).alias("delta")
