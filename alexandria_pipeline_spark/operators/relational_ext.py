@@ -2030,3 +2030,54 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1 END) * 1000000 div min(n_cust)"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "scalar_struct_map_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             struct_pack(brand := p_brand, sz := p_size) AS st,
+             MAP(['brand', 'type'], [p_brand, p_type])   AS m
+      FROM part
+    )
+    SELECT p_partkey,
+           st.brand                                   AS st_brand,
+           CAST(st.sz AS INT)                         AS st_size,
+           CAST(cardinality(m) AS INT)                AS n_entries,
+           m['brand'][1]                              AS m_brand,
+           m['type'][1]                               AS m_type,
+           CASE WHEN len(m['missing']) = 0 THEN 1 ELSE 0 END AS missing_is_null,
+           list_sort(map_keys(m))                     AS keys_sorted
+    FROM t
+    """,
+)
+def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type scalar battery: STRUCT construction + field access
+    and MAP construction / lookup / cardinality / key listing — the
+    semi-structured surface a pipeline needs the moment metadata stops
+    being flat columns. Map-only, codegen, no exchange; lookups of
+    absent keys must return NULL (not error) identically in both
+    engines, and key listings are sorted so the hash is
+    order-independent."""
+    p = load_table(spark, sf_dir, "part")
+    st = F.struct(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("sz")
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    t = p.select("p_partkey", st.alias("st"), m.alias("m"))
+    return t.select(
+        "p_partkey",
+        F.col("st.brand").alias("st_brand"),
+        F.col("st.sz").cast("int").alias("st_size"),
+        F.size("m").cast("int").alias("n_entries"),
+        F.element_at("m", "brand").alias("m_brand"),
+        F.element_at("m", "type").alias("m_type"),
+        F.when(F.element_at("m", "missing").isNull(), 1)
+        .otherwise(0)
+        .alias("missing_is_null"),
+        F.array_sort(F.map_keys("m")).alias("keys_sorted"),
+    )
