@@ -1169,3 +1169,68 @@ def events_user_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame
             "1000000 - sum_sq * 1000000 div (n_events * n_events)"
         ).alias("simpson_ppm"),
     )
+
+
+@query(
+    "events_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS arm,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchases,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT)                    AS n_users,
+           CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS converters,
+           CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)                 AS conversion_ppm,
+           CAST(sum(cents) AS BIGINT)                  AS revenue_cents,
+           CAST(sum(cents) // count(*) AS BIGINT)      AS arpu_cents
+    FROM assigned GROUP BY arm
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out: deterministic hash assignment of users
+    to arms (in production: a salted hash of user_id x experiment_id —
+    here parity, so the oracle is reproducible), then per-arm
+    conversion and ARPU in exact integer ppm/cents. Two stacked
+    map-side-combining aggregates (events -> per-user, per-user ->
+    per-arm); the shuffle carries one row per user, the output two
+    rows. The significance test belongs downstream — the engine's job
+    is exact counts, which is why everything here hashes identically
+    cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    assigned = per_user.withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment"),
+    )
+    return assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0)).alias(
+            "converters"
+        ),
+        F.expr(
+            "sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1)"
+        ).alias("conversion_ppm"),
+        F.sum("cents").alias("revenue_cents"),
+        F.expr("sum(cents) div count(1)").alias("arpu_cents"),
+    )
