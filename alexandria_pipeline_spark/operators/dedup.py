@@ -1169,3 +1169,129 @@ def _register_cluster_histogram() -> None:
 
 
 _register_cluster_histogram()
+
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 is "today's batch"; rest is history
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             ({_duck_band_case('b')}) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS batch_doc, h.doc_id AS hist_doc
+      FROM bands n JOIN bands h
+        ON n.band = h.band AND n.band_val = h.band_val
+      WHERE n.doc_id % {INCR_BATCH_MOD} = 0
+        AND h.doc_id % {INCR_BATCH_MOD} <> 0
+    ),
+    verified AS (
+      SELECT c.batch_doc, c.hist_doc,
+             CAST(CAST(len(list_intersect(x.codes, y.codes)) AS BIGINT)
+                  * 1000000
+                  // len(list_distinct(list_concat(x.codes, y.codes)))
+                  AS BIGINT) AS jaccard_e6
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.batch_doc
+      JOIN docs y ON y.doc_id = c.hist_doc
+      WHERE CAST(len(list_intersect(x.codes, y.codes)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.codes, y.codes)))
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT batch_doc, hist_doc, jaccard_e6
+    FROM verified
+    QUALIFY row_number() OVER (
+      PARTITION BY batch_doc ORDER BY jaccard_e6 DESC, hist_doc
+    ) = 1
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup — the production shape for a daily
+    LLM-corpus ingest: today's batch (doc_id % 5 == 0 here; an ingest
+    date in production) is checked against the accumulated HISTORY via
+    banded MinHash, never batch-vs-batch all-pairs and never a history
+    self-join. The band join is directional (batch side x history
+    side), so candidate count scales with |batch| x selectivity, not
+    |history|²; history participates only through its (doc_id, band,
+    band_val) sketch — which a real deployment keeps as a persisted
+    table, exactly the layout dedup_minhash_lsh's docstring describes.
+    Each batch doc reports its best match (max verified Jaccard, min
+    history id tiebreak) as a struct-max aggregate, no window.
+    Complements dedup_incremental_antijoin (exact-key) with the fuzzy
+    tier of the same daily pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", shingle_codes(toks).alias("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    band_vals = F.array(
+        *[
+            sum(
+                F.col(f"m{b * ROWS_PER_BAND + j}")
+                * (MINHASH_P ** (ROWS_PER_BAND - 1 - j))
+                for j in range(ROWS_PER_BAND)
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_vals).alias("band", "band_val")
+    )
+    n = bands.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_val"
+    )
+    h = bands.filter(F.col("doc_id") % INCR_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("hist_doc"), "band", "band_val"
+    )
+    cand = (
+        n.join(h, ["band", "band_val"])
+        .select("batch_doc", "hist_doc")
+        .distinct()
+    )
+    x = docs.select(
+        F.col("doc_id").alias("batch_doc"), F.col("codes").alias("codes_a")
+    )
+    y = docs.select(
+        F.col("doc_id").alias("hist_doc"), F.col("codes").alias("codes_b")
+    )
+    inter = F.size(F.array_intersect("codes_a", "codes_b")).cast("long")
+    union = F.size(F.array_union("codes_a", "codes_b")).cast("long")
+    verified = (
+        cand.join(x, "batch_doc")
+        .join(y, "hist_doc")
+        .withColumn("jaccard_e6", int_div(inter * 1_000_000, union))
+        .filter(
+            inter.cast("double") / union.cast("double") >= JACCARD_THRESHOLD
+        )
+    )
+    best = verified.groupBy("batch_doc").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard_e6"),
+                (-F.col("hist_doc")).alias("neg_hist"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "batch_doc",
+        (-F.col("m.neg_hist")).alias("hist_doc"),
+        F.col("m.jaccard_e6").alias("jaccard_e6"),
+    )
