@@ -2048,7 +2048,7 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
            m['brand'][1]                              AS m_brand,
            m['type'][1]                               AS m_type,
            CASE WHEN len(m['missing']) = 0 THEN 1 ELSE 0 END AS missing_is_null,
-           list_sort(map_keys(m))                     AS keys_sorted
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
     FROM t
     """,
 )
@@ -2058,8 +2058,9 @@ def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-structured surface a pipeline needs the moment metadata stops
     being flat columns. Map-only, codegen, no exchange; lookups of
     absent keys must return NULL (not error) identically in both
-    engines, and key listings are sorted so the hash is
-    order-independent."""
+    engines, and key listings are sorted and joined to a scalar
+    string (the harness contract: no array/map/struct in final
+    outputs)."""
     p = load_table(spark, sf_dir, "part")
     st = F.struct(
         F.col("p_brand").alias("brand"), F.col("p_size").alias("sz")
@@ -2079,5 +2080,5 @@ def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("m", "missing").isNull(), 1)
         .otherwise(0)
         .alias("missing_is_null"),
-        F.array_sort(F.map_keys("m")).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
     )
