@@ -1234,3 +1234,61 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("revenue_cents"),
         F.expr("sum(cents) div count(1)").alias("arpu_cents"),
     )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS first_click_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+      FROM events GROUP BY user_id
+    ),
+    delays AS (
+      SELECT (first_purchase_us - first_click_us) // 1000000 // 3600
+               AS delay_hours
+      FROM firsts
+      WHERE first_click_us IS NOT NULL
+        AND first_purchase_us > first_click_us
+    )
+    SELECT CAST(delay_hours AS BIGINT) AS delay_hours,
+           CAST(count(*) AS BIGINT)    AS n_users
+    FROM delays GROUP BY delay_hours
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay histogram: hours from a user's FIRST click to
+    their FIRST subsequent purchase, bucketed by hour — the
+    time-to-convert distribution growth teams read next to the funnel
+    counts (events_funnel_conversion gives how many; this gives how
+    fast). First-touch extraction is conditional min() — an ordinary
+    aggregate with map-side combine, NO window, one user_id shuffle —
+    and the histogram output is bounded by the time span in hours.
+    Integer microsecond math end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "click", F.expr("unix_micros(ts)")
+            )
+        ).alias("first_click_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.expr("unix_micros(ts)")
+            )
+        ).alias("first_purchase_us"),
+    )
+    delays = firsts.filter(
+        F.col("first_click_us").isNotNull()
+        & (F.col("first_purchase_us") > F.col("first_click_us"))
+    ).select(
+        F.expr(
+            "(first_purchase_us - first_click_us) div 1000000 div 3600"
+        ).alias("delay_hours")
+    )
+    return delays.groupBy("delay_hours").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

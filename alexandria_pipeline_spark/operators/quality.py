@@ -128,3 +128,73 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         }))
     )
     return out.select("rule", F.col("n_violations").cast("long"))
+
+
+@query(
+    "dq_profile_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT doc_id % 2 AS snap,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE text IS NULL OR text = '')
+                  AS BIGINT) AS n_empty_text,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+      FROM documents GROUP BY doc_id % 2
+    )
+    SELECT a.n_rows  AS n_rows_old,  b.n_rows  AS n_rows_new,
+           a.n_empty_text AS empty_old, b.n_empty_text AS empty_new,
+           a.n_sources AS sources_old, b.n_sources AS sources_new,
+           a.mean_chars AS mean_chars_old, b.mean_chars AS mean_chars_new,
+           CAST(abs(b.mean_chars - a.mean_chars) * 1000000
+                // a.mean_chars AS BIGINT) AS mean_chars_drift_ppm
+    FROM halves a, halves b
+    WHERE a.snap = 0 AND b.snap = 1
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two corpus snapshots (row counts,
+    empty-text rate, source cardinality, mean length) — the schema-
+    stability check an ingest runs BEFORE dq_constraint_check's rule
+    evaluation: rules catch known-bad values, profile drift catches
+    the unknown-unknowns (a feed that silently halved its lengths).
+    One conditional wide-aggregate scan to 2 profile rows, self-joined
+    driver-side-free; integer ppm drift. Pairs with corpus_lang_drift
+    (per-language distribution) as the generic-column counterpart."""
+    d = load_table(spark, sf_dir, "documents")
+    halves = d.groupBy((F.col("doc_id") % 2).alias("snap")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+        ).alias("n_empty_text"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+    )
+    a = halves.filter(F.col("snap") == 0).select(
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_empty_text").alias("empty_old"),
+        F.col("n_sources").alias("sources_old"),
+        F.col("mean_chars").alias("mean_chars_old"),
+    )
+    b = halves.filter(F.col("snap") == 1).select(
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_empty_text").alias("empty_new"),
+        F.col("n_sources").alias("sources_new"),
+        F.col("mean_chars").alias("mean_chars_new"),
+    )
+    return a.crossJoin(b).select(
+        "n_rows_old",
+        "n_rows_new",
+        "empty_old",
+        "empty_new",
+        "sources_old",
+        "sources_new",
+        "mean_chars_old",
+        "mean_chars_new",
+        F.expr(
+            "abs(mean_chars_new - mean_chars_old) * 1000000 "
+            "div mean_chars_old"
+        ).alias("mean_chars_drift_ppm"),
+    )

@@ -101,6 +101,9 @@ HEADLINE = [
     "agg_correlation_matrix",
     "corpus_e2e_training_prep",
     "orders_pareto_8020",
+    "dedup_incremental_minhash",
+    "multimodal_audio_vad",
+    "events_ab_test_lift",
 ]
 
 
