@@ -1292,3 +1292,70 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     return delays.groupBy("delay_hours").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "events_user_feature_matrix",
+    oracle="""
+    WITH bounds AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS monetary_cents,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+             max(epoch_us(ts)) AS last_us,
+             min(epoch_us(ts)) AS first_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, frequency, monetary_cents, n_types, active_days,
+           CAST((now_us - last_us) // 1000000 // 86400 AS BIGINT)
+             AS recency_days,
+           CAST((last_us - first_us) // 1000000 // 86400 AS BIGINT)
+             AS tenure_days,
+           CAST(monetary_cents // frequency AS BIGINT)
+             AS cents_per_event
+    FROM per_user, bounds
+    """,
+)
+def events_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of an ML data pipeline: materialize the per-user
+    FEATURE MATRIX (recency / frequency / monetary / diversity /
+    tenure) that a churn or LTV model trains on — every column an
+    ordinary aggregate so the whole matrix is ONE map-side-combined
+    user_id shuffle plus a broadcast 1-row corpus clock ("now" = max
+    event time, so the feature set is reproducible — never wall-clock).
+    Integer days/cents keep the export hash-exact; in production this
+    frame feeds the featurizer seam (functions/featurizer.py) or is
+    written via the range-partitioned sink for training-shard locality."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.max(F.expr("unix_micros(ts)")).alias("now_us"))
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("monetary_cents"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        F.min(F.expr("unix_micros(ts)")).alias("first_us"),
+    )
+    return per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        "n_types",
+        "active_days",
+        F.expr("(now_us - last_us) div 1000000 div 86400").alias(
+            "recency_days"
+        ),
+        F.expr("(last_us - first_us) div 1000000 div 86400").alias(
+            "tenure_days"
+        ),
+        F.expr("monetary_cents div frequency").alias("cents_per_event"),
+    )
