@@ -1359,3 +1359,134 @@ def events_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("monetary_cents div frequency").alias("cents_per_event"),
     )
+
+
+ASOF_NEAREST_TOL_S = 1800  # only pair within +/- 30 minutes
+
+
+@query(
+    "events_asof_nearest",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.purchase_id, c.click_id,
+             abs(p.p_us - c.c_us) // 1000000 AS gap_s
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND abs(p.p_us - c.c_us) <= {ASOF_NEAREST_TOL_S} * 1000000
+    )
+    SELECT user_id, purchase_id, click_id, CAST(gap_s AS BIGINT) AS gap_s
+    FROM pairs
+    QUALIFY row_number() OVER (
+      PARTITION BY purchase_id ORDER BY gap_s, click_id
+    ) = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (both directions, bounded tolerance): each
+    purchase pairs with its closest click within ±30 minutes —
+    backward-only ASOF (events_asof_join) misses the click that lands
+    seconds AFTER an impulse purchase. Implemented as a banded
+    interval equi-join (the join_interval_bucketed technique would
+    apply at scale; at this tolerance the per-user time-bound join is
+    already candidate-bounded) followed by a struct-min argmin per
+    purchase — an aggregate, not a window, so map-side combine keeps
+    the shuffle at one row per (purchase, partition). The tolerance
+    bound is what makes this scale: candidates per purchase are
+    clicks within a fixed time slab, independent of history length."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.expr("unix_micros(ts)").alias("c_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr("unix_micros(ts)").alias("p_us"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (
+            F.abs(F.col("p_us") - F.col("c_us"))
+            <= ASOF_NEAREST_TOL_S * 1_000_000
+        ),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr("abs(p_us - c_us) div 1000000").alias("gap_s"),
+    )
+    best = pairs.groupBy("purchase_id").agg(
+        F.min(F.struct("gap_s", "click_id", "user_id")).alias("m")
+    )
+    return best.select(
+        F.col("m.user_id").alias("user_id"),
+        "purchase_id",
+        F.col("m.click_id").alias("click_id"),
+        F.col("m.gap_s").alias("gap_s"),
+    )
+
+
+@query(
+    "orders_basket_histogram",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(basket_size) AS BIGINT) AS n_items
+    FROM sizes GROUP BY basket_size
+    """,
+)
+def orders_basket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution (items per order) — the first question
+    about any transactional fact table, and the sizing input for
+    market_basket_lift's pair expansion. Two stacked map-side-combined
+    aggregates; output bounded by the max basket size (7 in TPC-H at
+    any SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size")
+    )
+    return sizes.groupBy("basket_size").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("basket_size").alias("n_items"),
+    )
+
+
+@query(
+    "events_hourly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT)      AS hod,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap — the ops-dashboard
+    staple for capacity planning and anomaly eyeballing. One map-side-
+    combined aggregate to at most 168 cells regardless of corpus size;
+    exact integer cents. (DuckDB dayofweek is 0-6 Sunday-first; Spark's
+    dayofweek() is 1-7 — the oracle and plan use the same 0-6 form via
+    dayofweek(ts) in DuckDB and dayofweek(ts)-1 in Spark.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
