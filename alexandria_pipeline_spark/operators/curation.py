@@ -351,3 +351,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_e6") / 1_000_000.0).alias("score"),
         )
     )
+
+
+BOILERPLATE_MIN_DF = 5  # a line must appear in >= 5 docs to be boilerplate
+BOILERPLATE_TOP_N = 20
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             trim(unnest(string_split(text, '.'))) AS line
+      FROM documents
+    ),
+    normed AS (
+      SELECT DISTINCT doc_id, lower(line) AS line
+      FROM lines WHERE length(line) >= 20
+    ),
+    df AS (
+      SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+      FROM normed GROUP BY line
+      HAVING count(*) >= {BOILERPLATE_MIN_DF}
+    ),
+    tot AS (SELECT count(DISTINCT doc_id) AS n_total FROM normed)
+    SELECT line, n_docs,
+           CAST(n_docs * 1000000 // n_total AS BIGINT) AS df_ppm
+    FROM df, tot
+    ORDER BY n_docs DESC, line
+    LIMIT {BOILERPLATE_TOP_N}
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line detection (the C4-style cleanup: lines repeated
+    across many documents are navigation chrome / license headers, not
+    content): sentence-split, normalize, count DISTINCT documents per
+    line, keep high-document-frequency lines. The per-doc DISTINCT
+    collapses within-doc repeats BEFORE the line-keyed shuffle
+    (map-side combine on (doc, line)); document frequency is a second
+    bounded aggregate; top-N is TakeOrdered. At 100 TB the surviving
+    line list is what a removal pass broadcasts — this query IS the
+    build step of that filter."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", r"\.")).alias("raw")
+    ).select("doc_id", F.lower(F.trim("raw")).alias("line"))
+    normed = lines.filter(F.length("line") >= 20).distinct()
+    df = (
+        normed.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DF)
+    )
+    tot = normed.agg(F.countDistinct("doc_id").alias("n_total"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            "line",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_total").alias("df_ppm"),
+        )
+        .orderBy(F.desc("n_docs"), "line")
+        .limit(BOILERPLATE_TOP_N)
+    )

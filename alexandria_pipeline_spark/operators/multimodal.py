@@ -961,3 +961,99 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         vad,
         "media_id long, n_frames long, n_voiced long, total_energy long",
     )
+
+
+def decode_bmp24_pixels(data: bytes) -> "np.ndarray":
+    """decode_bmp24's raw sibling: the full RGB pixel array in FORMULA
+    orientation (row y=0 first — on-disk rows are bottom-up, so the
+    decoded plane is flipped back)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)[0:2]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24 or height <= 0 or width <= 0:
+        raise ValueError("unsupported BMP variant")
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=off)
+    bgr = px.reshape(height, stride)[:, :row_raw].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].astype(np.int64)  # un-flip rows, BGR->RGB
+
+
+@query(
+    "multimodal_image_quadrant_pool",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 9 + 4 AS INT)  AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             CAST(CASE WHEN y >= height // 2 THEN 2 ELSE 0 END
+                  + CASE WHEN x >= width // 2 THEN 1 ELSE 0 END AS INT)
+               AS quadrant,
+             CAST((doc_id * 7 + x * 3 + y * 5) % 256 AS BIGINT) AS r,
+             CAST((doc_id * 11 + x + y * 2) % 256 AS BIGINT)    AS g
+      FROM dims
+      CROSS JOIN LATERAL (SELECT unnest(range(0, width)) AS x)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, height)) AS y)
+    )
+    SELECT doc_id AS media_id, quadrant,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(r) AS BIGINT)   AS sum_r,
+           CAST(sum(g) AS BIGINT)   AS sum_g
+    FROM px GROUP BY doc_id, quadrant
+    """,
+)
+def multimodal_image_quadrant_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial pooling over REAL decoded images: 2x2 quadrant channel
+    sums per image — the patch-pooling step of any vision-embedding
+    prep (ViT patchification is this with a finer grid). Decode +
+    quadrant slicing is numpy inside the same mapInPandas seam as
+    multimodal_decode_bmp (payload never shuffles); the oracle
+    recomputes the quadrant sums from the pixel FORMULA, so a hash
+    match proves byte-exact decode, row-orientation handling (BMPs
+    store rows bottom-up), AND the slicing arithmetic. Output is 4
+    rows per image."""
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [bmp_formula_payload(did) for did in ids],
+                }
+            )
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "quadrant": [], "n_px": [], "sum_r": [], "sum_g": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp24_pixels(bytes(payload))
+                h, w, _ = px.shape
+                for q, (ys, xs) in enumerate(
+                    [
+                        (slice(0, h // 2), slice(0, w // 2)),
+                        (slice(0, h // 2), slice(w // 2, w)),
+                        (slice(h // 2, h), slice(0, w // 2)),
+                        (slice(h // 2, h), slice(w // 2, w)),
+                    ]
+                ):
+                    tile = px[ys, xs]
+                    out["media_id"].append(mid)
+                    out["quadrant"].append(q)
+                    out["n_px"].append(int(tile.shape[0] * tile.shape[1]))
+                    out["sum_r"].append(int(tile[:, :, 0].sum()))
+                    out["sum_g"].append(int(tile[:, :, 1].sum()))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return media.mapInPandas(
+        pool,
+        "media_id long, quadrant int, n_px long, sum_r long, sum_g long",
+    )

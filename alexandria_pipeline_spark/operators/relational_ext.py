@@ -2082,3 +2082,48 @@ def scalar_struct_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_is_null"),
         F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  ELSE 'not-a-number' END AS maybe_num,
+             doc_id % 5 AS denom
+      FROM documents
+    )
+    SELECT doc_id,
+           TRY_CAST(maybe_num AS BIGINT)                  AS parsed,
+           CASE WHEN TRY_CAST(maybe_num AS BIGINT) IS NULL THEN 1 ELSE 0 END
+                                                          AS parse_failed,
+           CASE WHEN denom = 0 THEN NULL
+                ELSE doc_id // denom END                  AS safe_div,
+           coalesce(TRY_CAST(maybe_num AS BIGINT), -1)    AS parsed_or_default
+    FROM t
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar battery: TRY_CAST on dirty strings and
+    guarded integer division — malformed input must become NULL, never
+    a task failure, because at 100 TB a single poison row otherwise
+    kills the stage hours in. Spark's try_cast/try_divide and the
+    CASE-guarded form agree with DuckDB's TRY_CAST + NULL guard
+    exactly. Map-only, codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    maybe = F.when(
+        F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string")
+    ).otherwise(F.lit("not-a-number"))
+    denom = F.col("doc_id") % 5
+    t = d.select("doc_id", maybe.alias("maybe_num"), denom.alias("denom"))
+    parsed = F.expr("try_cast(maybe_num AS BIGINT)")
+    return t.select(
+        "doc_id",
+        parsed.alias("parsed"),
+        F.when(parsed.isNull(), 1).otherwise(0).alias("parse_failed"),
+        F.when(F.col("denom") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("doc_id div denom"))
+        .alias("safe_div"),
+        F.coalesce(parsed, F.lit(-1)).alias("parsed_or_default"),
+    )
