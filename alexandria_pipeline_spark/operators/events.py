@@ -1490,3 +1490,108 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
     )
+
+
+@query(
+    "events_next_event_model",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY event_type
+    )
+    SELECT t.event_type, t.next_type AS predicted_next, t.n AS n_observed,
+           CAST(t.n * 1000000 // o.n_from AS BIGINT) AS prob_ppm
+    FROM trans t JOIN tot o ON t.event_type = o.event_type
+    QUALIFY row_number() OVER (
+      PARTITION BY t.event_type ORDER BY t.n DESC, t.next_type
+    ) = 1
+    """,
+)
+def events_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A first-order Markov next-event PREDICTOR materialized as a
+    table: for each event type, the most likely successor and its
+    probability — the baseline model product teams deploy before any
+    sequence NN, and the lookup table that serves it is exactly this
+    query's output (broadcast-sized: one row per event type). Builds
+    on the same single user_id window as events_path_analysis, then
+    two type²-bounded aggregates; the argmax is min(struct(-n, type))
+    — an aggregate, no second window. Integer ppm probabilities."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    best = trans.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg_n"), "next_type", "n")
+        ).alias("m")
+    )
+    return best.join(tot, "event_type").select(
+        "event_type",
+        F.col("m.next_type").alias("predicted_next"),
+        F.col("m.n").alias("n_observed"),
+        F.expr("m.n * 1000000 div n_from").alias("prob_ppm"),
+    )
+
+
+BOT_BURST_PER_MIN = 5  # >= this many events in one minute looks scripted
+
+
+@query(
+    "events_bot_burst_flags",
+    oracle=f"""
+    WITH per_min AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 // 60 AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT)    AS peak_per_min,
+           CAST(count(*) AS BIGINT)  AS active_minutes,
+           CAST(sum(n) AS BIGINT)    AS n_events,
+           CASE WHEN max(n) >= {BOT_BURST_PER_MIN} THEN 1 ELSE 0 END
+             AS bot_flag
+    FROM per_min GROUP BY user_id
+    """,
+)
+def events_bot_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-based bot/scripted-traffic detection: flag users whose
+    peak per-minute event rate looks inhuman — the traffic-hygiene
+    filter run BEFORE engagement analytics (and before events feed a
+    training corpus: scripted sessions poison behavioral models the
+    same way boilerplate poisons text). Two stacked map-side-combining
+    aggregates — (user, minute) then user — with integer minute
+    bucketing; no windows, one shuffle per level, output one row per
+    user."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000 div 60").alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_min"),
+        F.count(F.lit(1)).alias("active_minutes"),
+        F.sum("n").alias("n_events"),
+        F.when(F.max("n") >= BOT_BURST_PER_MIN, 1)
+        .otherwise(0)
+        .alias("bot_flag"),
+    )
