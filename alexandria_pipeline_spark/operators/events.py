@@ -1538,13 +1538,16 @@ def events_next_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = trans.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    # argmax and the per-type total come from ONE aggregate over the
+    # transition counts — two separate aggs would re-evaluate the whole
+    # window+count subtree per branch (measured: 6 exchanges -> 4)
     best = trans.groupBy("event_type").agg(
         F.min(
             F.struct((-F.col("n")).alias("neg_n"), "next_type", "n")
-        ).alias("m")
+        ).alias("m"),
+        F.sum("n").alias("n_from"),
     )
-    return best.join(tot, "event_type").select(
+    return best.select(
         "event_type",
         F.col("m.next_type").alias("predicted_next"),
         F.col("m.n").alias("n_observed"),
