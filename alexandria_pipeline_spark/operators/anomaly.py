@@ -133,3 +133,80 @@ def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("is_out").alias("n_outliers"))
         .select("event_type", "q1", "q3", "n_outliers")
     )
+
+
+MAD_K = 3  # flag beyond 3 MADs (≈ 2σ for normal data, hub-robust)
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(v_c, 0.5)) AS BIGINT) AS med
+      FROM v GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, abs(v.v_c - med.med) AS dev, med.med
+      FROM v JOIN med USING (event_type)
+    ),
+    m2 AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(dev, 0.5)) AS BIGINT) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT
+      d.event_type,
+      CAST(count(*) AS BIGINT)     AS n_events,
+      CAST(min(d.med) AS BIGINT)   AS median_cents,
+      CAST(min(m2.mad) AS BIGINT)  AS mad_cents,
+      CAST(sum(CASE WHEN d.dev > {MAD_K} * m2.mad THEN 1 ELSE 0 END)
+           AS BIGINT)              AS n_anomalies
+    FROM d JOIN m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type: flag rows
+    with |v − median| > 3·MAD. Unlike the z-score test, both center
+    and spread are medians, so a burst of extreme values cannot drag
+    the threshold toward itself (breakdown point 50% vs 0%) — the
+    robust twin of events_zscore_anomalies. Both medians are floored
+    to the cent grid (exact integers; quantile_cont ≡ F.percentile
+    interpolation, same floor in both engines) and the decision
+    `dev > 3·mad` is pure int64. Plan: two small groupBy(event_type)
+    percentile aggregates, each broadcast back to the fact rows, and
+    one final count aggregate on the same bounded key — three
+    bounded-key shuffles total, no window, no float in any decision."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    med = v.groupBy("event_type").agg(
+        F.floor(F.percentile("v_c", F.lit(0.5))).cast("long").alias("med")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v_c") - F.col("med")).alias("dev"), "med"
+    )
+    m2 = d.groupBy("event_type").agg(
+        F.floor(F.percentile("dev", F.lit(0.5))).cast("long").alias("mad")
+    )
+    flagged = d.join(F.broadcast(m2), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("median_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.sum((F.col("dev") > MAD_K * F.col("mad")).cast("long")).alias(
+                "n_anomalies"
+            ),
+        )
+        .select(
+            "event_type", "n_events", "median_cents", "mad_cents", "n_anomalies"
+        )
+    )

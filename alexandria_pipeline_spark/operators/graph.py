@@ -264,3 +264,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.join(tris).select(
         F.col("n_edges").cast("long"), F.col("n_triangles")
     )
+
+
+JACCARD_TOP_N = 20
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL
+      SELECT b AS node, a AS nb FROM e
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    common AS (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+      FROM e
+      JOIN adj n1 ON n1.node = e.a
+      JOIN adj n2 ON n2.node = e.b AND n2.nb = n1.nb
+      GROUP BY e.a, e.b
+    )
+    SELECT a, b, c AS n_common,
+           CAST(c * 1000000 // (da.deg + db.deg - c) AS BIGINT) AS jaccard_ppm
+    FROM common
+    JOIN deg da ON da.node = common.a
+    JOIN deg db ON db.node = common.b
+    ORDER BY jaccard_ppm DESC, a, b
+    LIMIT {JACCARD_TOP_N}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-pair similarity on the part co-purchase graph: for every
+    EDGE (a, b), the Jaccard overlap of the two endpoints' neighbor
+    sets |N(a)∩N(b)| / |N(a)∪N(b)| in exact ppm — the classic
+    link-prediction / related-items score. Restricting candidates to
+    existing edges (not all wedge pairs) keeps the pair space |E|,
+    never Σdeg²: each edge row joins its two adjacency arrays and the
+    intersection runs INSIDE the row (array_intersect, codegen), so
+    the per-row cost is deg(a)+deg(b) and nothing quadratic ever
+    materializes as rows. Same persisted edge build as
+    graph_triangle_count (collect_set + in-array pair explode, one
+    exchange), adjacency built in one groupBy, and the two
+    adjacency-attach joins are broadcast only under the plan-time
+    size gate (fact-derived frames are never unconditionally
+    broadcast). Top-20 survives via TakeOrdered with an (a, b)
+    tiebreaker. The oracle recomputes common-neighbor counts with the
+    naive wedge GROUP BY."""
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = (
+        sets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges_val = edges.count()
+    adj = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .groupBy("node")
+        .agg(F.collect_set("nb").alias("ns"))
+    )
+    na = adj.select(F.col("node").alias("a"), F.col("ns").alias("ns_a"))
+    nb = adj.select(F.col("node").alias("b"), F.col("ns").alias("ns_b"))
+    if n_edges_val <= BROADCAST_EDGE_LIMIT:
+        # nodes ≤ 2·edges and Σ|ns| = 2·edges, so the edge gate bounds
+        # the adjacency frames too; broadcasting keeps the edge side
+        # map-only (no re-shuffle of the persisted edge list).
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    paired = edges.join(na, "a").join(nb, "b")
+    c = F.size(F.array_intersect("ns_a", "ns_b")).cast("long")
+    scored = paired.select(
+        "a",
+        "b",
+        c.alias("n_common"),
+        (F.size("ns_a") + F.size("ns_b")).cast("long").alias("dsum"),
+    ).select(
+        "a",
+        "b",
+        "n_common",
+        F.expr("CAST(n_common * 1000000 div (dsum - n_common) AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("jaccard_ppm"), F.asc("a"), F.asc("b")
+    ).limit(JACCARD_TOP_N)

@@ -983,3 +983,64 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, component double, eigenvalue double"
     )
+
+
+RANGE_TAU = 0.25  # cosine radius for the epsilon-ball search
+
+
+@query(
+    "knn_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT
+        q.query_id,
+        e.vec_id AS neighbor_id,
+        {duck_dot('q.q_emb', 'e.embedding')} AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(score, 6) + 0 AS cos_sim
+    FROM scored
+    WHERE score >= {RANGE_TAU}
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (epsilon-ball) similarity search: ALL neighbors with
+    cosine ≥ τ, not a fixed top-k — the retrieval shape for
+    dedup-by-radius and recall-bounded RAG. Same broadcast-query scan
+    as knn_brute_force, but the survivor set is decided by a
+    scan-side filter, so NOTHING shuffles at all: the one window/rank
+    exchange top-k needs disappears and the output is produced
+    map-only (the final sort is presentation order on a τ-bounded
+    result). Both engines evaluate the identical left-fold dot
+    product (functions.vectors dot/duck_dot), so the τ boundary
+    cannot flip cross-engine. At scale the τ filter is what makes
+    radius search cheaper than top-k: no per-query state, pure
+    predicate, and the same plan runs under an LSH bucket
+    pre-filter (dedup_embedding_cosine) when the corpus outgrows a
+    full scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("q_emb", "embedding").alias("score"),
+        )
+        .filter(F.col("score") >= RANGE_TAU)
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        (F.round("score", 6) + 0.0).alias("cos_sim"),
+    ).orderBy("query_id", "neighbor_id")

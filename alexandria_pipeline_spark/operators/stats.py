@@ -1,0 +1,238 @@
+"""Exact-arithmetic corpus statistics: OLS trend, Gini concentration,
+and join-cardinality estimation.
+
+All three are single-digit-shuffle plans whose outputs are integers
+(cents / ppm / counts), so the DuckDB oracle hash-matches bit for bit:
+
+  - OLS slope is the closed form (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with
+    the day index REBASED to the first day so the moment sums stay
+    small; the final division runs in decimal(38,0) / HUGEINT.
+  - Gini needs a GLOBAL ascending rank — computed with the two-phase
+    banded technique (orders_pareto_8020 / corpus_shuffle_rank), never
+    a single-partition window: per-band counts give exclusive offsets
+    over a value-range-bounded band list, the within-band row_number
+    is partitioned by band.
+  - Join-cardinality estimation is the planner's |join| = Σ_k n_a(k)·
+    n_b(k) histogram product, plus the max single-key contribution as
+    a skew diagnostic — the numbers you need BEFORE launching a 100-TB
+    join to know whether to salt it (reference analog: choosing batch
+    and shard sizes up front, run.py:21-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.registry import query
+
+GINI_BAND_CHARS = 256  # n_chars band width for the two-phase rank
+
+_DEC = "decimal(38,0)"
+
+
+@query(
+    "orders_linreg_trend",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    rb AS (
+      SELECT d - (SELECT min(d) FROM per_day) AS x, rev AS y FROM per_day
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT)       AS n,
+             CAST(sum(x) AS HUGEINT)         AS sx,
+             CAST(sum(y) AS HUGEINT)         AS sy,
+             CAST(sum(x * y) AS HUGEINT)     AS sxy,
+             CAST(sum(x * x) AS HUGEINT)     AS sxx
+      FROM rb
+    )
+    SELECT
+      CAST(n AS BIGINT)                                     AS n_days,
+      CAST(sy AS BIGINT)                                    AS total_rev_cents,
+      CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           AS BIGINT)                                       AS slope_millicents_per_day
+    FROM m
+    """,
+)
+def orders_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend of daily revenue vs day index, exact to
+    the millicent/day. Plan: one groupBy(day) shuffle collapses orders
+    to ≤ time-span rows, the min-day rebase rides a 1-row broadcast
+    cross join, and the moment sums are a single tiny aggregate — the
+    classic 'regression as two aggregations' shape that costs one fact
+    exchange no matter the SF. Moments are computed in decimal(38,0)
+    (HUGEINT in the oracle) because n·Σxy overflows int64 somewhere
+    past sf10."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("rev"))
+    mn = per_day.agg(F.min("d").alias("d0"))
+    rb = per_day.crossJoin(F.broadcast(mn)).select(
+        (F.col("d") - F.col("d0")).alias("x"), F.col("rev").alias("y")
+    )
+    m = rb.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_rev_cents"),
+        F.expr("CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)").alias(
+            "slope_millicents_per_day"
+        ),
+    )
+
+
+@query(
+    "doc_length_gini",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+    r AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS i
+      FROM d
+    ),
+    t AS (
+      SELECT CAST(count(*) AS HUGEINT)          AS n,
+             CAST(sum(x) AS HUGEINT)            AS s,
+             CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS w
+      FROM r
+    )
+    SELECT
+      CAST(n AS BIGINT)                                         AS n_docs,
+      CAST(s AS BIGINT)                                         AS total_chars,
+      CAST(((2 * w - (n + 1) * s) * 1000000) // (n * s) AS BIGINT) AS gini_ppm
+    FROM t
+    """,
+)
+def doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document lengths (how unequal is the
+    corpus?) via G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over the ascending
+    global rank i. The rank is the two-phase banded rewrite: n_chars
+    div 256 bands (value-range-bounded, ≤ a few hundred rows) carry
+    the exclusive count offsets through a band-only window, and the
+    within-band row_number is PARTITIONED BY band — no single-partition
+    window anywhere (the orders_pareto_8020 discipline). One fact
+    shuffle for the band group-by, one partitioned window exchange,
+    one final 1-row aggregate; Σi·x runs in decimal(38,0) because the
+    rank-weighted sum is O(n²·x̄)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    banded = d.withColumn("band", F.expr(f"x div {GINI_BAND_CHARS}"))
+    band_cnt = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_cnt.select(
+        "band", F.coalesce(F.sum("bn").over(w_bands), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("band").orderBy("x", "doc_id")
+    ranked = (
+        banded.join(F.broadcast(offsets), "band")
+        .withColumn("i", F.col("off") + F.row_number().over(w_in))
+        .select("x", "i")
+    )
+    t = ranked.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("s"),
+        F.sum(F.col("i").cast(_DEC) * F.col("x")).cast(_DEC).alias("w"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("total_chars"),
+        F.expr("CAST(((2 * w - (n + 1) * s) * 1000000) div (n * s) AS BIGINT)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+@query(
+    "diagnose_join_cardinality",
+    oracle="""
+    WITH lk AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+      FROM lineitem GROUP BY 1
+    ),
+    ok AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nr
+      FROM orders GROUP BY 1
+    ),
+    j1 AS (
+      SELECT CAST(sum(nl * nr) AS BIGINT) AS est_rows,
+             CAST(max(nl * nr) AS BIGINT) AS max_key_rows,
+             CAST(count(*) AS BIGINT)     AS n_keys
+      FROM lk JOIN ok USING (k)
+    ),
+    ek AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS ne
+      FROM events GROUP BY 1
+    ),
+    j2 AS (
+      SELECT CAST(sum(ne * ne) AS BIGINT) AS est_rows,
+             CAST(max(ne * ne) AS BIGINT) AS max_key_rows,
+             CAST(count(*) AS BIGINT)     AS n_keys
+      FROM ek
+    )
+    SELECT 'lineitem_x_orders' AS join_name, est_rows, max_key_rows, n_keys,
+           CAST(max_key_rows * 1000000 // est_rows AS BIGINT) AS skew_ppm
+    FROM j1
+    UNION ALL
+    SELECT 'events_self_user' AS join_name, est_rows, max_key_rows, n_keys,
+           CAST(max_key_rows * 1000000 // est_rows AS BIGINT) AS skew_ppm
+    FROM j2
+    ORDER BY join_name
+    """,
+)
+def diagnose_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style join output estimation from per-key histograms:
+    |A ⋈ B| = Σ_k n_A(k)·n_B(k), with the max single-key product and
+    its ppm share as the salt-or-not skew diagnostic. This is the
+    number a 100-TB operator wants BEFORE running the join (it prices
+    the shuffle without performing it): each side collapses to one
+    count row per key (map-side combined), the count-table join is
+    co-partitioned on the key it just aggregated on (no extra
+    exchange), and only tiny scalar aggregates leave the stage.
+    Covers an FK join (lineitem × orders) and the quadratic hazard
+    case (events self-join on user_id)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    lk = l.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("nl"))
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("nr"))
+    j1 = (
+        lk.join(ok, "k")
+        .select((F.col("nl") * F.col("nr")).alias("p"))
+        .agg(
+            F.sum("p").alias("est_rows"),
+            F.max("p").alias("max_key_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select(F.lit("lineitem_x_orders").alias("join_name"), "est_rows", "max_key_rows", "n_keys")
+    )
+    j2 = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ne"))
+        .select((F.col("ne") * F.col("ne")).alias("p"))
+        .agg(
+            F.sum("p").alias("est_rows"),
+            F.max("p").alias("max_key_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select(F.lit("events_self_user").alias("join_name"), "est_rows", "max_key_rows", "n_keys")
+    )
+    out = j1.unionAll(j2)
+    return out.select(
+        "join_name",
+        F.col("est_rows").cast("long").alias("est_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr("CAST(max_key_rows * 1000000 div est_rows AS BIGINT)").alias("skew_ppm"),
+    ).orderBy("join_name")

@@ -70,6 +70,7 @@ def register_all() -> None:
         packing,
         quality,
         maintenance,
+        stats,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 
