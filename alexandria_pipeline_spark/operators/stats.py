@@ -236,3 +236,80 @@ def diagnose_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").cast("long").alias("n_keys"),
         F.expr("CAST(max_key_rows * 1000000 div est_rows AS BIGINT)").alias("skew_ppm"),
     ).orderBy("join_name")
+
+
+@query(
+    "orders_cusum_changepoint",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(rev) AS HUGEINT) AS s
+      FROM per_day
+    ),
+    cum AS (
+      SELECT d,
+             CAST(sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS c,
+             CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i
+      FROM per_day
+    )
+    SELECT
+      strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS cp_date,
+      CAST(i AS BIGINT)                    AS cp_index,
+      CAST(n AS BIGINT)                    AS n_days,
+      CAST(abs(n * c - i * s) AS BIGINT)   AS max_cusum_scaled
+    FROM cum, tot
+    ORDER BY abs(n * c - i * s) DESC, d ASC
+    LIMIT 1
+    """,
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series: the
+    day i maximizing |n·C_i − i·S| (the mean-deviation cumulative sum
+    scaled by n so no division ever happens — exact integers,
+    decimal(38,0)/HUGEINT against overflow at high SF). The peak of
+    the CUSUM curve is the classic single-changepoint estimate (Page
+    '54): where the series' running total departs furthest from the
+    constant-mean line. Shape: one fact shuffle collapses orders to
+    per-day rows; every window after that runs over the per-day frame,
+    whose cardinality is the CALENDAR SPAN, not the data size (the
+    events_cumulative_distinct_users precedent) — ~2.5k rows at any
+    SF; the argmax is a 1-row TakeOrdered with the date as
+    tiebreaker."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("rev"))
+    tot = per_day.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"), F.sum("rev").cast(_DEC).alias("s")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_day.select(
+        "d",
+        F.sum("rev").over(w).cast(_DEC).alias("c"),
+        F.row_number().over(Window.orderBy("d")).cast(_DEC).alias("i"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("c") - F.col("i") * F.col("s")).alias("cs"),
+    )
+    return (
+        scored.orderBy(F.desc("cs"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("cp_date"),
+            F.col("i").cast("long").alias("cp_index"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("cs").cast("long").alias("max_cusum_scaled"),
+        )
+    )

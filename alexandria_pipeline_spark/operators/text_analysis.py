@@ -779,3 +779,84 @@ def _register_lang_id_confusion() -> None:
 
 
 _register_lang_id_confusion()
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH per_doc AS (
+      SELECT
+        doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT)                        AS w,
+        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)   AS sy
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, w, sy,
+             206835 - (1015 * w) // s - (84600 * sy) // w AS fre_milli
+      FROM per_doc
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(sum(fre_milli) // count(*) AS BIGINT) AS avg_fre_milli,
+           CAST(sum(w) // count(*) AS BIGINT)         AS avg_words,
+           CAST(sum(sy * 1000) // sum(w) AS BIGINT)   AS syllables_per_word_milli
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language in exact milli-points:
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+    with syllables approximated by vowel-group runs ([aeiouy]+) — the
+    standard heuristic when no pronunciation dictionary is available
+    (the dictionary slot is the same pandas-UDF seam as the nltk
+    sentence splitter). Scaled to milli-units BEFORE the truncating
+    divisions so both engines make identical rounding decisions; a
+    doc with no terminal punctuation counts as one sentence. Shape:
+    the three counts are codegen regex scans (map-only, pushed
+    projections), then ONE bounded-key groupBy(lang) — per-corpus
+    cost is a single scan regardless of SF."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)).cast(
+                "long"
+            ),
+        ).alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("sy"),
+    )
+    scored = per_doc.select(
+        "lang",
+        "w",
+        "sy",
+        F.expr("206835 - (1015 * w) div s - (84600 * sy) div w").alias("fre_milli"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(fre_milli) div count(*)").alias("avg_fre_milli"),
+            F.expr("sum(w) div count(*)").alias("avg_words"),
+            F.expr("sum(sy * 1000) div sum(w)").alias("syllables_per_word_milli"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("avg_fre_milli").cast("long").alias("avg_fre_milli"),
+            F.col("avg_words").cast("long").alias("avg_words"),
+            F.col("syllables_per_word_milli")
+            .cast("long")
+            .alias("syllables_per_word_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -104,6 +104,10 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "multimodal_audio_vad",
     "events_ab_test_lift",
+    "graph_jaccard_neighbors",
+    "doc_length_gini",
+    "events_anomaly_mad",
+    "knn_range_search",
 ]
 
 
