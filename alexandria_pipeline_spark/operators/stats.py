@@ -313,3 +313,62 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs").cast("long").alias("max_cusum_scaled"),
         )
     )
+
+
+ROLLING_MEDIAN_DAYS = 7
+
+
+@query(
+    "orders_rolling_median_7d",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS day,
+      rev AS rev_cents,
+      CAST(floor(quantile_cont(rev, 0.5) OVER (
+        ORDER BY d ROWS BETWEEN {ROLLING_MEDIAN_DAYS - 1} PRECEDING AND CURRENT ROW
+      )) AS BIGINT) AS med7_cents
+    FROM per_day
+    ORDER BY d
+    """,
+)
+def orders_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily revenue — the robust denoiser a
+    revenue dashboard runs instead of a moving average (one flash-sale
+    day cannot drag the trend line). The median is an exact
+    percentile over a ROWS frame, floored to the cent grid in both
+    engines (quantile_cont ≡ F.percentile interpolation). Shape: one
+    fact shuffle collapses orders to per-day rows; the frame window
+    then runs over the per-day frame whose cardinality is the
+    CALENDAR SPAN, not the data size (the orders_cusum_changepoint /
+    events_cumulative_distinct_users precedent) — constant rows per
+    added terabyte."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("rev"))
+    w = Window.orderBy("d").rowsBetween(-(ROLLING_MEDIAN_DAYS - 1), 0)
+    return (
+        per_day.select(
+            "d",
+            F.col("rev").alias("rev_cents"),
+            F.floor(F.percentile("rev", F.lit(0.5)).over(w))
+            .cast("long")
+            .alias("med7_cents"),
+        )
+        .orderBy("d")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "rev_cents",
+            "med7_cents",
+        )
+    )

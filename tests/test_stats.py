@@ -1,0 +1,132 @@
+"""Analytic invariants for the statistics operators (stats.py,
+anomaly.py MAD, graph Jaccard) on constructed inputs where the right
+answer is known in closed form — the complement of the DuckDB oracle,
+which only proves Spark ≡ DuckDB, not Spark ≡ math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alexandria_pipeline_spark.operators.stats import (
+    doc_length_gini,
+    orders_cusum_changepoint,
+    orders_linreg_trend,
+)
+
+
+def _orders_from_days(spark, rows):
+    """rows: (day_offset, totalprice_dollars) -> minimal orders frame."""
+    df = spark.createDataFrame(rows, "dd int, o_totalprice double")
+    return df.select(
+        F.monotonically_increasing_id().alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        F.timestamp_seconds(
+            F.lit(946684800) + F.col("dd").cast("long") * 86400
+        ).alias("o_orderdate"),  # 2000-01-01 + dd days
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+
+
+def _patch_loader(monkeypatch, module, df, table):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    def fake_load(spark, sf_dir, name):
+        assert name == table
+        return df
+
+    monkeypatch.setattr(stats_mod, "load_table", fake_load)
+
+
+def test_linreg_exact_slope_on_synthetic_line(spark, monkeypatch):
+    # revenue = 100 + 2.5 * day dollars -> slope 250 cents = 250_000 milli
+    rows = [(d, 100.0 + 2.5 * d) for d in range(30)]
+    _patch_loader(monkeypatch, None, _orders_from_days(spark, rows), "orders")
+    out = orders_linreg_trend(spark, "ignored").collect()[0]
+    assert out["n_days"] == 30
+    assert out["slope_millicents_per_day"] == 250_000
+
+
+def test_linreg_zero_slope_on_constant_series(spark, monkeypatch):
+    rows = [(d, 500.0) for d in range(10)]
+    _patch_loader(monkeypatch, None, _orders_from_days(spark, rows), "orders")
+    out = orders_linreg_trend(spark, "ignored").collect()[0]
+    assert out["slope_millicents_per_day"] == 0
+
+
+def test_cusum_finds_planted_level_shift(spark, monkeypatch):
+    # 20 days at $100, then 20 days at $900 -> CUSUM peaks at the
+    # last pre-shift day (index 20, offset 19).
+    rows = [(d, 100.0) for d in range(20)] + [(d, 900.0) for d in range(20, 40)]
+    _patch_loader(monkeypatch, None, _orders_from_days(spark, rows), "orders")
+    out = orders_cusum_changepoint(spark, "ignored").collect()[0]
+    assert out["n_days"] == 40
+    assert out["cp_index"] == 20
+    assert out["cp_date"] == "2000-01-20"
+
+
+def test_gini_zero_for_equal_lengths_and_known_for_extreme(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    def make_docs(lengths):
+        return spark.createDataFrame(
+            [(i, "x", "en", "s", n) for i, n in enumerate(lengths)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    equal = make_docs([500] * 64)
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d, n: equal)
+    assert doc_length_gini(spark, "ignored").collect()[0]["gini_ppm"] == 0
+
+    # one doc holds all the mass: G = (n-1)/n = 3/4 for n=4
+    skewed = make_docs([0, 0, 0, 1000])
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d, n: skewed)
+    assert doc_length_gini(spark, "ignored").collect()[0]["gini_ppm"] == 750_000
+
+
+def test_mad_constant_series_flags_nothing(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.anomaly as anomaly_mod
+
+    events = spark.createDataFrame(
+        [(i, 1, "click", 5.0) for i in range(50)]
+        + [(100 + i, 1, "buy", float(i)) for i in range(50)],
+        "event_id long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(946684800) + F.col("event_id")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    monkeypatch.setattr(anomaly_mod, "load_table", lambda s, d, n: events)
+    rows = {
+        r["event_type"]: r
+        for r in anomaly_mod.events_anomaly_mad(spark, "ignored").collect()
+    }
+    # constant series: MAD = 0 and every deviation is 0 -> no flags
+    assert rows["click"]["mad_cents"] == 0
+    assert rows["click"]["n_anomalies"] == 0
+    # uniform 0..49: median 24.5 -> floor 2450c; MAD = floor(12.5*100)=1250c;
+    # |v - 2450| > 3750 has no solutions within [0, 4900] -> 0 flags
+    assert rows["buy"]["median_cents"] == 2450
+    assert rows["buy"]["mad_cents"] == 1250
+    assert rows["buy"]["n_anomalies"] == 0
+
+
+def test_jaccard_neighbors_complete_graph(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.graph as graph_mod
+
+    # one order containing parts {1..5} -> K5: every edge's endpoints
+    # share exactly the other 3 parts; |N(a) u N(b)| = 5 ->
+    # J = 3/5 = 600000 ppm for all 10 edges.
+    li = spark.createDataFrame(
+        [(1, p) for p in range(1, 6)], "l_orderkey long, l_partkey long"
+    )
+    monkeypatch.setattr(graph_mod, "load_table", lambda s, d, n: li)
+    out = graph_mod.graph_jaccard_neighbors(spark, "ignored").collect()
+    assert len(out) == 10
+    assert {r["jaccard_ppm"] for r in out} == {600_000}
+    assert {r["n_common"] for r in out} == {3}
