@@ -1044,3 +1044,102 @@ def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         (F.round("score", 6) + 0.0).alias("cos_sim"),
     ).orderBy("query_id", "neighbor_id")
+
+
+OUTLIER_PCTL = 0.95  # per-label distance percentile for the fence
+
+
+@query(
+    "embedding_label_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST(round(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS x,
+             u.dim
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(x) // count(*) AS BIGINT) AS c
+      FROM v GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT v.vec_id, v.label,
+             CAST(sum((v.x - cent.c) * (v.x - cent.c)) AS BIGINT) AS d2
+      FROM v JOIN cent ON v.label = cent.label AND v.dim = cent.dim
+      GROUP BY v.vec_id, v.label
+    ),
+    fence AS (
+      SELECT label,
+             CAST(floor(quantile_cont(d2, {OUTLIER_PCTL})) AS BIGINT) AS p95
+      FROM dist GROUP BY label
+    )
+    SELECT
+      dist.label,
+      CAST(count(*) AS BIGINT)  AS n_vecs,
+      CAST(min(fence.p95) AS BIGINT) AS p95_dist,
+      CAST(sum(CASE WHEN dist.d2 > fence.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_outliers
+    FROM dist JOIN fence USING (label)
+    GROUP BY dist.label
+    ORDER BY dist.label
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class embedding QA: per label, flag vectors whose
+    squared L2 distance to the label centroid exceeds the label's P95
+    fence — the standard screen for mislabeled or corrupt vectors
+    before index build or contrastive training. Everything is exact
+    integer micro-units: components round to 1e-6, the centroid uses
+    truncating division, distances are int64 sums of squared diffs,
+    and the fence is a floored exact percentile — so the flag decision
+    can never drift cross-engine. Shape: posexplode is map-side; the
+    centroid groupBy runs on (label, dim) — DIMENSION-sized output
+    (labels × 64), so it broadcasts back; the per-vector distance agg
+    is one shuffle on vec_id and the fence/read-out run on bounded
+    label keys. One fact-sized shuffle total at any SF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("x"),
+    )
+    cent = v.groupBy("label", "dim").agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("c")
+    )
+    dist = (
+        v.join(F.broadcast(cent), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sq"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    fence = dist.groupBy("label").agg(
+        F.floor(F.percentile("d2", F.lit(OUTLIER_PCTL))).cast("long").alias("p95")
+    )
+    return (
+        dist.join(F.broadcast(fence), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("p95").alias("p95_dist"),
+            F.sum((F.col("d2") > F.col("p95")).cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("p95_dist").cast("long").alias("p95_dist"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

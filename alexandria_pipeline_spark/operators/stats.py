@@ -372,3 +372,66 @@ def orders_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med7_cents",
         )
     )
+
+
+@query(
+    "events_autocorr_ar1",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS x, b.x AS y
+      FROM per_day a JOIN per_day b ON b.d = a.d + 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT)   AS n,
+             CAST(sum(x) AS HUGEINT)     AS sx,
+             CAST(sum(y) AS HUGEINT)     AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM pairs
+    )
+    SELECT
+      CAST(n AS BIGINT) AS n_pairs,
+      CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           AS BIGINT)   AS phi_ppm
+    FROM m
+    """,
+)
+def events_autocorr_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume as the AR(1)
+    regression coefficient φ = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) over
+    consecutive-calendar-day (x_t, x_{t+1}) pairs — the persistence
+    measure behind capacity planning ('does a busy day predict a busy
+    tomorrow?'). The OLS form needs no sqrt, so the whole statistic is
+    one truncating integer division in ppm (decimal(38,0)/HUGEINT
+    moments against overflow). Shape: one fact shuffle to per-day
+    counts; the lag join and moment aggregate run on the
+    calendar-span-bounded day frame (the orders_cusum_changepoint
+    precedent). Day gaps contribute no pair — deterministic in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = per_day.select("d", F.col("x").alias("x"))
+    b = per_day.select((F.col("d") - 1).alias("d"), F.col("x").alias("y"))
+    pairs = a.join(b, "d").select("x", "y")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("phi_ppm"),
+    )

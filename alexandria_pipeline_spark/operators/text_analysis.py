@@ -860,3 +860,57 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH wc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                                   AS vocab_size,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)     AS n_hapax,
+           CAST(sum(n) AS BIGINT)                                     AS n_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT)                                AS hapax_ppm
+    FROM wc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena ratio per language: the share of vocabulary
+    occurring exactly once — the classic corpus-linguistics signal
+    for OCR noise / tokenizer damage (healthy natural corpora sit
+    near 40-60%; a spike means junk tokens, a collapse means heavy
+    duplication). Shape: explode words, ONE (lang, word) groupBy with
+    map-side combine — the same single-shuffle profile as
+    text_top_bigrams — then a bounded-key groupBy(lang) read-out;
+    ratios in truncating-int ppm so the hash can't drift."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("CAST(n_hapax * 1000000 div vocab_size AS BIGINT)").alias(
+                "hapax_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
