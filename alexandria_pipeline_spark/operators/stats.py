@@ -435,3 +435,136 @@ def events_autocorr_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("phi_ppm"),
     )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH per_min AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT)   AS n,
+             CAST(sum(x) AS HUGEINT)     AS s,
+             CAST(sum(x * x) AS HUGEINT) AS ss
+      FROM per_min GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_minutes,
+           CAST(s AS BIGINT) AS n_events,
+           CAST((n * ss - s * s) * 1000000 // (n * s) AS BIGINT) AS fano_ppm
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event stream as the Fano factor (index of
+    dispersion) over per-minute counts: F = Var/Mean, = 1 for a
+    Poisson process, >1 for bursty (bot/flash-crowd) traffic, <1 for
+    rate-limited regularity — the dispersion twin of the per-minute
+    burst flags in events_bot_burst_flags. Computed division-light:
+    (n·Σx² − (Σx)²) / (n·Σx) in one truncating ppm division with
+    decimal(38,0)/HUGEINT intermediates (n·Σx² overflows int64 at
+    scale). Shape: one groupBy (event_type, minute) with map-side
+    combine — time-span-bounded output — then a bounded-key moment
+    aggregate. Only gaps with zero events are excluded (identically in
+    both engines), making this the OBSERVED-minute dispersion."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    m = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("ss"),
+    )
+    return (
+        m.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_minutes"),
+            F.col("s").cast("long").alias("n_events"),
+            F.expr(
+                "CAST((n * ss - s * s) * 1000000 div (n * s) AS BIGINT)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT yr, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY yr),
+    cols_ AS (SELECT pri, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY pri),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT yr) AS BIGINT) AS n_yr,
+                   CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+            FROM cells),
+    scored AS (
+      SELECT (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+             * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS num,
+             CAST(r AS HUGEINT) * c * n AS den
+      FROM cells JOIN rows_ USING (yr) JOIN cols_ USING (pri), tot
+    )
+    SELECT
+      CAST(min(tot.n) AS BIGINT)                              AS n_orders,
+      CAST(min((tot.n_yr - 1) * (tot.n_pri - 1)) AS BIGINT)   AS dof,
+      CAST(sum(num * 1000000 // den) AS BIGINT)               AS chi2_ppm
+    FROM scored, tot
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift test: has the order-priority MIX shifted
+    across years? Pearson's chi-square over the (year, priority)
+    contingency table with the division-free cell form
+    (O·N − R·C)² / (R·C·N), summed in truncating ppm per cell so both
+    engines round identically (squares run in decimal(38,0)/HUGEINT —
+    O·N is ~1e10 at sf0.1 and its square clears int64). The dof rides
+    along for the reader's significance lookup. Shape: ONE fact
+    shuffle builds the contingency cells (years × priorities — tens
+    of rows at any SF); margins, totals and the score are all
+    bounded-cardinality aggregates and broadcast joins after that.
+    The monitoring twin of corpus_lang_drift, which tracks the same
+    question for document languages in parts-per-10k."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("yr").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("pri").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("yr").alias("n_yr"),
+        F.countDistinct("pri").alias("n_pri"),
+    )
+    scored = (
+        cells.join(F.broadcast(rows_), "yr")
+        .join(F.broadcast(cols_), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "(CAST(o AS decimal(38,0)) * n - CAST(r AS decimal(38,0)) * c)"
+                " * (CAST(o AS decimal(38,0)) * n - CAST(r AS decimal(38,0)) * c)"
+            ).alias("num"),
+            F.expr("CAST(r AS decimal(38,0)) * c * n").alias("den"),
+            "n",
+            "n_yr",
+            "n_pri",
+        )
+    )
+    return scored.agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.expr("CAST(min((n_yr - 1) * (n_pri - 1)) AS BIGINT)").alias("dof"),
+        F.expr("CAST(sum(num * 1000000 div den) AS BIGINT)").alias("chi2_ppm"),
+    )

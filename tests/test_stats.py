@@ -130,3 +130,61 @@ def test_jaccard_neighbors_complete_graph(spark, monkeypatch):
     assert len(out) == 10
     assert {r["jaccard_ppm"] for r in out} == {600_000}
     assert {r["n_common"] for r in out} == {3}
+
+
+def test_autocorr_alternating_series_is_minus_one(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    # 11 days alternating 10/20 events -> 10 lag pairs, 5 of (10,20)
+    # and 5 of (20,10): AR(1) phi = -1 exactly.
+    rows = []
+    eid = 0
+    for d in range(11):
+        for _ in range(10 if d % 2 == 0 else 20):
+            rows.append((eid, 946684800 + d * 86400, 1, "click", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d_, n: events)
+    out = stats_mod.events_autocorr_ar1(spark, "ignored").collect()[0]
+    assert out["n_pairs"] == 10
+    assert out["phi_ppm"] == -1_000_000
+
+
+def test_hapax_ratio_tiny_corpus(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.text_analysis as ta_mod
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "en", "s", 5), (2, "c", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(ta_mod, "load_table", lambda s, d, n: docs)
+    out = ta_mod.text_hapax_ratio(spark, "ignored").collect()[0]
+    assert out["vocab_size"] == 3
+    assert out["n_hapax"] == 2  # b, c
+    assert out["n_tokens"] == 4
+    assert out["hapax_ppm"] == 666_666
+
+
+def test_label_outliers_flags_planted_point(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.similarity as sim_mod
+
+    # 20 identical vectors + 1 planted far point in one label: the P95
+    # fence lands exactly on the common distance (rank 19 of 21 is an
+    # integer percentile position), so only the far point exceeds it.
+    vecs = [(i, [1.0, 0.0], 7) for i in range(20)] + [(99, [0.0, 1.0], 7)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim_mod, "load_table", lambda s, d, n: emb)
+    out = sim_mod.embedding_label_outliers(spark, "ignored").collect()[0]
+    assert out["n_vecs"] == 21
+    assert out["n_outliers"] == 1
