@@ -568,3 +568,79 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min((n_yr - 1) * (n_pri - 1)) AS BIGINT)").alias("dof"),
         F.expr("CAST(sum(num * 1000000 div den) AS BIGINT)").alias("chi2_ppm"),
     )
+
+
+@query(
+    "orders_runs_test",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(floor(quantile_cont(rev, 0.5)) AS BIGINT) AS m FROM per_day
+    ),
+    signed AS (
+      SELECT d, CASE WHEN rev > m THEN 1 ELSE 0 END AS s
+      FROM per_day, med WHERE rev <> m
+    ),
+    flips AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL
+                      AND lag(s) OVER (ORDER BY d) <> s
+                 THEN 1 ELSE 0 END AS flip
+      FROM signed
+    )
+    SELECT
+      CAST(sum(s) AS BIGINT)                                  AS n_above,
+      CAST(sum(1 - s) AS BIGINT)                              AS n_below,
+      CAST(1 + sum(flip) AS BIGINT)                           AS n_runs,
+      CAST(1000 + 2000 * sum(s) * sum(1 - s)
+           // (sum(s) + sum(1 - s)) AS BIGINT)                AS expected_runs_milli
+    FROM flips
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median sign sequence random, trending (too few runs),
+    or oscillating (too many)? Observed runs vs the closed-form
+    expectation 1 + 2·n₁·n₂/(n₁+n₂), the latter in exact truncating
+    milli-units — the nonparametric sibling of the chi-square mix
+    test, with days equal to the median excluded per the standard
+    recipe (floored exact percentile keeps that exclusion decision
+    identical in both engines). Shape: one fact shuffle to per-day
+    rows, a 1-row median broadcast, and the lag/flip window over the
+    calendar-span-bounded day frame; the read-out is one scalar
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("rev"))
+    med = per_day.agg(
+        F.floor(F.percentile("rev", F.lit(0.5))).cast("long").alias("m")
+    )
+    signed = (
+        per_day.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("d", (F.col("rev") > F.col("m")).cast("long").alias("s"))
+    )
+    w = Window.orderBy("d")
+    flips = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNotNull() & (F.lag("s").over(w) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("flip"),
+    )
+    return flips.agg(
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n_below"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("n_runs"),
+        F.expr(
+            "CAST(1000 + 2000 * sum(s) * sum(1 - s) div (sum(s) + sum(1 - s)) AS BIGINT)"
+        ).alias("expected_runs_milli"),
+    )
