@@ -18,7 +18,7 @@ applies the same pattern per-iteration in its convergence loop."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from alexandria_pipeline_spark.catalog import load_table
@@ -368,3 +368,57 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard_ppm"), F.asc("a"), F.asc("b")
     ).limit(JACCARD_TOP_N)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node)
+    SELECT d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(count(*)) OVER (ORDER BY d DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_nodes_at_least
+    FROM deg
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph with the
+    complementary cumulative count (how many nodes have degree ≥ d) —
+    the first diagnostic before choosing a graph algorithm at scale:
+    a heavy tail here is what makes naive wedge joins explode and is
+    exactly what the degree-oriented triangle plan defends against.
+    Shape: the same adjacency-first build as graph_jaccard_neighbors
+    (one collect_set exchange), then a groupBy over DEGREE VALUES —
+    whose cardinality is bounded by max-degree, not node count — so
+    the survival-curve window runs over a few hundred rows at any SF."""
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    pairs = (
+        sets.select(F.explode("ps").alias("node"), "ps")
+        .select("node", F.explode("ps").alias("nb"))
+        .filter(F.col("node") != F.col("nb"))
+    )
+    deg = pairs.groupBy("node").agg(F.count_distinct("nb").alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.select(
+            F.col("d").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
+        )
+        .orderBy("degree")
+    )

@@ -644,3 +644,113 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 + 2000 * sum(s) * sum(1 - s) div (sum(s) + sum(1 - s)) AS BIGINT)"
         ).alias("expected_runs_milli"),
     )
+
+
+ABC_BAND_CENTS = 5_000_000  # $50k revenue bands for the two-phase cumsum
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@query(
+    "orders_abc_classification",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM per_part),
+    cum AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) - rev AS cum_before
+      FROM per_part
+    ),
+    classed AS (
+      SELECT rev,
+             CASE WHEN cum_before * 100 < total_rev * {ABC_A_PCT} THEN 'A'
+                  WHEN cum_before * 100 < total_rev * {ABC_B_PCT} THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum, tot
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) * 1000000 // min(tot.total_rev) AS BIGINT) AS share_ppm
+    FROM classed, tot
+    GROUP BY abc
+    ORDER BY abc
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A
+    covers the first 80% of cumulative revenue (descending), B the
+    next 15%, C the tail — the purchasing-priority cut every supply
+    chain runs. Needs the same GLOBAL descending cumulative sum as
+    orders_pareto_8020 and reuses its two-phase banded rewrite
+    verbatim: $50k revenue bands carry exclusive offsets through a
+    band-cardinality window, the within-band cumsum is PARTITIONED BY
+    band, and the class decision is pure integer cents — no
+    single-partition window, no float. One fact shuffle (per-part
+    rollup) + bounded-band exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev"
+        )
+    )
+    banded = per_part.withColumn("band", F.expr(f"rev div {ABC_BAND_CENTS}"))
+    band_tot = banded.groupBy("band").agg(F.sum("rev").alias("band_rev"))
+    w_bands = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("band_rev").over(w_bands), F.lit(0)).alias("band_offset"),
+    )
+    tot = per_part.agg(F.sum("rev").alias("total_rev"))
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "rev",
+            (
+                F.col("band_offset")
+                + F.coalesce(F.sum("rev").over(w_in), F.lit(0))
+            ).alias("cum_before"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    classed = cum.select(
+        "rev",
+        "total_rev",
+        F.when(
+            F.col("cum_before") * 100 < F.col("total_rev") * ABC_A_PCT, F.lit("A")
+        )
+        .when(
+            F.col("cum_before") * 100 < F.col("total_rev") * ABC_B_PCT, F.lit("B")
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("revenue_cents"),
+            F.expr("CAST(sum(rev) * 1000000 div min(total_rev) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .select(
+            "abc",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            "share_ppm",
+        )
+        .orderBy("abc")
+    )

@@ -1,0 +1,66 @@
+"""Time registered queries at two scale factors and fold the results
+into STRESS_r4.json — the repeatable version of the ad-hoc stress runs.
+
+Usage:
+    python scripts/make_stress_sf.py              # once, builds .stress/sf1
+    python scripts/stress_run.py q1 q2 ...        # time these queries
+    python scripts/stress_run.py --all-new        # every query not yet in STRESS json
+
+Method (matches the recorded runs): one warm-up action per sf_dir, then
+a single timed .count() per query — absolute sf1 wall is the signal,
+sub-10x scaling vs sf0.1 is the pass bar.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from alexandria_pipeline_spark import QUERIES, get_spark, register_all
+
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r4.json"
+SF_DIRS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".stress/sf1")]
+
+
+def main() -> int:
+    register_all()
+    args = sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    recorded = json.loads(STRESS_JSON.read_text()) if STRESS_JSON.exists() else {
+        "timings": {}
+    }
+    if args == ["--all-new"]:
+        names = sorted(
+            n
+            for n in QUERIES
+            if n not in recorded["timings"] and not n.startswith("stream_")
+        )
+    else:
+        names = [n for n in QUERIES if any(s in n for s in args)]
+    if not names:
+        print("no matching queries")
+        return 2
+    spark = get_spark("stress-run", cpus="32")
+    out: dict[str, dict[str, float]] = {}
+    for sf_label, sf_dir in SF_DIRS:
+        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()  # warm-up
+        for name in names:
+            t0 = time.monotonic()
+            n_rows = QUERIES[name](spark, sf_dir).count()
+            dt = round(time.monotonic() - t0, 2)
+            out.setdefault(name, {})[sf_label] = dt
+            print(f"{name:40s} {sf_label:6s} {dt:8.2f}s rows={n_rows}", flush=True)
+    recorded["timings"].update(out)
+    STRESS_JSON.write_text(json.dumps(recorded, indent=1))
+    print(f"recorded {len(out)} queries into {STRESS_JSON.name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
