@@ -188,3 +188,95 @@ def test_label_outliers_flags_planted_point(spark, monkeypatch):
     out = sim_mod.embedding_label_outliers(spark, "ignored").collect()[0]
     assert out["n_vecs"] == 21
     assert out["n_outliers"] == 1
+
+
+def test_fano_constant_and_known_dispersion(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    # "click": 3 events in each of 2 minutes -> variance 0 -> Fano 0.
+    # "buy": counts 1 and 3 -> (n*ss - s*s)/(n*s) = (20-16)/8 = 0.5.
+    rows = []
+    eid = 0
+    for minute, n in [(0, 3), (1, 3)]:
+        for _ in range(n):
+            rows.append((eid, minute * 60, 1, "click", 1.0, "{}")); eid += 1
+    for minute, n in [(0, 1), (1, 3)]:
+        for _ in range(n):
+            rows.append((eid, minute * 60, 1, "buy", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d, n: events)
+    out = {r["event_type"]: r for r in stats_mod.events_burstiness_fano(spark, "x").collect()}
+    assert out["click"]["fano_ppm"] == 0
+    assert out["buy"]["fano_ppm"] == 500_000
+
+
+def test_mix_shift_zero_for_identical_mix(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    # same 2:1 priority mix in both years -> every O == E -> chi2 = 0
+    rows = []
+    oid = 0
+    for yr_off, base in [(0, 946684800), (1, 978307200)]:  # 2000, 2001
+        for pri, n in [("1-URGENT", 20), ("5-LOW", 10)]:
+            for _ in range(n):
+                rows.append((oid, 1, "O", 100.0, base, pri)); oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, sec long, o_orderpriority string"
+    ).withColumn("o_orderdate", F.timestamp_seconds("sec")).drop("sec")
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d, n: orders)
+    out = stats_mod.orders_priority_mix_shift(spark, "x").collect()[0]
+    assert out["n_orders"] == 60
+    assert out["dof"] == 1
+    assert out["chi2_ppm"] == 0
+
+
+def test_runs_test_trending_vs_alternating(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    # 10 low days then 10 high days -> exactly 2 runs (pure trend).
+    trend = [(d, 100.0) for d in range(10)] + [(d, 900.0) for d in range(10, 20)]
+    _patch_loader(monkeypatch, None, _orders_from_days(spark, trend), "orders")
+    out = stats_mod.orders_runs_test(spark, "x").collect()[0]
+    assert out["n_above"] == 10 and out["n_below"] == 10
+    assert out["n_runs"] == 2
+    assert out["expected_runs_milli"] == 11_000  # 1 + 2*100/20 = 11
+
+    # perfect alternation -> n1+n2 runs (maximum oscillation)
+    alt = [(d, 100.0 if d % 2 == 0 else 900.0) for d in range(20)]
+    _patch_loader(monkeypatch, None, _orders_from_days(spark, alt), "orders")
+    out = stats_mod.orders_runs_test(spark, "x").collect()[0]
+    assert out["n_runs"] == 20
+
+
+def test_degree_distribution_k5(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.graph as graph_mod
+
+    li = spark.createDataFrame(
+        [(1, p) for p in range(1, 6)], "l_orderkey long, l_partkey long"
+    )
+    monkeypatch.setattr(graph_mod, "load_table", lambda s, d, n: li)
+    out = graph_mod.graph_degree_distribution(spark, "x").collect()
+    assert len(out) == 1
+    assert out[0]["degree"] == 4
+    assert out[0]["n_nodes"] == 5
+    assert out[0]["n_nodes_at_least"] == 5
+
+
+def test_abc_classes_partition_everything(spark, monkeypatch):
+    import alexandria_pipeline_spark.operators.stats as stats_mod
+
+    # one dominant part (80% of revenue) and 4 small ones: the whale is
+    # class A alone; shares must sum to 1e6 - rounding slack.
+    rows = [(1, 8000.0)] + [(p, 500.0) for p in range(2, 6)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double") \
+        .withColumn("l_orderkey", F.lit(1).cast("long"))
+    monkeypatch.setattr(stats_mod, "load_table", lambda s, d, n: li)
+    out = {r["abc"]: r for r in stats_mod.orders_abc_classification(spark, "x").collect()}
+    assert out["A"]["n_parts"] == 1 and out["A"]["revenue_cents"] == 800_000
+    assert sum(r["n_parts"] for r in out.values()) == 5
+    assert sum(r["revenue_cents"] for r in out.values()) == 1_000_000
