@@ -754,3 +754,69 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT
+      d.month,
+      CAST(count(*) AS BIGINT)                          AS n_days,
+      CAST(sum(d.dau) // count(*) AS BIGINT)            AS avg_dau,
+      CAST(min(m.mau) AS BIGINT)                        AS mau,
+      CAST(sum(d.dau) * 1000000 // (count(*) * min(m.mau))
+           AS BIGINT)                                   AS stickiness_ppm
+    FROM daily d JOIN monthly m USING (month)
+    GROUP BY d.month
+    ORDER BY d.month
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the product-analytics engagement
+    ratio (what fraction of the monthly audience shows up on an
+    average day). Both actives are EXACT distinct counts: the daily
+    one groups by (month, day) and the monthly one by month, each a
+    single exact count-distinct aggregate (Spark expands these to a
+    two-phase partial/final plan on its own); the ratio
+    avg(DAU)/MAU = ΣDAU / (n_days·MAU) is one truncating ppm
+    division. Calendar-bounded output (one row per month). At 100 TB
+    the same read-out swaps count_distinct for the KMV/HLL sketches
+    already in the registry (agg_distinct_kmv) without changing
+    shape."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month")
+    daily = e.groupBy(month, F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    monthly = e.groupBy(month).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("sum(dau) div count(*)").alias("avg_dau"),
+            F.min("mau").alias("mau"),
+            F.expr(
+                "CAST(sum(dau) * 1000000 div (count(*) * min(mau)) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .select(
+            "month",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("avg_dau").cast("long").alias("avg_dau"),
+            F.col("mau").cast("long").alias("mau"),
+            "stickiness_ppm",
+        )
+        .orderBy("month")
+    )
