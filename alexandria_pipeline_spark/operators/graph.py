@@ -365,9 +365,15 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_ppm"
         ),
     )
-    return scored.orderBy(
-        F.desc("jaccard_ppm"), F.asc("a"), F.asc("b")
-    ).limit(JACCARD_TOP_N)
+    # Edges with ZERO common neighbors are excluded before the top-N:
+    # the oracle's wedge GROUP BY is an inner join and so never emits
+    # them, and on sparse graphs (< top-N edges with any overlap) the
+    # zero rows would otherwise pad the Spark side only.
+    return (
+        scored.filter(F.col("n_common") >= 1)
+        .orderBy(F.desc("jaccard_ppm"), F.asc("a"), F.asc("b"))
+        .limit(JACCARD_TOP_N)
+    )
 
 
 @query(

@@ -258,9 +258,9 @@ def diagnose_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS cp_date,
-      CAST(i AS BIGINT)                    AS cp_index,
-      CAST(n AS BIGINT)                    AS n_days,
-      CAST(abs(n * c - i * s) AS BIGINT)   AS max_cusum_scaled
+      CAST(i AS BIGINT)                          AS cp_index,
+      CAST(n AS BIGINT)                          AS n_days,
+      CAST(abs(n * c - i * s) // n AS BIGINT)    AS max_cusum_cents
     FROM cum, tot
     ORDER BY abs(n * c - i * s) DESC, d ASC
     LIMIT 1
@@ -269,8 +269,10 @@ def diagnose_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection on the daily-revenue series: the
     day i maximizing |n·C_i − i·S| (the mean-deviation cumulative sum
-    scaled by n so no division ever happens — exact integers,
-    decimal(38,0)/HUGEINT against overflow at high SF). The peak of
+    scaled by n so the ARGMAX needs no division — exact integers,
+    decimal(38,0)/HUGEINT against overflow at high SF; the reported
+    statistic divides the n back out with exact truncating division so
+    the BIGINT read-out is bounded by total revenue cents at any SF). The peak of
     the CUSUM curve is the classic single-changepoint estimate (Page
     '54): where the series' running total departs furthest from the
     constant-mean line. Shape: one fact shuffle collapses orders to
@@ -300,6 +302,12 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.abs(F.col("n") * F.col("c") - F.col("i") * F.col("s")).alias("cs"),
     )
+    # Report the statistic pre-scaled back down (cs div n — exact
+    # truncating decimal division, identical to the oracle's HUGEINT
+    # //): the raw |n·C − i·S| is bounded by n_days·total_rev (~7.7e16
+    # at sf1) and would blow past int64 around sf150 under ANSI; the
+    # divided form is bounded by total revenue cents at ANY SF. The
+    # argmax itself still orders by the undivided decimal.
     return (
         scored.orderBy(F.desc("cs"), F.asc("d"))
         .limit(1)
@@ -310,7 +318,7 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cp_date"),
             F.col("i").cast("long").alias("cp_index"),
             F.col("n").cast("long").alias("n_days"),
-            F.col("cs").cast("long").alias("max_cusum_scaled"),
+            F.expr("CAST(cs div n AS BIGINT)").alias("max_cusum_cents"),
         )
     )
 
@@ -725,14 +733,23 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
     )
+    # All cross-class arithmetic widens to decimal(38,0) BEFORE the
+    # multiply: total_rev is ~2.3e13 cents at sf1, so sum(rev)*1e6 in
+    # BIGINT throws ARITHMETIC_OVERFLOW under ANSI mode once any class
+    # passes ~9.2e12 cents — the DuckDB oracle already runs the same
+    # expressions in HUGEINT.
     classed = cum.select(
         "rev",
         "total_rev",
         F.when(
-            F.col("cum_before") * 100 < F.col("total_rev") * ABC_A_PCT, F.lit("A")
+            F.col("cum_before").cast(_DEC) * 100
+            < F.col("total_rev").cast(_DEC) * ABC_A_PCT,
+            F.lit("A"),
         )
         .when(
-            F.col("cum_before") * 100 < F.col("total_rev") * ABC_B_PCT, F.lit("B")
+            F.col("cum_before").cast(_DEC) * 100
+            < F.col("total_rev").cast(_DEC) * ABC_B_PCT,
+            F.lit("B"),
         )
         .otherwise(F.lit("C"))
         .alias("abc"),
@@ -742,9 +759,10 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("rev").alias("revenue_cents"),
-            F.expr("CAST(sum(rev) * 1000000 div min(total_rev) AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(sum(rev) AS decimal(38,0)) * 1000000"
+                " div min(total_rev) AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .select(
             "abc",

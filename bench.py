@@ -182,6 +182,17 @@ def main() -> None:
         out["errors"] = errors
         out["partial_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
+    # The per-query line above outgrew the driver's tail capture at 68
+    # queries (BENCH_r04.json recorded parsed:null because the FRONT of
+    # the line — where "value" lives — was truncated away). Emit a
+    # second, compact record LAST so the tail always holds a complete
+    # parseable JSON line regardless of how many queries the full line
+    # carries.
+    compact = {
+        k: out[k]
+        for k in ("metric", "value", "unit", "n_timed", "n_failed", "sf")
+    }
+    print(json.dumps(compact))
     spark.stop()
     sys.exit(0 if timings else 1)
 

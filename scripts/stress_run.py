@@ -7,8 +7,10 @@ Usage:
     python scripts/stress_run.py --all-new        # every query not yet in STRESS json
 
 Method (matches the recorded runs): one warm-up action per sf_dir, then
-a single timed .count() per query — absolute sf1 wall is the signal,
-sub-10x scaling vs sf0.1 is the pass bar.
+a single timed noop-sink write per query (count() would let column
+pruning drop the output expressions — it under-measured and masked the
+orders_abc sf1 ANSI overflow entirely) — absolute sf1 wall is the
+signal, sub-10x scaling vs sf0.1 is the pass bar.
 """
 
 from __future__ import annotations
@@ -52,10 +54,13 @@ def main() -> int:
         QUERIES["q1_pricing_summary"](spark, sf_dir).collect()  # warm-up
         for name in names:
             t0 = time.monotonic()
-            n_rows = QUERIES[name](spark, sf_dir).count()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink evaluates EVERY output column (count() lets
+            # pruning drop final projections and mask runtime errors)
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 2)
             out.setdefault(name, {})[sf_label] = dt
-            print(f"{name:40s} {sf_label:6s} {dt:8.2f}s rows={n_rows}", flush=True)
+            print(f"{name:40s} {sf_label:6s} {dt:8.2f}s", flush=True)
     recorded["timings"].update(out)
     STRESS_JSON.write_text(json.dumps(recorded, indent=1))
     print(f"recorded {len(out)} queries into {STRESS_JSON.name}")
