@@ -60,18 +60,40 @@ COSINE_THRESHOLD = 0.35
 # in [-6, 6] from a fixed affine formula — exactly representable, so
 # both engines compute identical projections. The plane count is the
 # bucket-granularity knob (2^planes buckets): in-bucket pair volume is
-# ~n²/2^planes, so planes MUST grow with the corpus (~log2(n) - const).
-# Env-overridable like the band knobs above — the oracle SQL is built
-# from the same constant at import, so any setting stays oracle-exact
-# (the measure is bucket-scoped by definition, mirroring the jaccard
-# df-cap convention). sf1 stress measured the cost of NOT scaling it:
-# 4 planes = 16 buckets went quadratic (123 s); 8 planes restored
-# linear-ish scaling.
-LSH_PLANES = int(os.environ.get("SPARK_GRAFT_LSH_PLANES", "4"))
+# ~n²/2^planes, so planes MUST grow with the corpus. The DEFAULT is now
+# derived from a plan-time corpus count in BOTH engines with the same
+# pure-integer formula (no float log2 — bit_length is exact and
+# identical cross-engine):
+#
+#     planes = clamp(bit_length(n - 1) - 7, min=4, max=24)
+#
+# i.e. planes ≈ ceil(log2(n)) - 7, which pins expected in-bucket pair
+# volume at ~n²/2^planes ≈ 128·n — LINEAR in the corpus forever. The
+# sf1 stress measured the cost of a fixed default: 4 planes = 16
+# buckets went quadratic (123 s at 20k vectors); this formula picks 8
+# planes there (the setting measured linear-ish, 19.4 s) while leaving
+# sf0.01/sf0.1 at 4 planes, so oracle hashes are unchanged. The env
+# override pins a FIXED count in both engines (oracle SQL embeds the
+# same constant), mirroring the jaccard df-cap convention.
+_LSH_PLANES_ENV = os.environ.get("SPARK_GRAFT_LSH_PLANES", "")
+LSH_MAX_PLANES = 24
 EMBED_DIM = 64
 _planes = [
-    [((p * 31 + d * 17) % 13) - 6 for d in range(EMBED_DIM)] for p in range(LSH_PLANES)
+    [((p * 31 + d * 17) % 13) - 6 for d in range(EMBED_DIM)]
+    for p in range(LSH_MAX_PLANES)
 ]
+
+
+def lsh_planes_for(n_vectors: int) -> int:
+    """Auto-scaled hyperplane count: clamp(bit_length(n-1) - 7, 4, 24).
+
+    bit_length(n-1) == ceil(log2(n)) for n >= 2, computed in exact
+    integer arithmetic so Spark (Python int.bit_length) and the DuckDB
+    oracle (length(bin(n-1))) can never disagree on a borderline float.
+    """
+    if _LSH_PLANES_ENV:
+        return int(_LSH_PLANES_ENV)
+    return max(4, min(LSH_MAX_PLANES, (max(n_vectors, 2) - 1).bit_length() - 7))
 
 
 # --------------------------------------------------------------------------
@@ -588,22 +610,42 @@ def _duck_plane(p: int) -> str:
 
 
 def _duck_bucket(emb: str) -> str:
+    """Bucket expression with every plane term GATED on np.planes (the
+    auto-scaled count CTE) so the oracle uses exactly the planes the
+    Spark plan picked — the outer CASE keeps gated-out projections from
+    contributing."""
     terms = []
-    for p in range(LSH_PLANES):
+    for p in range(LSH_MAX_PLANES):
         proj = (
             f"list_reduce(list_transform(range(1, {EMBED_DIM} + 1), "
             f"i -> CAST({emb}[i] AS DOUBLE) * ({_duck_plane(p)})[i]), (a, x) -> a + x)"
         )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(
+            f"(CASE WHEN {p} < np.planes THEN "
+            f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END) ELSE 0 END)"
+        )
     return "(" + " + ".join(terms) + ")"
+
+
+# The oracle's plane count: the env pin verbatim, else the SAME
+# pure-integer formula as lsh_planes_for, in SQL.
+_DUCK_PLANES_CTE = (
+    f"SELECT {int(_LSH_PLANES_ENV)} AS planes"
+    if _LSH_PLANES_ENV
+    else (
+        f"SELECT GREATEST(4, LEAST({LSH_MAX_PLANES}, "
+        "length(bin(GREATEST(count(*), 2) - 1)) - 7)) AS planes FROM embeddings"
+    )
+)
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH bucketed AS (
+    WITH np AS ({_DUCK_PLANES_CTE}),
+    bucketed AS (
       SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings, np
     ),
     pairs AS (
       SELECT
@@ -620,15 +662,24 @@ def _duck_bucket(emb: str) -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH (SimHash for
-    vectors, Charikar '02): bucket = sign pattern of 4 fixed integer
+    vectors, Charikar '02): bucket = sign pattern of fixed integer
     hyperplane projections; pairs within a bucket verified by exact
     cosine (= dot product — testdata vectors are unit-norm) ≥ 0.35.
 
-    Scale: buckets cut the pair space 2^planes-fold; at 100 TB you'd
-    use 16-24 planes + multi-probe. The bucket join shuffles (id,
-    vector) once; the verify fold runs JVM-side (zip_with/aggregate,
-    no UDF)."""
+    Scale: buckets cut the pair space 2^planes-fold, and the plane
+    count is AUTO-SCALED from a plan-time corpus count (lsh_planes_for:
+    clamp(ceil(log2 n) - 7, 4, 24)) so expected in-bucket pair volume
+    stays ~128·n — linear — at any corpus size; the sf1 stress showed
+    the fixed-4-plane default going quadratic (123 s at 20k vectors)
+    where this formula's 8 planes measured 19.4 s. The oracle computes
+    the SAME integer formula in SQL (np CTE), so parity holds at every
+    SF without pinning; SPARK_GRAFT_LSH_PLANES pins both engines to a
+    fixed count. The plan-time count() is the BROADCAST_EDGE_LIMIT
+    gate pattern: one columnless scan, footer-count cheap. The bucket
+    join shuffles (id, vector) once; the verify fold runs JVM-side
+    (zip_with/aggregate, no UDF)."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_planes = lsh_planes_for(e.count())
 
     def proj(p: int):
         plane = F.array(*[F.lit(float(v)) for v in _planes[p]])
@@ -639,7 +690,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bucket = None
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
