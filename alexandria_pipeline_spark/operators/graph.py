@@ -267,6 +267,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_TOP_N = 20
+# Signature width for the above-gate sketch path: 64 min-hashes ≈ 6 ppt
+# worst-case standard error on the Jaccard estimate, 8·64 B per node.
+JACCARD_SKETCH_K = 64
 
 
 @query(
@@ -319,7 +322,22 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edges-then-adjacency formulation (measured 2.7s -> 1.3s warm
     at sf0.1). Top-20 survives via TakeOrdered with an (a, b)
     tiebreaker. The oracle recomputes common-neighbor counts with the
-    naive wedge GROUP BY."""
+    naive wedge GROUP BY.
+
+    ABOVE the plan-time size gate the exact path's per-edge
+    array_intersect cost — deg(a)+deg(b), summed over edges = Σdeg² —
+    is quadratic in hub degree (sf1 measured ~16x wall for 10x data)
+    and the fat adjacency arrays would shuffle through both joins. The
+    big-graph path therefore switches to MinHash SKETCHES of the
+    adjacency sets: K=64 per-node min-hashes computed map-side over
+    the persisted adjacency arrays (transform+array_min, codegen, one
+    pass), so every edge carries two FIXED 64-slot signatures instead
+    of unbounded neighbor arrays, per-edge cost is O(K), and the
+    Jaccard estimate is the matching-component fraction (standard
+    error ~sqrt(j(1-j)/64) ≈ 6 ppt worst case). n_common is read back
+    from the estimate via j·(da+db)/(1+j) in truncating integer ppm.
+    The exact path — and thus the sf0.01 oracle hash — is unchanged
+    below the gate."""
     sets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -338,33 +356,103 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σ|ns| = 2·|E|: one cheap aggregate over the persisted adjacency
     # sizes both the gate and nothing else.
     n_edges_val = (adj.agg(F.sum(F.size("ns"))).first()[0] or 0) // 2
-    # the a-side neighbor array rides along for free: every canonical
-    # edge (a < b) appears exactly once as an element of a's set
-    ewa = adj.select(
-        F.col("node").alias("a"),
-        F.col("ns").alias("ns_a"),
-        F.explode("ns").alias("b"),
-    ).filter(F.col("a") < F.col("b"))
-    nb = adj.select(F.col("node").alias("b"), F.col("ns").alias("ns_b"))
     if n_edges_val <= BROADCAST_EDGE_LIMIT:
-        # nodes ≤ 2·edges, so the edge gate bounds the adjacency frame;
-        # broadcasting keeps the fat exploded side entirely map-side.
-        nb = F.broadcast(nb)
-    paired = ewa.join(nb, "b")
-    c = F.size(F.array_intersect("ns_a", "ns_b")).cast("long")
-    scored = paired.select(
-        "a",
-        "b",
-        c.alias("n_common"),
-        (F.size("ns_a") + F.size("ns_b")).cast("long").alias("dsum"),
-    ).select(
-        "a",
-        "b",
-        "n_common",
-        F.expr("CAST(n_common * 1000000 div (dsum - n_common) AS BIGINT)").alias(
-            "jaccard_ppm"
-        ),
-    )
+        # EXACT path. The a-side neighbor array rides along for free:
+        # every canonical edge (a < b) appears exactly once as an
+        # element of a's set. nodes ≤ 2·edges, so the edge gate bounds
+        # the adjacency frame; broadcasting keeps the fat exploded side
+        # entirely map-side.
+        ewa = adj.select(
+            F.col("node").alias("a"),
+            F.col("ns").alias("ns_a"),
+            F.explode("ns").alias("b"),
+        ).filter(F.col("a") < F.col("b"))
+        nb = F.broadcast(
+            adj.select(F.col("node").alias("b"), F.col("ns").alias("ns_b"))
+        )
+        paired = ewa.join(nb, "b")
+        c = F.size(F.array_intersect("ns_a", "ns_b")).cast("long")
+        scored = paired.select(
+            "a",
+            "b",
+            c.alias("n_common"),
+            (F.size("ns_a") + F.size("ns_b")).cast("long").alias("dsum"),
+        ).select(
+            "a",
+            "b",
+            "n_common",
+            F.expr("CAST(n_common * 1000000 div (dsum - n_common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    else:
+        # SKETCH path (big graphs): K min-hashes of each adjacency set,
+        # computed in ONE map-side pass over the persisted arrays —
+        # h_k(x) = xxhash64(x, k), a genuinely mixing hash (an affine
+        # (a·x+b) mod P family is MONOTONIC until the product wraps,
+        # which at 32-bit keys makes every signature collapse to the
+        # set's minimum element), all inside whole-stage codegen
+        # (transform + array_min, no UDF). Signatures and degree are
+        # fixed-width, so the two edge joins shuffle ~(8 + 8·K)
+        # bytes/row regardless of hub degree — the Σdeg² term is gone
+        # from the plan entirely.
+        def _sig_slot(k: int):
+            # bind the seed OUTSIDE the lambda: a two-parameter lambda
+            # (x, k=k) would be introspected by F.transform as its
+            # (element, index) form and the seed silently replaced by
+            # the array index
+            seed = F.lit(k)
+            return F.array_min(F.transform("ns", lambda x: F.xxhash64(x, seed)))
+
+        sig = F.array(*[_sig_slot(k) for k in range(JACCARD_SKETCH_K)])
+        sigs = adj.select(
+            "node", F.size("ns").cast("long").alias("deg"), sig.alias("sig")
+        )
+        edges = adj.select(
+            F.col("node").alias("a"), F.explode("ns").alias("b")
+        ).filter(F.col("a") < F.col("b"))
+        paired = (
+            edges.join(
+                sigs.select(
+                    F.col("node").alias("a"),
+                    F.col("deg").alias("da"),
+                    F.col("sig").alias("sig_a"),
+                ),
+                "a",
+            )
+            .join(
+                sigs.select(
+                    F.col("node").alias("b"),
+                    F.col("deg").alias("db"),
+                    F.col("sig").alias("sig_b"),
+                ),
+                "b",
+            )
+        )
+        matches = F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x == y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        # j = m/K  =>  n_common = j·(da+db)/(1+j) = m·(da+db)/(K+m)
+        scored = paired.select(
+            "a",
+            "b",
+            matches.alias("m"),
+            (F.col("da") + F.col("db")).alias("dsum"),
+        ).select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(m * dsum div "
+                f"({JACCARD_SKETCH_K} + m) AS BIGINT)"
+            ).alias("n_common"),
+            F.expr(
+                f"CAST(m * 1000000 div {JACCARD_SKETCH_K} AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
     # Edges with ZERO common neighbors are excluded before the top-N:
     # the oracle's wedge GROUP BY is an inner join and so never emits
     # them, and on sparse graphs (< top-N edges with any overlap) the

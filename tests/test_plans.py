@@ -233,6 +233,40 @@ def test_triangle_count_broadcasts_are_size_gated(spark, monkeypatch):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_jaccard_neighbors_sketches_above_gate(spark, monkeypatch):
+    """graph_jaccard_neighbors must switch to fixed-width MinHash
+    signatures above BROADCAST_EDGE_LIMIT: no per-edge array_intersect
+    over unbounded adjacency arrays (Σdeg² work) may remain in the
+    big-graph plan, and the deterministic estimate must stay close to
+    the exact answer on the smoke graph."""
+    from alexandria_pipeline_spark.operators import graph
+
+    exact = {
+        (r["a"], r["b"]): r["jaccard_ppm"]
+        for r in QUERIES["graph_jaccard_neighbors"](spark, SF_SMOKE).collect()
+    }
+
+    monkeypatch.setattr(graph, "BROADCAST_EDGE_LIMIT", 0)
+    df = QUERIES["graph_jaccard_neighbors"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "array_intersect" not in plan, "sketch path still intersects arrays"
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "a",
+        "b",
+        "n_common",
+        "jaccard_ppm",
+    ]
+    assert 0 < len(rows) <= graph.JACCARD_TOP_N
+    est = {(r["a"], r["b"]): r["jaccard_ppm"] for r in rows}
+    # K=64 signatures: every exact-top edge that the sketch also ranks
+    # must estimate within ~3 standard errors (190k ppm) of truth.
+    overlap = set(exact) & set(est)
+    assert overlap, "sketch top-N shares no edge with exact top-N"
+    for k in overlap:
+        assert abs(exact[k] - est[k]) <= 190_000, (k, exact[k], est[k])
+
+
 def test_window_distribution_has_no_unpartitioned_window(spark):
     """window_distribution_funcs computes percent_rank/cume_dist via
     two-phase bucket ranks + closed forms — the single-partition
