@@ -10,12 +10,17 @@ offsets so referential integrity holds within each replica:
   keys are offset with the same constant, so each replica is an
   isolated, internally-consistent star.
 - region/nation: fixed dimensions, copied as-is (they do not grow).
-- documents: replica 0 verbatim; replicas >0 get a replica-specific
-  marker token spliced in every MARKER_EVERY tokens, so cross-replica
-  copies of the same doc share < 50% of their trigram shingles and do
-  NOT form near-dup clusters (a raw copy would turn every doc into a
-  10-member dup cluster — 45 pairs each — which is not what a real
-  sf1 corpus looks like; within-replica dup structure is preserved).
+- documents: replica 0 verbatim; replicas >0 get every token rotated
+  through a replica-keyed deterministic map (crc32-seeded, same-length
+  pseudo-token), so cross-replica copies of the same doc share ~ZERO
+  trigram shingles — per-shingle document frequency matches a real
+  corpus instead of being 10x inflated (the earlier marker-splicing
+  variant left ~4/7 of shingles shared across replicas, which made
+  dedup stress walls partly a fixture artifact — round-4 verdict item
+  #5). Because the map is FUNCTIONAL per replica, within-replica
+  near-dup structure (shared spans, shared first-10-token prefixes) is
+  preserved exactly. The script measures and prints the realized
+  replica-0 vs replica-1 shingle share after generation.
 - embeddings: fresh unit vectors per replica (seeded by replica id,
   same dim/labels), so ANN bucket occupancy scales like a real corpus
   instead of 10 exact copies of every vector.
@@ -29,6 +34,7 @@ from __future__ import annotations
 import os
 import pathlib
 import sys
+import zlib
 
 import duckdb
 import numpy as np
@@ -36,7 +42,6 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
 KEY_OFFSET = 10_000_000  # > any sf0.1 key; partkeys stay < 2^31
-MARKER_EVERY = 7
 
 # key columns to offset, per table
 OFFSET_COLS = {
@@ -61,14 +66,31 @@ def replicate_sql(con, table: str, out: str, replicas: int) -> None:
     )
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_rot_cache: dict[tuple[str, int], str] = {}
+
+
+def _rotate_token(tok: str, replica: int) -> str:
+    """Same-length pseudo-token, deterministic in (token, replica).
+
+    crc32-seeded so runs are reproducible regardless of
+    PYTHONHASHSEED; cached — the corpus vocabulary is small, so the
+    per-call cost is one dict hit."""
+    key = (tok, replica)
+    v = _rot_cache.get(key)
+    if v is None:
+        chars = []
+        h = zlib.crc32(f"{replica}:{tok}".encode())
+        while len(chars) < max(len(tok), 2):
+            h = zlib.crc32(str(h).encode())
+            chars.append(_ALPHA[h % 26])
+        v = "".join(chars[: max(len(tok), 2)])
+        _rot_cache[key] = v
+    return v
+
+
 def perturb_text(text: str, replica: int) -> str:
-    toks = text.split(" ")
-    out = []
-    for j, t in enumerate(toks):
-        if j and j % MARKER_EVERY == 0:
-            out.append(f"zr{replica}m{j}")
-        out.append(t)
-    return " ".join(out)
+    return " ".join(_rotate_token(t, replica) for t in text.split(" "))
 
 
 def make_documents(out: str, replicas: int) -> None:
@@ -121,6 +143,31 @@ def main() -> None:
     for f in sorted(os.listdir(out_dir)):
         n = duckdb.sql(f"SELECT count(*) FROM '{out_dir}/{f}'").fetchone()[0]
         print(f"{f}: {n} rows")
+    # Report the realized cross-replica trigram-shingle share (the
+    # fixture-quality metric round-4 flagged): fraction of replica-1's
+    # distinct shingles that also occur in replica 0. Near-zero means
+    # per-shingle df matches a real corpus.
+    share = duckdb.sql(
+        f"""
+        WITH sh AS (
+          SELECT doc_id // {KEY_OFFSET} AS rep,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM '{out_dir}/documents.parquet'
+                WHERE doc_id < 2 * {KEY_OFFSET}),
+               LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+        ),
+        r0 AS (SELECT DISTINCT shingle FROM sh WHERE rep = 0),
+        r1 AS (SELECT DISTINCT shingle FROM sh WHERE rep = 1)
+        SELECT
+          (SELECT count(*) FROM r1 JOIN r0 USING (shingle)) AS shared,
+          (SELECT count(*) FROM r1) AS total
+        """
+    ).fetchone()
+    print(
+        f"cross-replica shingle share (r1 vs r0): {share[0]}/{share[1]}"
+        f" = {share[0] / max(share[1], 1):.4f}"
+    )
 
 
 if __name__ == "__main__":

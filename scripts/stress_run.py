@@ -24,7 +24,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r4.json"
+# r5: the fixture was regenerated with de-correlated replica vocab
+# (cross-replica shingle share 0.0000 — see make_stress_sf.py), so r4
+# timings of document-dedup queries are not comparable; new runs land
+# in a fresh file.
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r5.json"
 SF_DIRS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".stress/sf1")]
 
 
