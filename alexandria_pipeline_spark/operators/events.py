@@ -1598,3 +1598,128 @@ def events_bot_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("bot_flag"),
     )
+
+
+@query(
+    "events_markov2_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+        event_type AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT p2, p1, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY p2, p1, next_type
+    )
+    SELECT p2, p1, next_type, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY p2, p1) AS BIGINT) AS ctx_ppm
+    FROM trans
+    ORDER BY p2, p1, next_type
+    """,
+)
+def events_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transition matrix over per-user event
+    sequences: for every (t−2, t−1) context, the distribution of the
+    next event type in exact ppm — the step up from
+    events_next_event_model's first-order lookup that captures "view →
+    cart → ?" vs "cart → view → ?" asymmetries. Both lags ride the
+    SAME user_id window (one shuffle, the events_path_analysis
+    precedent); the context-share window then runs over the transition
+    table, whose cardinality is |types|³ — a few hundred rows at any
+    SF — so the second exchange is constant-sized. Integer ppm via
+    truncating div."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type").alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ctx = Window.partitionBy("p2", "p1")
+    return (
+        trans.select(
+            "p2",
+            "p1",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                "CAST(n * 1000000 div sum(n) OVER (PARTITION BY p2, p1) AS BIGINT)"
+            ).alias("ctx_ppm"),
+        )
+        .orderBy("p2", "p1", "next_type")
+    )
+
+
+@query(
+    "events_interarrival_log2_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    bucketed AS (
+      SELECT event_type,
+             CASE WHEN gap_s = 0 THEN 0
+                  ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS bucket,
+             gap_s
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM bucketed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_interarrival_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-arrival histogram per event type — the
+    heavy-tailed-gap distribution behind session-timeout and watermark
+    tuning (gap histograms are ALWAYS log-scaled; linear bins put 99%
+    of mass in bin 0). The bucket is the BINARY DIGIT COUNT of the
+    gap seconds — pure integer arithmetic (Spark conv(·,10,2) length,
+    DuckDB bin() length), the same no-float-log2 discipline as the
+    LSH plane formula, so both engines bucket identically with zero
+    edge-case risk at powers of two. One user_id shuffle for the lag
+    window, then a (type × ~40 buckets)-bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("gap_s").cast("string"), 10, 2)))
+        .cast("long")
+    )
+    return (
+        gaps.select("event_type", bucket.alias("bucket"), "gap_s")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            "min_gap_s",
+            "max_gap_s",
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -838,3 +838,242 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# Benford expected first-digit shares, ppm-scaled: round(log10(1+1/d)
+# * 1e6) precomputed as INTEGER CONSTANTS at import so neither engine
+# ever evaluates a float log — both sides interpolate the same table.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN '{d}' THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "orders_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS d
+      FROM orders
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM digits)
+    SELECT
+      d,
+      CAST(count(*) AS BIGINT)                              AS n,
+      CAST(count(*) * 1000000 // min(n_total) AS BIGINT)    AS obs_ppm,
+      CAST({_BENFORD_CASE} AS BIGINT)                       AS exp_ppm,
+      CAST(abs(count(*) * 1000000 // min(n_total)
+               - ({_BENFORD_CASE})) AS BIGINT)              AS dev_ppm
+    FROM digits, tot
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud / synthetic-data screen (genuine financial amounts follow
+    P(d) = log10(1+1/d); fabricated ones usually don't). The expected
+    shares are import-time INTEGER constants interpolated into both
+    engines, so no float log is ever evaluated at query time and the
+    comparison is ppm-exact. Shape: map-side digit extraction (string
+    head of the integer cents — no float math on the value either), a
+    1-row total broadcast, and a 9-row aggregate. One fact shuffle on
+    a 9-value key; trivially scale-proof."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        ).alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(count(1) * 1000000 div min(n_total) AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("exp_ppm"),
+            F.expr(
+                f"CAST(abs(count(1) * 1000000 div min(n_total) - ({_BENFORD_CASE}))"
+                " AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .select("d", F.col("n").cast("long").alias("n"), "obs_ppm", "exp_ppm", "dev_ppm")
+        .orderBy("d")
+    )
+
+
+@query(
+    "orders_fulfillment_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      o_orderpriority,
+      CAST(count(*) AS BIGINT)                       AS n,
+      round(quantile_cont(lat, 0.50), 4)             AS p50_days,
+      round(quantile_cont(lat, 0.90), 4)             AS p90_days,
+      round(quantile_cont(lat, 0.99), 4)             AS p99_days,
+      CAST(sum(lat) * 1000 // count(*) AS BIGINT)    AS mean_milli_days
+    FROM lat
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLO read-out per order priority: p50/p90/
+    p99 of the fulfillment days plus an exact truncating milli-day
+    mean — the ops dashboard every fulfillment (or data-delivery)
+    pipeline runs. Integer day-diffs feed `percentile` (bitwise-equal
+    to DuckDB quantile_cont, the agg_percentiles precedent); the mean
+    avoids float entirely (sum·1000 div n). One fact-fact equi-join on
+    the order key (AQE-sized) then one shuffle on a 5-value key; exact
+    percentile is per-group sort-based — at 100 TB swap in
+    approx_percentile's mergeable t-digest unless the SLO contract
+    demands exactness."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(lat, 0.50)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lat, 0.90)"), 4).alias("p90_days"),
+            F.round(F.expr("percentile(lat, 0.99)"), 4).alias("p99_days"),
+            F.expr("CAST(sum(lat) * 1000 div count(1) AS BIGINT)").alias(
+                "mean_milli_days"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            "p50_days",
+            "p90_days",
+            "p99_days",
+            "mean_milli_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+POWER_USER_PCTS = (1, 5, 10, 25, 50)
+
+
+@query(
+    "events_power_user_curve",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events
+      FROM per_user
+    ),
+    by_count AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_u
+      FROM per_user GROUP BY c
+    ),
+    cum AS (
+      SELECT c, n_u,
+             CAST(coalesce(sum(n_u) OVER (ORDER BY c DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS users_before,
+             CAST(coalesce(sum(n_u * c) OVER (ORDER BY c DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS events_before
+      FROM by_count
+    ),
+    pcts AS (SELECT unnest(ARRAY{list(POWER_USER_PCTS)}) AS p)
+    SELECT
+      CAST(p AS BIGINT)                                   AS top_pct,
+      CAST(k AS BIGINT)                                   AS k_users,
+      CAST(events_covered AS BIGINT)                      AS events_covered,
+      CAST(events_covered * 1000000 // n_events AS BIGINT) AS share_ppm
+    FROM (
+      SELECT p, n_events,
+             (p * n_users + 99) // 100 AS k,
+             (SELECT min(events_before + (((p * n_users + 99) // 100) - users_before) * c)
+              FROM cum
+              WHERE users_before < ((p * n_users + 99) // 100)
+                AND users_before + n_u >= ((p * n_users + 99) // 100)
+             ) AS events_covered
+      FROM pcts, tot
+    )
+    ORDER BY top_pct
+    """,
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Lorenz) read-out: what share of all
+    events comes from the top 1/5/10/25/50% most-active users — the
+    bot-screen and capacity-planning curve every event platform keeps.
+    Users are ranked by count desc; a percentile cut that lands inside
+    a tie group is resolved EXACTLY because every user in the group has
+    the same count: covered = events_before + (k - users_before)·c.
+    Shape: one fact shuffle to per-user counts, a groupBy over COUNT
+    VALUES (cardinality = max events/user, not user count), cumulative
+    windows over that bounded frame, and a 5-row percentile probe —
+    the orders_pareto_8020 banded-cumsum discipline with the band
+    equal to the count value itself. No data-sized window at any SF."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("c").alias("n_events")
+    )
+    by_count = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("n_u"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_count.select(
+        "c",
+        "n_u",
+        F.coalesce(F.sum("n_u").over(w), F.lit(0)).alias("users_before"),
+        F.coalesce(F.sum(F.col("n_u") * F.col("c")).over(w), F.lit(0)).alias(
+            "events_before"
+        ),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in POWER_USER_PCTS])
+    ).alias("p")
+    probes = (
+        tot.select(pcts, "n_users", "n_events")
+        .withColumn("k", F.expr("CAST((p * n_users + 99) div 100 AS BIGINT)"))
+    )
+    # the probe join runs over (5 pcts) x (count-value cardinality)
+    # rows — both bounded — and the min() collapses the tie group
+    joined = probes.join(
+        F.broadcast(cum),
+        (F.col("users_before") < F.col("k"))
+        & (F.col("users_before") + F.col("n_u") >= F.col("k")),
+    )
+    return (
+        joined.groupBy("p", "k", "n_events")
+        .agg(
+            F.min(
+                F.col("events_before")
+                + (F.col("k") - F.col("users_before")) * F.col("c")
+            ).alias("events_covered")
+        )
+        .select(
+            F.col("p").cast("long").alias("top_pct"),
+            F.col("k").cast("long").alias("k_users"),
+            F.col("events_covered").cast("long").alias("events_covered"),
+            F.expr(
+                "CAST(events_covered * 1000000 div n_events AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("top_pct")
+    )
