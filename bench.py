@@ -108,6 +108,15 @@ HEADLINE = [
     "doc_length_gini",
     "events_anomaly_mad",
     "knn_range_search",
+    # round-5 additions
+    "events_power_user_curve",
+    "knn_mutual_topk",
+    "events_markov2_transitions",
+    "events_interarrival_log2_histogram",
+    "orders_benford_first_digit",
+    "orders_fulfillment_latency_percentiles",
+    "text_zipf_rank_frequency",
+    "text_token_diversity",
 ]
 
 
