@@ -413,3 +413,119 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "line")
         .limit(BOILERPLATE_TOP_N)
     )
+
+
+from alexandria_pipeline_spark.operators.text_analysis import STOPWORDS  # noqa: E402
+
+QUALITY_DECILE_BAND = 10_000  # quality_e6 band width for two-phase rank
+
+
+@query(
+    "curation_quality_decile_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST((4 * (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000 // len(toks))
+            + 3 * (1000000 - CAST(len(list_filter(toks, w -> list_contains({STOPWORDS!r}, w))) AS BIGINT) * 1000000 // len(toks))
+            + 3 * least(CAST(len(toks) AS BIGINT) * 10000, 1000000)) // 10
+          AS BIGINT) AS quality_e6
+      FROM t
+    ),
+    ranked AS (
+      SELECT n_tok, quality_e6,
+             CAST(row_number() OVER (ORDER BY quality_e6, doc_id) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(n_tok) OVER () AS BIGINT) AS total_tok
+      FROM scored
+    )
+    SELECT
+      CAST((i - 1) * 10 // n AS BIGINT)        AS decile,
+      CAST(count(*) AS BIGINT)                 AS n_docs,
+      CAST(sum(n_tok) AS BIGINT)               AS tokens,
+      CAST(sum(n_tok) * 1000000 // min(total_tok) AS BIGINT) AS token_share_ppm,
+      CAST(min(quality_e6) AS BIGINT)          AS min_quality_e6,
+      CAST(max(quality_e6) AS BIGINT)          AS max_quality_e6
+    FROM ranked
+    GROUP BY 1
+    ORDER BY decile
+    """,
+)
+def curation_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation by quality decile — the curriculum/
+    mixing planner's table: how many tokens live in each tenth of the
+    quality distribution (the same C4/Gopher-style score as
+    text_quality_scores, kept in exact e6 integers), so 'train on the
+    top 3 deciles, sample the middle 4 at 30%' becomes arithmetic on
+    this output. The global quality rank uses the two-phase banded
+    rewrite (doc_length_gini's discipline): quality_e6 div 10000 bands
+    (≤ 100 values) carry exclusive count offsets through a band-only
+    window; the within-band row_number is PARTITIONED BY band — no
+    data-sized single-partition window. Decile membership, the token
+    totals, and the share are all truncating-integer exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    # truncating INTEGER div end-to-end (int_div) — a float / followed
+    # by a long cast can land one below the exact quotient
+    uniq_e6 = int_div(
+        F.size(F.array_distinct(toks)).cast("long") * 1_000_000, n_tok
+    )
+    stop_e6 = int_div(
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+        * 1_000_000,
+        n_tok,
+    )
+    quality_e6 = F.expr(
+        "CAST((4 * uniq_e6 + 3 * (1000000 - stop_e6)"
+        " + 3 * least(n_tok * 10000, 1000000)) div 10 AS BIGINT)"
+    )
+    scored = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        uniq_e6.alias("uniq_e6"),
+        stop_e6.alias("stop_e6"),
+    ).select("doc_id", "n_tok", quality_e6.alias("quality_e6"))
+    banded = scored.withColumn(
+        "band", F.expr(f"quality_e6 div {QUALITY_DECILE_BAND}")
+    )
+    band_cnt = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_cnt.select(
+        "band", F.coalesce(F.sum("bn").over(w_bands), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("band").orderBy("quality_e6", "doc_id")
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("total_tok")
+    )
+    ranked = (
+        banded.join(F.broadcast(offsets), "band")
+        .withColumn("i", F.col("off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        ranked.groupBy(F.expr("CAST((i - 1) * 10 div n AS BIGINT)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.expr(
+                "CAST(sum(n_tok) * 1000000 div min(total_tok) AS BIGINT)"
+            ).alias("token_share_ppm"),
+            F.min("quality_e6").alias("min_quality_e6"),
+            F.max("quality_e6").alias("max_quality_e6"),
+        )
+        .select(
+            "decile",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens").cast("long").alias("tokens"),
+            "token_share_ppm",
+            F.col("min_quality_e6").cast("long").alias("min_quality_e6"),
+            F.col("max_quality_e6").cast("long").alias("max_quality_e6"),
+        )
+        .orderBy("decile")
+    )

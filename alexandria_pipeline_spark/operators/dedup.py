@@ -1409,3 +1409,69 @@ def diagnose_lsh_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * shiftleft(CAST(1 AS BIGINT), CAST(planes AS INT))) AS BIGINT)"
         ).alias("est_bucket_pairs"),
     )
+
+
+_MINHASH_ORACLE_FOR_SOURCE = ORACLES["dedup_minhash_lsh"]
+
+
+@query(
+    "corpus_dedup_rate_by_source",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_ORACLE_FOR_SOURCE}),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+      )
+    ),
+    per_source AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs
+      FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, n_docs, n_dup_docs,
+           CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup contamination attributed to its SOURCE: what fraction
+    of each source's documents participate in at least one verified
+    MinHash near-dup pair — the provenance scorecard that decides
+    which feeds get down-weighted or dropped before the next crawl.
+    Composition: the nested dedup plan's pair graph collapses to a
+    distinct doc set (≤ corpus-sized, usually far smaller), which
+    LEFT-joins back to documents — that join is on the doc key, so at
+    100 TB it's a shuffle join both of whose sides are id+source only
+    (the text never travels). One source-cardinality aggregate on
+    top. Oracle nests the minhash oracle verbatim — the pipeline is
+    hash-checked end-to-end."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.expr("CAST(n_dup_docs * 1000000 div n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1723,3 +1723,91 @@ def events_interarrival_log2_histogram(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    n_ud AS (
+      SELECT CAST(count(*) AS BIGINT) AS total FROM (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      )
+    ),
+    singles AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ud
+      GROUP BY event_type
+    ),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(CAST(n_ab AS HUGEINT) * total * 1000000 // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
+    FROM co
+    JOIN singles sa ON sa.event_type = co.type_a
+    JOIN singles sb ON sb.event_type = co.type_b
+    CROSS JOIN n_ud
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity (market-basket lift with user-days as the
+    baskets): for every type pair, P(a,b)/(P(a)·P(b)) in exact ppm —
+    which behaviors travel together within a user's day, the feature
+    behind cross-sell triggers and funnel hypotheses. Shape: one
+    DISTINCT shuffle to (user, day, type) rows — the only fact-sized
+    exchange — then the pair join runs WITHIN (user, day) groups whose
+    width is bounded by |types|, so the self-join output is ≤
+    |types|²/2 rows per user-day, never quadratic in events. Single
+    counts and the user-day total are type-cardinality/1-row
+    broadcasts. Integer lift via truncating div."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_ud = ud.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    singles = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = F.broadcast(
+        singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        co.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n_ud))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            # decimal(38,0)/HUGEINT: n_ab*total*1e6 is ~1e26 at
+            # 100-TB user-day counts — BIGINT throws under ANSI
+            F.expr(
+                "CAST(CAST(n_ab AS decimal(38,0)) * total * 1000000"
+                " div (CAST(n_a AS decimal(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -608,3 +608,70 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("split_tokens * 1000000 div all_tokens").alias("share_ppm"),
         )
     )
+
+
+from alexandria_pipeline_spark.registry import ORACLES, QUERIES  # noqa: E402
+
+_PACK_ORACLE = ORACLES["pack_sequences_contiguous"]
+UNDERFULL_PPM = 500_000  # < 50% filled
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH bins AS ({_PACK_ORACLE})
+    SELECT
+      lang,
+      CAST(count(*) AS BIGINT)         AS n_bins,
+      CAST(sum(n_docs) AS BIGINT)      AS n_docs,
+      CAST(sum(bin_tokens) AS BIGINT)  AS total_tokens,
+      CAST(sum(bin_tokens) * 1000000 // (count(*) * {PACK_CAPACITY}) AS BIGINT)
+                                       AS mean_fill_ppm,
+      CAST(sum(CASE WHEN fill_ppm > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_overflow_bins,
+      CAST(sum(CASE WHEN fill_ppm < {UNDERFULL_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_underfull_bins
+    FROM bins
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality scorecard over pack_sequences_contiguous' bins:
+    mean fill ratio, overflow bins (the contiguous packer accepts the
+    last document's spill rather than splitting it), and underfull
+    bins (< 50% — wasted accelerator steps) per language. THE number a
+    training-infra team watches: mean_fill_ppm is the fraction of paid
+    FLOPs doing useful work. Composition: the nested packing plan is a
+    single shuffle; this adds one lang-cardinality aggregate. The
+    oracle nests the packing oracle verbatim, so the pipeline is
+    hash-checked end-to-end (the ann_eval_recall convention)."""
+    bins = QUERIES["pack_sequences_contiguous"](spark, sf_dir)
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.expr(
+                f"CAST(sum(bin_tokens) * 1000000 div (count(1) * {PACK_CAPACITY})"
+                " AS BIGINT)"
+            ).alias("mean_fill_ppm"),
+            F.sum((F.col("fill_ppm") > 1_000_000).cast("long")).alias(
+                "n_overflow_bins"
+            ),
+            F.sum((F.col("fill_ppm") < UNDERFULL_PPM).cast("long")).alias(
+                "n_underfull_bins"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("n_bins").cast("long").alias("n_bins"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "mean_fill_ppm",
+            F.col("n_overflow_bins").cast("long").alias("n_overflow_bins"),
+            F.col("n_underfull_bins").cast("long").alias("n_underfull_bins"),
+        )
+        .orderBy("lang")
+    )

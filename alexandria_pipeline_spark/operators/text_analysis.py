@@ -1100,3 +1100,60 @@ def text_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag", "token")
     )
+
+
+CHAR_TRIGRAM_TOP_N = 10
+
+
+@query(
+    "text_char_trigram_signature",
+    oracle=f"""
+    WITH grams AS (
+      SELECT lang, substr(text, i, 3) AS g
+      FROM (SELECT lang, text FROM documents),
+           LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+    ),
+    cnt AS (
+      SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY lang, g
+    ),
+    ranked AS (
+      SELECT lang, g, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+      FROM cnt
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, g AS trigram, n
+    FROM ranked WHERE rk <= {CHAR_TRIGRAM_TOP_N}
+    ORDER BY lang, rk
+    """,
+)
+def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 character trigrams — the classic
+    language-ID feature profile (char n-gram frequencies beat word
+    lists for short/noisy text; this is the training side of the
+    text_lang_id heuristic). Shape: the trigram explode is map-side
+    (sequence + substring, codegen); one (lang, gram) groupBy with
+    map-side combine — the gram space is charset³-bounded, so both the
+    shuffle and the per-lang ranking window run over a
+    vocabulary-bounded frame, not the corpus. Spark substring and
+    DuckDB substr agree on 1-based indexing and short tails by
+    construction (the range stops at length-2)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        "text",
+    ).select("lang", F.expr("substring(text, i, 3)").alias("g"))
+    cnt = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHAR_TRIGRAM_TOP_N)
+        .select(
+            "lang",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("g").alias("trigram"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("lang", "rk")
+    )

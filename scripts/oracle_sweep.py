@@ -8,10 +8,18 @@ Optional query_substr args restrict the sweep to queries whose name
 contains any of the substrings (fast iteration on one operator).
 Prints one line per query and a final summary; exit code 1 on any
 failure.
+
+A FULL sweep (no substr filter, default sf_dir) also writes
+SWEEP_rN.json next to the repo root (N from SPARK_GRAFT_ROUND, default
+"5") — the committed record that every registered query, not just the
+driver's ~50-query sample, was oracle-checked this round (ADVICE r4:
+the recorded coverage must match the registered surface).
 """
 
 from __future__ import annotations
 
+import json
+import os
 import pathlib
 import sys
 import time
@@ -34,6 +42,7 @@ def main() -> int:
     spark = get_spark("oracle-sweep")
     con = duck_connection(sf_dir)
     failures: list[str] = []
+    results: dict[str, str] = {}
     t_all = time.time()
     for name in names:
         t0 = time.time()
@@ -49,13 +58,33 @@ def main() -> int:
             status = f"FAIL {type(exc).__name__}"
             failures.append(name)
             traceback.print_exc()
+        results[name] = status
         print(f"{name:45s} {status:18s} {time.time() - t0:6.2f}s", flush=True)
+    wall = round(time.time() - t_all, 1)
     print(
         f"\n{len(names) - len(failures)}/{len(names)} passed at {sf_dir} "
-        f"in {time.time() - t_all:.1f}s"
+        f"in {wall}s"
     )
     if failures:
         print("FAILED:", ", ".join(failures))
+    if not substrs and sf_dir == "/root/testdata/sf0.01":
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
+        out = pathlib.Path(__file__).resolve().parent.parent / f"SWEEP_r{rnd}.json"
+        out.write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(names),
+                    "n_oracle_checked": sum(1 for n in names if n in ORACLES),
+                    "n_passed": len(names) - len(failures),
+                    "failures": failures,
+                    "wall_s": wall,
+                    "results": results,
+                },
+                indent=1,
+            )
+        )
+        print(f"wrote {out.name}")
     return 1 if failures else 0
 
 
