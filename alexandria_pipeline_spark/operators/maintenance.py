@@ -539,3 +539,62 @@ def ivm_merge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("matches_full"),
     )
+
+
+# ANALYZE-style stats for the lineitem table: the 11 physical columns.
+_STATS_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+@query(
+    "maintenance_column_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv
+        FROM lineitem
+        """
+        for c in _STATS_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def maintenance_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics (row count, null
+    count, exact NDV) for the fact table — the numbers a cost-based
+    optimizer, a zone-map designer, or a bucketing advisor reads first
+    (diagnose_bucket_advisor's input, materialized as a query). Shape:
+    ONE aggregate pass computes every column's count/count(col)/
+    count_distinct simultaneously (Spark plans multi-distinct via
+    expand — still a single scan), then a stack() unpivot emits the
+    11-row catalog. At 100 TB swap exact NDV for approx_count_distinct
+    per column without changing the output contract (agg_distinct_kmv
+    documents the sketch's mergeability)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"ndv_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, ndv_{c}" for c in _STATS_COLS
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_STATS_COLS)}, {stack_args}) AS (column_name, n_nulls, ndv)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("ndv").cast("long").alias("ndv"),
+        )
+        .orderBy("column_name")
+    )

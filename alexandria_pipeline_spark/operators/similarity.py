@@ -1241,3 +1241,96 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, CAST(d AS INT) AS dim,
+             CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+      FROM embeddings
+      CROSS JOIN LATERAL (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS d)
+    ),
+    cent AS (
+      SELECT label, half, dim,
+             CAST(sum(x_e6) // count(*) AS BIGINT) AS mean_e6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, half, dim
+    ),
+    paired AS (
+      SELECT a.label, a.dim,
+             abs(a.mean_e6 - b.mean_e6) AS d_e6,
+             a.n AS n_even, b.n AS n_odd
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(min(n_even) AS BIGINT)  AS n_even,
+           CAST(min(n_odd) AS BIGINT)   AS n_odd,
+           CAST(sum(d_e6) AS BIGINT)    AS l1_drift_e6,
+           CAST(max(d_e6) AS BIGINT)    AS max_dim_drift_e6
+    FROM paired
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stability check: split each label's vectors
+    into two deterministic halves (vec_id parity — a stand-in for
+    'yesterday's batch vs today's'), compute both centroids, and
+    report the L1 distance between them plus the worst single
+    dimension — the drift monitor that catches an embedding-model
+    regression or a corrupted ingest before an index rebuild. All
+    arithmetic is e6 fixed-point integers (the embedding_weighted_mean
+    convention): per-dim sums are associative BIGINTs, means are
+    truncating div, so partial-aggregation order can't leak into the
+    hash. Shape: posexplode → one (label, half, dim) agg (state
+    O(labels·dim)), a label·dim-bounded self-join, and a label-sized
+    read-out. At 100 TB the halves become snapshot partitions and the
+    plan is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("x_e6"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        F.expr("CAST(sum(x_e6) div count(1) AS BIGINT)").alias("mean_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("mean_e6").alias("m_a"), F.col("n").alias("n_even")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("mean_e6").alias("m_b"), F.col("n").alias("n_odd")
+    )
+    paired = a.join(b, ["label", "dim"]).select(
+        "label",
+        F.abs(F.col("m_a") - F.col("m_b")).alias("d_e6"),
+        "n_even",
+        "n_odd",
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.min("n_even").alias("n_even"),
+            F.min("n_odd").alias("n_odd"),
+            F.sum("d_e6").alias("l1_drift_e6"),
+            F.max("d_e6").alias("max_dim_drift_e6"),
+        )
+        .select(
+            "label",
+            F.col("n_even").cast("long").alias("n_even"),
+            F.col("n_odd").cast("long").alias("n_odd"),
+            F.col("l1_drift_e6").cast("long").alias("l1_drift_e6"),
+            F.col("max_dim_drift_e6").cast("long").alias("max_dim_drift_e6"),
+        )
+        .orderBy("label")
+    )

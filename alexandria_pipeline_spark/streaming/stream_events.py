@@ -547,3 +547,38 @@ def stream_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in this environment (and installs are off-limits). applyInPandasWithState
 # above covers the custom-stateful-operator surface; revisit if the
 # environment gains protobuf.
+
+
+@query(
+    "stream_benford_digits",
+    oracle="""
+    SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS d,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY 1
+    ORDER BY d
+    """,
+)
+def stream_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of event values computed BY THE
+    STREAMING ENGINE — the in-flight twin of the batch
+    orders_benford_first_digit audit: a fraud/synthetic-data screen
+    you keep running against the live feed, with per-digit counts as
+    9-row streaming state (complete mode; the digit extraction is the
+    same integer-cents string head, map-side in the micro-batch).
+    With all input available the final result equals the batch GROUP
+    BY, which is what the oracle checks."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.filter(F.col("value") > 0)
+        .select(
+            F.substring(
+                F.expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"), 1, 1
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("d", F.col("n").cast("long").alias("n"))
+    )
+    return _run_to_memory(agg, "complete").orderBy("d")
