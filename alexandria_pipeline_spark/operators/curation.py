@@ -513,8 +513,11 @@ def curation_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("tokens"),
+            # decimal(38,0): Σtokens·1e6 passes int64 around 1e13
+            # corpus tokens (DuckDB's sum is already HUGEINT)
             F.expr(
-                "CAST(sum(n_tok) * 1000000 div min(total_tok) AS BIGINT)"
+                "CAST(CAST(sum(n_tok) AS decimal(38,0)) * 1000000"
+                " div min(total_tok) AS BIGINT)"
             ).alias("token_share_ppm"),
             F.min("quality_e6").alias("min_quality_e6"),
             F.max("quality_e6").alias("max_quality_e6"),

@@ -1651,8 +1651,10 @@ def events_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "next_type",
             F.col("n").cast("long").alias("n"),
+            # decimal(38,0): n·1e6 passes int64 around 1e13 transitions
             F.expr(
-                "CAST(n * 1000000 div sum(n) OVER (PARTITION BY p2, p1) AS BIGINT)"
+                "CAST(CAST(n AS decimal(38,0)) * 1000000"
+                " div sum(n) OVER (PARTITION BY p2, p1) AS BIGINT)"
             ).alias("ctx_ppm"),
         )
         .orderBy("p2", "p1", "next_type")

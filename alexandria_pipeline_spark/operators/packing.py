@@ -653,9 +653,11 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bins"),
             F.sum("n_docs").alias("n_docs"),
             F.sum("bin_tokens").alias("total_tokens"),
+            # decimal(38,0): Σtokens·1e6 passes int64 around 1e13
+            # corpus tokens (DuckDB's sum is already HUGEINT)
             F.expr(
-                f"CAST(sum(bin_tokens) * 1000000 div (count(1) * {PACK_CAPACITY})"
-                " AS BIGINT)"
+                f"CAST(CAST(sum(bin_tokens) AS decimal(38,0)) * 1000000"
+                f" div (count(1) * {PACK_CAPACITY}) AS BIGINT)"
             ).alias("mean_fill_ppm"),
             F.sum((F.col("fill_ppm") > 1_000_000).cast("long")).alias(
                 "n_overflow_bins"

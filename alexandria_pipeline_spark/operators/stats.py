@@ -1071,8 +1071,10 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").cast("long").alias("top_pct"),
             F.col("k").cast("long").alias("k_users"),
             F.col("events_covered").cast("long").alias("events_covered"),
+            # decimal(38,0): covered·1e6 passes int64 around 1e13 events
             F.expr(
-                "CAST(events_covered * 1000000 div n_events AS BIGINT)"
+                "CAST(CAST(events_covered AS decimal(38,0)) * 1000000"
+                " div n_events AS BIGINT)"
             ).alias("share_ppm"),
         )
         .orderBy("top_pct")
