@@ -1813,3 +1813,150 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+PEAK_SESSION_GAP_S = 1800
+
+
+@query(
+    "events_peak_concurrency_daily",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {PEAK_SESSION_GAP_S} * 1000000
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_id,
+             min(sec) AS s, max(sec) AS e
+      FROM sess GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM spans
+      UNION ALL
+      SELECT e + 1 AS t, -1 AS d FROM spans
+    ),
+    sec_net AS (
+      SELECT t, CAST(sum(d) AS BIGINT) AS net,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts,
+             CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ends
+      FROM deltas GROUP BY t
+    ),
+    run AS (
+      SELECT t, starts, ends,
+             CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running
+      FROM sec_net
+    )
+    SELECT
+      strftime(DATE '1970-01-01' + INTERVAL (t // 86400) DAY, '%Y-%m-%d') AS day,
+      CAST(sum(starts) AS BIGINT) AS n_starts,
+      CAST(sum(ends) AS BIGINT)   AS n_ends,
+      CAST(max(running) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY t // 86400
+    ORDER BY day
+    """,
+)
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily peak of concurrently-active user sessions — the
+    capacity-planning number (licenses, websocket slots, GPU seats)
+    that hourly-distinct approximations systematically undercount.
+    Sessions are the 30-min-gap islands (the events_session_window
+    rule); concurrency at second t counts sessions with start ≤ t ≤
+    end, via the sweep-line +1/−1 delta encoding with all deltas in
+    the SAME second pre-aggregated to one net (so no within-second
+    ordering ambiguity exists in either engine).
+
+    The interesting part is doing an inherently SEQUENTIAL scan-max
+    without any data-sized window: deltas collapse to per-SECOND nets
+    (cardinality ≤ elapsed seconds — bounded by TIME, not data), the
+    cross-day carry comes from a calendar-bounded day-net cumsum, and
+    the intra-day running sum is PARTITIONED BY DAY over ≤ 86400
+    second-rows — a CONSTANT bound per partition at any SF. Peak per
+    day = carry + max intra-day running net. Three bounded exchanges
+    after the session build; the session build itself is the standard
+    one-user-window shape."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        sec.alias("sec"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("unix_micros(ts)")
+                - F.expr("unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))")
+                > PEAK_SESSION_GAP_S * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w_sess = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.select(
+        "user_id", "sec", F.sum("new_session").over(w_sess).alias("session_id")
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("s"), F.max("sec").alias("e")
+    )
+    deltas = spans.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        spans.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    sec_net = deltas.groupBy("t").agg(
+        F.sum("d").alias("net"),
+        F.sum((F.col("d") == 1).cast("long")).alias("starts"),
+        F.sum((F.col("d") == -1).cast("long")).alias("ends"),
+    )
+    day = F.expr("t div 86400")
+    per_sec = sec_net.select(day.alias("day_i"), "t", "net", "starts", "ends")
+    day_net = per_sec.groupBy("day_i").agg(F.sum("net").alias("day_delta"))
+    w_days = Window.orderBy("day_i").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_net.select(
+        "day_i", F.coalesce(F.sum("day_delta").over(w_days), F.lit(0)).alias("carry")
+    )
+    w_in = (
+        Window.partitionBy("day_i")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = per_sec.select(
+        "day_i", "starts", "ends", F.sum("net").over(w_in).alias("run")
+    )
+    return (
+        intra.groupBy("day_i")
+        .agg(
+            F.sum("starts").alias("n_starts"),
+            F.sum("ends").alias("n_ends"),
+            F.max("run").alias("max_run"),
+        )
+        .join(F.broadcast(carry), "day_i")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_i").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("n_starts").cast("long").alias("n_starts"),
+            F.col("n_ends").cast("long").alias("n_ends"),
+            (F.col("carry") + F.col("max_run")).cast("long").alias("peak_concurrent"),
+        )
+        .orderBy("day")
+    )

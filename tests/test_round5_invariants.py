@@ -264,3 +264,16 @@ def test_centroid_drift_consistency(spark):
     for r in rows:
         assert (r["n_even"], r["n_odd"]) == per_label[r["label"]]
         assert 0 <= r["max_dim_drift_e6"] <= r["l1_drift_e6"]
+
+
+def test_peak_concurrency_bounds(spark):
+    """Peak concurrency is at least the busiest second's session-start
+    count and at most the total session count; starts and ends
+    balance globally (every session emits exactly one +1 and one -1)."""
+    rows = QUERIES["events_peak_concurrency_daily"](spark, SF_SMOKE).collect()
+    assert rows
+    total_starts = sum(r["n_starts"] for r in rows)
+    total_ends = sum(r["n_ends"] for r in rows)
+    assert total_starts == total_ends
+    for r in rows:
+        assert 0 <= r["peak_concurrent"] <= total_starts
