@@ -1057,3 +1057,100 @@ def multimodal_image_quadrant_pool(spark: SparkSession, sf_dir: str) -> DataFram
         pool,
         "media_id long, quadrant int, n_px long, sum_r long, sum_g long",
     )
+
+
+AHASH_SEEDS = 64  # media payloads repeat every 64 ids -> real dup clusters
+
+
+@query(
+    "multimodal_image_ahash_dedup",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, doc_id % {AHASH_SEEDS} AS seed FROM documents
+    ),
+    dims AS (
+      SELECT media_id, seed,
+             CAST(seed % 13 + 4 AS BIGINT) AS w,
+             CAST(seed % 9 + 4 AS BIGINT)  AS h
+      FROM imgs
+    ),
+    cells AS (
+      SELECT media_id, CAST(by * 8 + bx AS BIGINT) AS k,
+             ((  (seed * 7  + (bx * w // 8) * 3 + (by * h // 8) * 5) % 256
+               + (seed * 11 + (bx * w // 8)     + (by * h // 8) * 2) % 256
+               + (seed * 13 + (bx * w // 8) * 2 + (by * h // 8))     % 256
+              ) // 3) AS gray
+      FROM dims
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS bx)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS by)
+    ),
+    hashes AS (
+      SELECT media_id,
+             string_agg(
+               CASE WHEN gray > (SELECT sum(c2.gray) // 64 FROM cells c2
+                                 WHERE c2.media_id = cells.media_id)
+                    THEN '1' ELSE '0' END, '' ORDER BY k) AS ahash_bits
+      FROM cells GROUP BY media_id
+    )
+    SELECT ahash_bits,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(media_id) AS BIGINT) AS canonical_id
+    FROM hashes
+    GROUP BY ahash_bits
+    ORDER BY ahash_bits
+    """,
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via average hash (aHash): decode the REAL BMP
+    payload, nearest-neighbor-sample an 8x8 grid, threshold each cell
+    against the integer mean, and read the 64-bit sign pattern as the
+    perceptual fingerprint — the grouping key that collapses re-encoded
+    / resized copies (the media analog of dedup_exact_keep_first; the
+    near-dup tier would band this hash exactly like dedup_simhash
+    bands its text hash). Payload ids repeat mod {AHASH_SEEDS} so real
+    duplicate clusters exist at every SF. The decode + hash runs in
+    the declared mapInPandas Arrow seam (pure integer ops — uint8
+    widened to int64 BEFORE the channel sum, truncating //3 and //64
+    — so the hash is bit-reproducible); the oracle recomputes the
+    whole hash from the pixel FORMULA in SQL, proving byte-exact
+    decode, the sampling arithmetic, and the threshold in one hash
+    match. Only (media_id, 64-char hash) rows ever shuffle; payloads
+    stay inside the map stage. Hash emitted as a bit STRING: engine-
+    portable, no signed-int64 edge at bit 63."""
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did in pdf["doc_id"]:
+                seed = int(did) % AHASH_SEEDS
+                px = decode_bmp24_pixels(bmp_formula_payload(seed))
+                h, w, _ = px.shape
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                sx = (np.arange(8, dtype=np.int64) * w) // 8
+                gray = px.sum(axis=2) // 3  # int64 already (decode widens)
+                cells = gray[np.ix_(sy, sx)]
+                mean = int(cells.sum()) // 64
+                bits = "".join(
+                    "1" if int(v) > mean else "0" for v in cells.ravel()
+                )
+                ids.append(int(did))
+                hashes.append(bits)
+            yield pd.DataFrame({"media_id": ids, "ahash_bits": hashes})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(
+        hash_images, schema="media_id long, ahash_bits string"
+    )
+    return (
+        hashed.groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .select(
+            "ahash_bits",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+        .orderBy("ahash_bits")
+    )
