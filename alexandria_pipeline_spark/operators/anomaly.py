@@ -210,3 +210,98 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "median_cents", "mad_cents", "n_anomalies"
         )
     )
+
+
+SEASONAL_MAD_K = 3
+
+
+@query(
+    "events_seasonal_residual_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT hour_s, n,
+             CAST(dayofweek(to_timestamp(hour_s)) AS BIGINT) AS dow,
+             CAST(hour(to_timestamp(hour_s)) AS BIGINT) AS hod
+      FROM hourly
+    ),
+    base AS (
+      SELECT dow, hod,
+             CAST(floor(quantile_cont(n, 0.5)) AS BIGINT) AS med
+      FROM keyed GROUP BY dow, hod
+    ),
+    resid AS (
+      SELECT k.hour_s, k.dow, k.hod, k.n, b.med,
+             abs(k.n - b.med) AS abs_resid
+      FROM keyed k JOIN base b ON k.dow = b.dow AND k.hod = b.hod
+    ),
+    mad AS (
+      SELECT dow, hod,
+             CAST(floor(quantile_cont(abs_resid, 0.5)) AS BIGINT) AS mad
+      FROM resid GROUP BY dow, hod
+    )
+    SELECT
+      strftime(to_timestamp(r.hour_s), '%Y-%m-%d %H:00') AS hour,
+      r.n, r.med, r.abs_resid, m.mad
+    FROM resid r JOIN mad m ON r.dow = m.dow AND r.hod = m.hod
+    WHERE r.abs_resid > {SEASONAL_MAD_K} * m.mad AND r.abs_resid > 0
+    ORDER BY hour
+    """,
+)
+def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: hourly event volumes are
+    compared against the MEDIAN for their (day-of-week, hour-of-day)
+    slot and flagged when the residual exceeds 3x that slot's MAD —
+    the robust screen that plain z-scores fail (they flag every Monday
+    morning as an anomaly because the baseline ignores the weekly
+    cycle). Counts, medians (floored exact percentile), residuals and
+    MADs are all integers, so the flag decision is bit-identical
+    across engines. Shape: one fact shuffle to hourly counts (rows
+    bounded by elapsed hours), then every aggregate/join runs over the
+    168-slot baseline frame or the hour-bounded residual frame —
+    calendar-bounded end to end, the events_anomaly_mad discipline
+    with a seasonal key."""
+    e = load_table(spark, sf_dir, "events")
+    hour_s = (F.expr("unix_micros(ts) div 1000000 div 3600") * 3600).alias("hour_s")
+    hourly = e.groupBy(hour_s).agg(F.count(F.lit(1)).alias("n"))
+    keyed = hourly.select(
+        "hour_s",
+        "n",
+        F.dayofweek(F.timestamp_seconds("hour_s")).cast("long").alias("dow"),
+        F.hour(F.timestamp_seconds("hour_s")).cast("long").alias("hod"),
+    )
+    base = keyed.groupBy("dow", "hod").agg(
+        F.floor(F.expr("percentile(n, 0.5)")).cast("long").alias("med")
+    )
+    resid = keyed.join(F.broadcast(base), ["dow", "hod"]).select(
+        "hour_s",
+        "dow",
+        "hod",
+        "n",
+        "med",
+        F.abs(F.col("n") - F.col("med")).alias("abs_resid"),
+    )
+    mad = resid.groupBy("dow", "hod").agg(
+        F.floor(F.expr("percentile(abs_resid, 0.5)")).cast("long").alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), ["dow", "hod"])
+        .filter(
+            (F.col("abs_resid") > SEASONAL_MAD_K * F.col("mad"))
+            & (F.col("abs_resid") > 0)
+        )
+        .select(
+            F.date_format(F.timestamp_seconds("hour_s"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            F.col("n").cast("long").alias("n"),
+            "med",
+            F.col("abs_resid").cast("long").alias("abs_resid"),
+            "mad",
+        )
+        .orderBy("hour")
+    )

@@ -21,7 +21,10 @@ oracle; tests assert result-equality against the unsalted join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.registry import query
 
 
 def salted_join(
@@ -105,3 +108,68 @@ def banded_range_join(
         & (F.col(left_point) <= F.col(right_hi))
     )
     return out.drop("_band")
+
+
+BALANCE_PARTITIONS = 32
+
+
+@query(
+    "diagnose_partition_balance",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id % {BALANCE_PARTITIONS} AS partition_id
+      FROM events
+    ),
+    per_part AS (
+      SELECT partition_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY partition_id
+    ),
+    tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(max(n_rows) AS BIGINT) AS mx
+      FROM per_part
+    )
+    SELECT partition_id, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n_rows * {BALANCE_PARTITIONS} * 1000 // total AS BIGINT)
+             AS balance_milli,
+           CAST(mx * {BALANCE_PARTITIONS} * 1000 // total AS BIGINT)
+             AS worst_balance_milli
+    FROM per_part, tot
+    ORDER BY partition_id
+    """,
+)
+def diagnose_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition balance report for a candidate key layout:
+    rows per partition under a deterministic user_id % 32 partitioner,
+    each partition's share, and its balance factor (1000 = perfectly
+    even; the worst factor is the straggler multiplier your stage wall
+    inherits). THE pre-flight you run before repartition(col) on a
+    100-TB shuffle — if worst_balance_milli >> 1000 the key needs
+    salting (operators/skew.py) or AQE skew-split will be doing the
+    work at runtime. Modulo (not engine hash) keeps the assignment
+    cross-engine exact; the real hash partitioner's balance tracks the
+    modulo layout for id-like keys. One fact shuffle on a 32-value
+    key, everything after is 32 rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_part = e.groupBy(
+        (F.col("user_id") % BALANCE_PARTITIONS).alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_part.agg(
+        F.sum("n_rows").alias("total"), F.max("n_rows").alias("mx")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("partition_id").cast("long").alias("partition_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("CAST(n_rows * 1000000 div total AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                f"CAST(n_rows * {BALANCE_PARTITIONS} * 1000 div total AS BIGINT)"
+            ).alias("balance_milli"),
+            F.expr(
+                f"CAST(mx * {BALANCE_PARTITIONS} * 1000 div total AS BIGINT)"
+            ).alias("worst_balance_milli"),
+        )
+        .orderBy("partition_id")
+    )

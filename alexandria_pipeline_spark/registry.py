@@ -71,6 +71,7 @@ def register_all() -> None:
         quality,
         maintenance,
         stats,
+        skew,
     )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 
