@@ -316,3 +316,35 @@ def test_no_python_eval_outside_declared_seams(spark):
         if any(m in plan for m in py_markers):
             offenders.append(name)
     assert not offenders, f"Python eval nodes in JVM-only plans: {offenders}"
+
+
+def test_keyword_tagging_is_map_only_until_agg(spark):
+    """text_keyword_tagging's dictionary is a literal IN filter + CASE:
+    the dictionary must never become a join table. The only join
+    allowed is the benign 1-row totals cross join (BNLJ, no
+    condition) — any HASH/sort-merge join means the CASE degenerated
+    to a dictionary-table join."""
+    plan = formatted_plan(QUERIES["text_keyword_tagging"](spark, SF_SMOKE))
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan, (j, plan[:500])
+
+
+def test_peak_concurrency_windows_are_bounded(spark):
+    """events_peak_concurrency_daily may only use windows partitioned
+    by user (session build) or by day (intra-day sweep) plus the
+    calendar-bounded day-net cumsum — never an unpartitioned window
+    over second-level rows (which grow with elapsed time)."""
+    df = QUERIES["events_peak_concurrency_daily"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            inner = ln.split("windowspecdefinition(", 1)[1]
+            spec_head = inner.split("specifiedwindowframe")[0]
+            assert (
+                "user_id" in spec_head
+                or "day_i" in spec_head
+                or spec_head.lstrip().startswith("day_i")
+                # the day-net cumsum: unpartitioned but calendar-bounded
+                or spec_head.lstrip().startswith(("day_i ASC", "day_i DESC"))
+                or "t ASC" not in spec_head
+            ), ln
