@@ -2127,3 +2127,114 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("safe_div"),
         F.coalesce(parsed, F.lit(-1)).alias("parsed_or_default"),
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH states AS (
+      SELECT o_custkey AS k,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS vfrom
+      FROM orders
+    ),
+    probes AS (
+      SELECT o.o_custkey AS k,
+             CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) AS ship_day,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pit AS (
+      -- correlated scalar per probe ROW: (l_orderkey, l_linenumber) is
+      -- NOT unique in the synthetic lineitem, so a GROUP BY over probe
+      -- identity would collapse duplicate probes the Spark side keeps
+      SELECT p.ship_day,
+             (SELECT max(s.vfrom) FROM states s
+              WHERE s.k = p.k AND s.vfrom <= p.ship_day) AS vfrom
+      FROM probes p
+    ),
+    aged AS (
+      SELECT ship_day - vfrom AS age,
+             CASE WHEN ship_day - vfrom = 0 THEN 0
+                  ELSE CAST(length(bin(ship_day - vfrom)) AS BIGINT) END AS bucket
+      FROM pit WHERE vfrom IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(age) AS BIGINT) AS min_age_days,
+           CAST(max(age) AS BIGINT) AS max_age_days
+    FROM aged
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: every lineitem ship event
+    looks up the customer state version VALID AT SHIP TIME (the
+    orders_scd2_intervals feed) — the temporal-correctness join that
+    prevents feature leakage in training-data builds, where joining
+    'current' dimension values into historical facts silently leaks
+    the future. The lookup is the UNION-MERGE as-of rewrite, not an
+    interval join: states and probes union into one stream, one
+    window per customer ordered by (day, tag — states first on ties)
+    carries the last state day forward, and each probe reads its
+    version start with ZERO per-key quadratic work (a range join here
+    would cost n_versions x n_probes per key; the oracle pays exactly
+    that, which is the point of the rewrite). Read-out is the
+    version-AGE histogram in binary-digit buckets — how stale the
+    joined state was — bounded at ~13 rows; the probe build is one
+    fact-fact equi-join on the order key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    states = o.select(
+        F.col("o_custkey").alias("k"),
+        day.cast("long").alias("day"),
+        F.lit(0).alias("tag"),
+    )
+    probes = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+            F.lit(1).alias("tag"),
+        )
+    )
+    merged = states.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vfrom = F.last(
+        F.when(F.col("tag") == 0, F.col("day")), ignorenulls=True
+    ).over(w)
+    aged = (
+        merged.withColumn("vfrom", vfrom)
+        .filter(F.col("tag") == 1)
+        # probes with NO state at-or-before their day (ship date before
+        # the customer's first order date in the synthetic data) have
+        # no valid version — the oracle's inner range join drops them,
+        # so the as-of side must too
+        .filter(F.col("vfrom").isNotNull())
+        .select((F.col("day") - F.col("vfrom")).alias("age"))
+    )
+    bucket = (
+        F.when(F.col("age") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("age").cast("string"), 10, 2)))
+        .cast("long")
+    )
+    return (
+        aged.select(bucket.alias("bucket"), "age")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("age").cast("long").alias("min_age_days"),
+            F.max("age").cast("long").alias("max_age_days"),
+        )
+        .select("bucket", F.col("n").cast("long").alias("n"), "min_age_days", "max_age_days")
+        .orderBy("bucket")
+    )

@@ -117,6 +117,12 @@ HEADLINE = [
     "orders_fulfillment_latency_percentiles",
     "text_zipf_rank_frequency",
     "text_token_diversity",
+    "corpus_dedup_rate_by_source",
+    "events_type_affinity",
+    "curation_quality_decile_budget",
+    "events_peak_concurrency_daily",
+    "multimodal_image_ahash_dedup",
+    "events_seasonal_residual_anomalies",
 ]
 
 
