@@ -1960,3 +1960,96 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# MATCH_RECOGNIZE-style sequence patterns over per-user event-initial
+# strings (v=view, c=click, p=purchase, s=signup, e=error).
+SEQ_PATTERNS = {
+    "browse_to_buy": "v[vc]*p",
+    "error_then_churnless_buy": "e[vce]*p",
+    "signup_first_session": "^s",
+    "error_storm": "eee",
+}
+
+
+@query(
+    "events_sequence_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM seq)
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS pattern,
+               CAST(count(*) FILTER (WHERE regexp_matches(s, '{rx}')) AS BIGINT)
+                 AS n_matched,
+               CAST(count(*) FILTER (WHERE regexp_matches(s, '{rx}')) * 1000000
+                    // min(n_users) AS BIGINT) AS match_ppm
+        FROM seq, tot'''
+        for name, rx in sorted(SEQ_PATTERNS.items())
+    )}
+    ORDER BY pattern
+    """,
+)
+def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE emulated at scale: each user's event history
+    compresses to an ordered INITIAL string (one char per event), and
+    behavioral patterns become plain regexes over it — 'view/click run
+    ending in purchase', 'error then eventual purchase', 'signed up
+    first', 'three errors back-to-back'. This is the row-pattern
+    engine Spark lacks natively, built from two primitives it runs
+    well: an order-preserving string aggregation (sort_array over
+    (ts, event_id, initial) structs — ONE user shuffle, the same
+    exchange every sessionization query uses) and codegen regexp_like
+    over the compressed string (bounded by events-per-user, thousands
+    of times smaller than the raw rows). Patterns are plan-time
+    constants expanded into per-pattern conditional counts — a
+    |patterns|-row read-out, no second pass over the fact data."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    tot = seq.agg(F.count(F.lit(1)).alias("n_users"))
+    counted = seq.crossJoin(F.broadcast(tot)).agg(
+        F.min("n_users").alias("n_users"),
+        *[
+            F.sum(F.regexp_like("s", F.lit(rx)).cast("long")).alias(f"m_{name}")
+            for name, rx in sorted(SEQ_PATTERNS.items())
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', m_{name}" for name in sorted(SEQ_PATTERNS)
+    )
+    return (
+        counted.select(
+            "n_users",
+            F.expr(
+                f"stack({len(SEQ_PATTERNS)}, {stack_args}) AS (pattern, n_matched)"
+            ),
+        )
+        .select(
+            "pattern",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.expr("CAST(n_matched * 1000000 div n_users AS BIGINT)").alias(
+                "match_ppm"
+            ),
+        )
+        .orderBy("pattern")
+    )
