@@ -1079,3 +1079,69 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_pct")
     )
+
+
+@query(
+    "orders_theilsen_trend",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(1000 * (b.rev - a.rev) // (b.d - a.d) AS BIGINT) AS s
+      FROM per_day a JOIN per_day b ON b.d > a.d
+    )
+    SELECT
+      CAST((SELECT count(*) FROM per_day) AS BIGINT) AS n_days,
+      CAST(count(*) AS BIGINT)                       AS n_pairs,
+      CAST(floor(quantile_cont(s, 0.5)) AS BIGINT)   AS theilsen_millicents_per_day
+    FROM slopes
+    """,
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise day-to-day slopes — the estimator that shrugs off the
+    outlier days that drag the OLS line (orders_linreg_trend is its
+    fragile twin; disagreement between the two IS the outlier alarm).
+    The pair join looks quadratic but is bounded by the CALENDAR, not
+    the data: per_day has at most elapsed-days rows at any SF, so the
+    self-join emits days²/2 ≈ a few million slope rows forever, and
+    each slope is pre-truncated to integer millicents/day BEFORE the
+    median (identical truncation both engines → the floored exact
+    median is hash-stable). One fact shuffle to per-day rows; the
+    join and median run on the bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev"
+        )
+    )
+    a = per_day.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = per_day.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            F.expr("CAST(1000 * (rb - ra) div (db - da) AS BIGINT)").alias("s")
+        )
+    )
+    n_days = per_day.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.floor(F.expr("percentile(s, 0.5)")).cast("long").alias(
+                "theilsen_millicents_per_day"
+            ),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "theilsen_millicents_per_day",
+        )
+    )
