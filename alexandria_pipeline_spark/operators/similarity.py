@@ -1334,3 +1334,152 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+NPROBE_CURVE = (1, 2, 3, 4)
+
+
+def _duck_nprobe_curve_sql() -> str:
+    """Per-nprobe recall@k oracle: shared centroid/assignment CTEs, one
+    probe/score/top chain per nprobe setting, unioned into the curve."""
+    bf = ORACLES["knn_brute_force"]
+    shared = f"""
+    WITH exact AS ({bf}),
+    centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id AS cluster_id
+      FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_dot('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    qq AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id IN {QUERY_IDS}
+    )"""
+    legs = []
+    for np_ in NPROBE_CURVE:
+        legs.append(f""",
+    probes{np_} AS (
+      SELECT query_id, q_emb, c_id AS probe_cluster
+      FROM (
+        SELECT qq.query_id, qq.q_emb, c.c_id,
+               row_number() OVER (
+                 PARTITION BY qq.query_id
+                 ORDER BY {duck_dot('qq.q_emb', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM qq CROSS JOIN centroids c
+      ) WHERE rn <= {np_}
+    ),
+    top{np_} AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {duck_dot('p.q_emb', 'a.embedding')} DESC, a.vec_id
+               ) AS rk
+        FROM probes{np_} p JOIN assigned a
+          ON a.cluster_id = p.probe_cluster AND a.vec_id <> p.query_id
+      ) WHERE rk <= {TOP_K}
+    )""")
+    selects = [
+        f"""SELECT {np_} AS nprobe,
+               CAST((SELECT count(*) FROM top{np_} t
+                     JOIN exact e ON e.query_id = t.query_id
+                                 AND e.neighbor_id = t.neighbor_id) AS BIGINT)
+                 AS n_hits,
+               CAST((SELECT count(*) FROM top{np_} t
+                     JOIN exact e ON e.query_id = t.query_id
+                                 AND e.neighbor_id = t.neighbor_id)
+                    * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
+                 AS recall_ppm"""
+        for np_ in NPROBE_CURVE
+    ]
+    return shared + "".join(legs) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY nprobe"
+
+
+@query("ann_nprobe_curve", oracle=_duck_nprobe_curve_sql())
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table: recall@k against exact ground truth for
+    nprobe = 1..4 in one result — the curve an ANN operator reads to
+    pick the cheapest probe count that clears the recall SLO (the
+    knee is usually sharp: here single-probe recalls poorly on
+    isotropic data and 3 probes clear 0.9 — ann_eval_recall's single
+    point, generalized). Composition: ONE cluster assignment is
+    shared across all four legs (Catalyst reuses the exchange), each
+    leg adds only a (queries x nprobe)-row probe fan-out + bucket
+    join, and the read-out joins each leg's top-k against the
+    brute-force ground truth — k x |queries| rows per leg. The whole
+    curve costs about one multiprobe run, not four."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("c_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("c_score", dot("embedding", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cluster_id"))
+    )
+    q = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("p_score"), F.asc("c_id"))
+    probe_ranked = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("p_score", dot("q_emb", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .select("query_id", "q_emb", F.col("c_id").alias("probe_cluster"), "rn")
+    )
+    exact = QUERIES["knn_brute_force"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()  # k x |queries| — plan-time constant read
+    legs = []
+    w_rk = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    for np_ in NPROBE_CURVE:
+        probes = probe_ranked.filter(F.col("rn") <= np_).drop("rn")
+        top = (
+            F.broadcast(probes)
+            .join(
+                assigned,
+                (assigned.cluster_id == F.col("probe_cluster"))
+                & (assigned.vec_id != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dot("q_emb", "embedding").alias("score"),
+            )
+            .withColumn("rk", F.row_number().over(w_rk))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top.join(F.broadcast(exact), ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        legs.append(
+            hits.select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.expr(f"CAST(n_hits * 1000000 div {n_exact} AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("nprobe")
