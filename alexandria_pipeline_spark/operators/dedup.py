@@ -1475,3 +1475,130 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+RECALL_SAMPLE_TARGET = 600  # ground-truth sample size for the LSH eval
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH params AS (
+      SELECT GREATEST(1, (SELECT count(*) FROM documents) // {RECALL_SAMPLE_TARGET})
+        AS m
+    ),
+    docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents, params
+      WHERE doc_id % m = 0 AND len(string_split(text, ' ')) >= 3
+    ),
+    truth AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM docs x JOIN docs y ON x.doc_id < y.doc_id
+      WHERE 2 * len(list_intersect(x.codes, y.codes))
+            >= len(list_distinct(list_concat(x.codes, y.codes)))
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band, ({_duck_band_case('b')}) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+      SELECT count(*) AS n FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT
+      CAST((SELECT count(*) FROM docs) AS BIGINT)  AS n_sample_docs,
+      CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+      CAST((SELECT count(*) FROM cand) AS BIGINT)  AS n_candidates,
+      CAST((SELECT n FROM hits) AS BIGINT)         AS n_recalled,
+      CAST((SELECT n FROM hits) * 1000000
+           // GREATEST((SELECT count(*) FROM truth), 1) AS BIGINT) AS recall_ppm
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation RECALL of the MinHash banding scheme — the
+    ann_eval_recall methodology applied to dedup: on a deterministic
+    document sample (doc_id % m, m sized at plan time so the sample
+    stays ~{RECALL_SAMPLE_TARGET} docs at ANY corpus size), compare
+    the band join's candidate pairs against exact ground truth (all
+    sample pairs with true shingle Jaccard >= 0.5, decided by the
+    integer form 2·|A∩B| >= |A∪B| — no float). This is the number
+    that justifies the banding parameters: if recall_ppm sags, add
+    bands/permutations BEFORE trusting a 100-TB dedup pass. The
+    exact all-pairs ground truth is affordable forever because the
+    sample is CONSTANT-sized — the eval cost does not grow with the
+    corpus; candidates use the identical signature/band machinery as
+    dedup_minhash_lsh (same constants, same code paths)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    m = max(1, n_docs // RECALL_SAMPLE_TARGET)
+    toks = F.split("text", " ")
+    docs = (
+        d.filter((F.col("doc_id") % m == 0) & (F.size(toks) >= 3))
+        .select("doc_id", shingle_codes(toks).alias("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"))
+    truth = (
+        F.broadcast(x)
+        .join(y, F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            2 * F.size(F.array_intersect("ca", "cb"))
+            >= F.size(F.array_union("ca", "cb"))
+        )
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    band_vals = F.array(
+        *[
+            sum(
+                F.col(f"m{b * ROWS_PER_BAND + j}")
+                * (MINHASH_P ** (ROWS_PER_BAND - 1 - j))
+                for j in range(ROWS_PER_BAND)
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_sample = docs.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_recalled")
+    )
+    return (
+        n_sample.crossJoin(n_truth)
+        .crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_sample_docs").cast("long").alias("n_sample_docs"),
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_recalled").cast("long").alias("n_recalled"),
+            F.expr(
+                "CAST(n_recalled * 1000000 div GREATEST(n_true_pairs, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
