@@ -532,3 +532,88 @@ def curation_quality_decile_budget(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "corpus_source_tv_distance",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    per_src AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ),
+    src_tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per_src GROUP BY source
+    ),
+    corpus AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS cc FROM per_src GROUP BY token
+    ),
+    corpus_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM corpus),
+    terms AS (
+      SELECT s.source,
+             abs(CAST(p.c AS HUGEINT) * 1000000 // s.n
+                 - CAST(c.cc AS HUGEINT) * 1000000 // t.nn) AS dev_ppm,
+             p.token
+      FROM per_src p
+      JOIN src_tot s ON s.source = p.source
+      JOIN corpus c ON c.token = p.token
+      CROSS JOIN corpus_tot t
+    )
+    SELECT source,
+           CAST(sum(dev_ppm) // 2 AS BIGINT) AS tv_distance_ppm,
+           CAST(max(dev_ppm) AS BIGINT)      AS max_token_dev_ppm
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per SOURCE: the total-variation
+    distance ½·Σ|p_src(w) − p_corpus(w)| between each source's unigram
+    distribution and the whole corpus, in exact truncating ppm — the
+    log-free drift metric (KL/JS need float logs; TV is pure integer
+    and bounds them) that flags a feed whose language shifted before
+    it poisons the training mix. Per-term shares truncate IDENTICALLY
+    in both engines before the sum, so the result is hash-exact.
+    Shape: one (source, token) groupBy with map-side combine, a
+    token-keyed join against the corpus distribution (vocab-sized,
+    well-distributed), and a source-cardinality read-out. Tokens
+    ABSENT from a source contribute their corpus mass to the true TV
+    but identically for every engine-side computation here — the
+    per-present-token deviation is the monitored statistic (the
+    absent-mass term equals sum(corpus shares of unseen tokens),
+    derivable from the same frame if a feed needs it)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = per_src.groupBy("token").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "token")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "source",
+            # decimal(38,0)/HUGEINT: corpus-wide token counts x 1e6
+            # pass int64 around 1e13 total tokens
+            F.abs(
+                F.expr("CAST(c AS decimal(38,0)) * 1000000 div n")
+                - F.expr("CAST(cc AS decimal(38,0)) * 1000000 div nn")
+            ).cast("long").alias("dev_ppm"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.expr("CAST(sum(dev_ppm) div 2 AS BIGINT)").alias("tv_distance_ppm"),
+            F.max("dev_ppm").cast("long").alias("max_token_dev_ppm"),
+        )
+        .orderBy("source")
+    )
