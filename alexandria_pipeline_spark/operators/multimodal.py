@@ -1154,3 +1154,76 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ahash_bits")
     )
+
+
+SCENE_FRAME_STRIDE = 256  # pseudo-frame per 256 payload bytes
+SCENE_LEN = 4             # planted scene length in frames
+
+
+@query(
+    "multimodal_scene_cut_detect",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             GREATEST(2, octet_length(encode(text)) // {SCENE_FRAME_STRIDE})
+               AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((n_frames - 1) // {SCENE_LEN} AS BIGINT) AS n_cuts,
+           CAST(CASE WHEN n_frames > {SCENE_LEN} THEN {SCENE_LEN}
+                     ELSE -1 END AS BIGINT) AS first_cut_idx
+    FROM media
+    ORDER BY media_id
+    """,
+)
+def multimodal_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over the REAL image path: each media
+    fans out to pseudo-frames (one per {SCENE_FRAME_STRIDE} payload
+    bytes, the multimodal_frame_sample stride), every frame is
+    synthesized as a BMP, ENCODED AND DECODED back through the
+    in-repo codec, resampled to the 8x8 gray grid (the aHash
+    machinery), and a cut is declared wherever consecutive grids'
+    L1 distance is nonzero — scenes are planted {SCENE_LEN} frames
+    long, so the detector's output is ANALYTICALLY predictable and
+    the oracle recomputes it from frame counts alone: a hash match
+    proves the decode, the resample, AND the delta logic found
+    exactly the planted cuts (a detector bug — off-by-one frame
+    indexing, orientation flip, threshold error — breaks the match).
+    All pixel work stays inside the mapInPandas Arrow seam; only
+    (media_id, 3 longs) ever shuffles."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "n_cuts": [], "first_cut_idx": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = max(2, len(str(text).encode()) // SCENE_FRAME_STRIDE)
+                prev = None
+                n_cuts, first_cut = 0, -1
+                for f in range(n_frames):
+                    seed = (int(did) * 13 + (f // SCENE_LEN) * 7) % 4096
+                    px = decode_bmp24_pixels(bmp_formula_payload(seed))
+                    h, w, _ = px.shape
+                    sy = (np.arange(8, dtype=np.int64) * h) // 8
+                    sx = (np.arange(8, dtype=np.int64) * w) // 8
+                    grid = (px.sum(axis=2) // 3)[np.ix_(sy, sx)]
+                    if prev is not None and int(np.abs(grid - prev).sum()) > 0:
+                        n_cuts += 1
+                        if first_cut < 0:
+                            first_cut = f
+                    prev = grid
+                out["media_id"].append(int(did))
+                out["n_frames"].append(n_frames)
+                out["n_cuts"].append(n_cuts)
+                out["first_cut_idx"].append(first_cut)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.mapInPandas(
+            detect,
+            schema="media_id long, n_frames long, n_cuts long, first_cut_idx long",
+        )
+        .orderBy("media_id")
+    )
