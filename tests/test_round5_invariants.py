@@ -294,3 +294,18 @@ def test_image_ahash_clusters_by_seed(spark):
     for r in rows:
         assert len(r["ahash_bits"]) == 64
         assert set(r["ahash_bits"]) <= {"0", "1"}
+
+
+def test_compression_ratio_invariants(spark):
+    """No SQL oracle exists for zlib — pin the physics instead: sizes
+    positive, ratio = raw*1000//comp exactly, identical output across
+    two runs (determinism), and natural-text docs compress (ratio >
+    1000 for anything non-trivial)."""
+    rows = QUERIES["text_compression_ratio"](spark, SF_SMOKE).collect()
+    again = QUERIES["text_compression_ratio"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    assert rows
+    for r in rows:
+        assert r["raw_bytes"] > 0 and r["compressed_bytes"] > 0
+        assert r["ratio_permille"] == r["raw_bytes"] * 1000 // r["compressed_bytes"]
+    assert sum(r["ratio_permille"] > 1000 for r in rows) > len(rows) // 2
