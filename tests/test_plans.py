@@ -305,12 +305,15 @@ def test_no_python_eval_outside_declared_seams(spark):
         "FlatMapGroupsInPandas",
     )
     allowed_prefixes = ("multimodal_",)
+    # text_compression_ratio: zlib is a C codec with no SQL/codegen
+    # twin — the declared Arrow-seam case, same class as the decoders
+    allowed = {"text_compression_ratio"}
     skip = {"sharded_sink_roundtrip", "knn_ivf_kmeans"}  # side-effecting / ML-fit
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_") or name in skip:
             continue
-        if name.startswith(allowed_prefixes):
+        if name.startswith(allowed_prefixes) or name in allowed:
             continue
         plan = formatted_plan(fn(spark, SF_SMOKE))
         if any(m in plan for m in py_markers):
