@@ -598,3 +598,84 @@ def maintenance_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# Conservative in-memory row-width estimates (bytes) by logical type —
+# the planner-style numbers a broadcast decision needs BEFORE reading
+# data. Variable-width columns use the catalog's known generator
+# bounds; the point is a deterministic, engine-shared constant.
+_WIDTHS = {
+    "long": 8, "integer": 4, "double": 8, "float": 8, "date": 4,
+    "timestamp": 8, "timestamp_ntz": 8, "string": 32, "array": 264,
+    "binary": 64,
+}
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark's default 10 MB
+
+
+def _est_width(df) -> int:
+    return sum(
+        _WIDTHS.get(f.dataType.typeName(), 16) for f in df.schema.fields
+    )
+
+
+_ADVISOR_TABLES = (
+    "region", "nation", "supplier", "customer", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+# Precomputed from the generator's fixed parquet schemas with the
+# _WIDTHS map; the Spark side re-derives the width from the LOADED
+# schema at plan time and asserts it equals this hint, so a silent
+# generator schema drift fails loudly instead of diverging engines.
+TABLE_WIDTH_HINTS = {
+    "region": 36, "nation": 40, "supplier": 52, "customer": 84,
+    "part": 116, "orders": 96, "lineitem": 132, "events": 96,
+    "documents": 112, "embeddings": 276,
+}
+
+
+def _duck_advisor_sql() -> str:
+    legs = []
+    for t in _ADVISOR_TABLES:
+        w = TABLE_WIDTH_HINTS[t]
+        legs.append(f"""
+        SELECT '{t}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * {w} AS BIGINT) AS est_bytes,
+               CAST(CASE WHEN count(*) * {w} <= {BROADCAST_THRESHOLD_BYTES}
+                    THEN 1 ELSE 0 END AS BIGINT) AS broadcastable
+        FROM {t}""")
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY table_name"
+
+
+@query("diagnose_broadcast_advisor", oracle=_duck_advisor_sql())
+def diagnose_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-eligibility report across the whole catalog: rows,
+    estimated in-memory bytes (schema-derived width constants, the
+    planner-style numbers a join strategy needs BEFORE reading data),
+    and whether the table fits Spark's default 10 MB broadcast
+    threshold — the table you consult before writing F.broadcast() in
+    a new query or raising autoBroadcastJoinThreshold on a cluster.
+    Ten metadata-cheap count aggregates, unioned; the width constants
+    are verified at plan time against the loaded schemas so generator
+    drift fails loudly rather than desyncing the oracle."""
+    legs = []
+    for t in _ADVISOR_TABLES:
+        df = load_table(spark, sf_dir, t)
+        w = _est_width(df)
+        assert w == TABLE_WIDTH_HINTS[t], (t, w, TABLE_WIDTH_HINTS[t])
+        legs.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("n_rows") * w).cast("long").alias("est_bytes"),
+                (
+                    (F.col("n_rows") * w <= BROADCAST_THRESHOLD_BYTES).cast("long")
+                ).alias("broadcastable"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_name")
