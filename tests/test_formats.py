@@ -42,3 +42,33 @@ def test_json_round_trip_with_schema(spark):
     back = spark.read.schema(src.schema).json(out)
     cols = ["r_regionkey", "r_name"]
     assert _norm(back, cols) == _norm(src, cols)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A dataset whose later shards gained a column must read as ONE
+    unified schema under mergeSchema, with the old shards' missing
+    column null — the append-only schema-evolution path every
+    long-lived ingest hits. Also pins the sharper footgun: WITHOUT
+    mergeSchema Spark picks an arbitrary footer, so the new column may
+    silently vanish — the test documents that both behaviors are what
+    they claim."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/shard=old")
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id long, name string, score int"
+    ).write.parquet(base + "/shard=new")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "name", "score", "shard"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 30
+
+    # evolved column is usable in plans immediately (nulls flow)
+    out = merged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("score").alias("s")
+    ).collect()[0]
+    assert out["n"] == 4 and out["s"] == 70
