@@ -677,3 +677,79 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_MINHASH_ORACLE_FOR_LEAK = ORACLES["dedup_minhash_lsh"]
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_ORACLE_FOR_LEAK}),
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN {duck_rolling_fingerprint("string_split(text, ' ')")} % 100
+                       < {TRAIN_CUT} THEN 'train'
+                  WHEN {duck_rolling_fingerprint("string_split(text, ' ')")} % 100
+                       < {VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    classified AS (
+      SELECT LEAST(ta.split, tb.split) AS split_a,
+             GREATEST(ta.split, tb.split) AS split_b
+      FROM pairs p
+      JOIN tagged ta ON ta.doc_id = p.doc_a
+      JOIN tagged tb ON tb.doc_id = p.doc_b
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+             AS is_leak
+    FROM classified
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-dup leakage audit: the content-hash split
+    guarantees byte-identical docs share a split, but near-duplicates
+    can still straddle the train/eval boundary — and a validation doc
+    whose near-twin sits in train inflates every eval metric. This
+    query classifies the verified MinHash pair graph by the split
+    assignment of each endpoint: same-split pairs are benign
+    (dedup's problem), cross-split pairs are LEAKS to remove or
+    re-home before training. Composition: pair graph (ids only) joins
+    the map-only split tags twice; read-out is ≤ 6 split-pair rows.
+    The oracle nests the minhash oracle + the fingerprint tagging, so
+    the audit is hash-checked end-to-end."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    slot = rolling_fingerprint(toks) % 100
+    tagged = d.select(
+        "doc_id",
+        F.when(slot < TRAIN_CUT, F.lit("train"))
+        .when(slot < VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    ta = tagged.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    tb = tagged.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.col("split_a") != F.col("split_b")).cast("long").alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
