@@ -1483,3 +1483,122 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("nprobe")
+
+
+EVAL_K = 5
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS src, a.label AS true_label,
+             b.label AS nb_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {duck_dot('a.embedding', 'b.embedding')} DESC, b.vec_id
+             ) AS rk
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    votes AS (
+      SELECT src, true_label, nb_label, CAST(count(*) AS BIGINT) AS v
+      FROM scored WHERE rk <= {EVAL_K}
+      GROUP BY src, true_label, nb_label
+    ),
+    pred AS (
+      SELECT src, true_label, nb_label AS pred_label
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY v DESC, nb_label
+        ) AS pr
+        FROM votes
+      ) WHERE pr = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS acc_ppm
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classifier accuracy per label — the standard
+    embedding-QUALITY metric (if 5-NN majority vote can't recover the
+    label, the space doesn't separate the classes and no downstream
+    index will fix it); run per-label, it also pinpoints WHICH class
+    collapsed after a model change. Mechanics share the knn_mutual
+    scaffold: exact all-pairs scoring under the same 1k-vector gate
+    (the sf0.01 oracle path), LSH-bucket candidates above it; the
+    majority vote is a (src, label)-bounded count + row_number argmax
+    with a deterministic label tiebreak. Read-out is |labels| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("emb_b"),
+    )
+    if n <= KNN_MUTUAL_EXACT_LIMIT:
+        cand = F.broadcast(a).crossJoin(b).filter(F.col("src") != F.col("dst"))
+    else:
+        from alexandria_pipeline_spark.operators.dedup import (
+            lsh_bucket,
+            lsh_planes_for,
+        )
+
+        planes = lsh_planes_for(n)
+        ab = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("emb_a"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        bb = e.select(
+            F.col("vec_id").alias("dst"),
+            F.col("label").alias("nb_label"),
+            F.col("embedding").alias("emb_b"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        cand = ab.join(bb, "bucket").filter(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    topk = (
+        cand.select(
+            "src", "true_label", "dst", "nb_label", dot("emb_a", "emb_b").alias("score")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= EVAL_K)
+    )
+    votes = topk.groupBy("src", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_pred = Window.partitionBy("src").orderBy(F.desc("v"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_pred))
+        .filter(F.col("pr") == 1)
+        .select("src", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr("CAST(n_correct * 1000000 div n AS BIGINT)").alias("acc_ppm"),
+        )
+        .orderBy("label")
+    )
