@@ -796,8 +796,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaks that kill long iterative jobs at scale. Oracle: DuckDB
     recursive CTE computes the same min-reachable-label closure."""
     pairs = _minhash_pairs(spark, sf_dir)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    labels = connected_components_from_pairs(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("component")
+    )
+
+
+def connected_components_from_pairs(
+    pairs: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Iterative min-label propagation over an undirected pair list —
+    the shared CC core for every dedup family (shingle pairs, embedding
+    pairs). Returns (node, lab). See dedup_connected_components for the
+    scale/lineage discussion; this is its loop, verbatim, extracted."""
+    edges = pairs.select(
+        F.col(col_a).alias("doc_a"), F.col(col_b).alias("doc_b")
+    )
+    edges = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
@@ -833,7 +849,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
+    return labels
 
 
 @query(
@@ -1601,4 +1617,61 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(n_recalled * 1000000 div GREATEST(n_true_pairs, 1) AS BIGINT)"
             ).alias("recall_ppm"),
         )
+    )
+
+
+_COSINE_ORACLE_FOR_CC = ORACLES["dedup_embedding_cosine"]
+
+
+@query(
+    "dedup_embedding_components",
+    oracle=f"""
+    WITH RECURSIVE
+    cpairs AS (
+      SELECT vec_a AS u0, vec_b AS v0 FROM ({_COSINE_ORACLE_FOR_CC})
+    ),
+    edges AS (
+      SELECT u0 AS u, v0 AS v FROM cpairs
+      UNION SELECT v0, u0 FROM cpairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.v AS node, r.lab
+      FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node, min(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT)  AS n_vecs
+    FROM comp
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dup clusters: the embedding-cosine near-dup pair graph
+    (auto-scaled LSH buckets + exact verify) collapsed to connected
+    components — the cluster inventory a curation pass reads to pick
+    one representative per semantic group (the text-shingle CC's
+    sibling for paraphrases and translations that share no n-grams).
+    Reuses the SAME min-label-propagation core as
+    dedup_connected_components (connected_components_from_pairs); the
+    oracle nests the cosine oracle inside the recursive closure, so
+    buckets -> verify -> clustering is hash-checked end-to-end.
+    Read-out is one row per component (component-cardinality)."""
+    pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    labels = connected_components_from_pairs(pairs, "vec_a", "vec_b")
+    return (
+        labels.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+        )
+        .orderBy("component")
     )
