@@ -1833,7 +1833,7 @@ def agg_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM monthly
     )
     SELECT ym, mon, cents,
-           CAST(cents * 1000 * n_win // trail12 AS BIGINT)
+           CAST(CAST(cents AS HUGEINT) * 1000 * n_win // trail12 AS BIGINT)
              AS seasonal_index_milli
     FROM with_trail
     WHERE n_win = 12
@@ -1868,7 +1868,9 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ym",
         "mon",
         "cents",
-        F.expr("cents * 1000 * n_win div trail12").alias(
+        F.expr(
+            "CAST(cents AS decimal(38,0)) * 1000 * n_win div trail12"
+        ).cast("long").alias(
             "seasonal_index_milli"
         ),
     )
@@ -2021,12 +2023,19 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
     )
-    under = F.col("cum_before") * 100 < F.col("total_rev") * PARETO_TARGET_PCT
+    # decimal(38,0): cum_before*100 passes int64 once total revenue
+    # crosses ~9.2e16 cents (the extreme-values suite reproduces it);
+    # the oracle's window sum is already HUGEINT
+    under = (
+        F.col("cum_before").cast("decimal(38,0)") * 100
+        < F.col("total_rev").cast("decimal(38,0)") * PARETO_TARGET_PCT
+    )
     return cum.agg(
         F.count(F.when(under, 1)).alias("n_cust_for_80pct"),
         F.min("n_cust").alias("n_customers"),
         F.expr(
-            f"count(CASE WHEN cum_before * 100 < total_rev * {PARETO_TARGET_PCT} "
+            "count(CASE WHEN CAST(cum_before AS decimal(38,0)) * 100"
+            f" < CAST(total_rev AS decimal(38,0)) * {PARETO_TARGET_PCT} "
             "THEN 1 END) * 1000000 div min(n_cust)"
         ).alias("share_ppm"),
     )

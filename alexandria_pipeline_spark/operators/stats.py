@@ -77,12 +77,16 @@ def orders_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = per_day.crossJoin(F.broadcast(mn)).select(
         (F.col("d") - F.col("d0")).alias("x"), F.col("rev").alias("y")
     )
+    # products are cast to decimal BEFORE the sum: Σ x·y reaches
+    # ~1.5e20 on high-magnitude days (the extreme-values suite), so a
+    # BIGINT-accumulated sum overflows even though each product fits;
+    # DuckDB's sum already accumulates in HUGEINT
     m = rb.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("x").cast(_DEC).alias("sx"),
-        F.sum("y").cast(_DEC).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast(_DEC).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast(_DEC).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC)).cast(_DEC).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast(_DEC).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast(_DEC).alias("sxx"),
     )
     return m.select(
         F.col("n").cast("long").alias("n_days"),
