@@ -36,7 +36,7 @@ Z_SCORE = 2  # flag beyond 2σ
       SELECT event_type,
              CAST(count(*) AS BIGINT)        AS n,
              CAST(sum(v_c) AS BIGINT)        AS s,
-             CAST(sum(v_c * v_c) AS BIGINT)  AS ss
+             CAST(sum(CAST(v_c AS HUGEINT) * v_c) AS BIGINT)  AS ss
       FROM v GROUP BY event_type
     )
     SELECT
@@ -65,7 +65,11 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v_c").alias("s"),
-        F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+        # product in decimal BEFORE the sum: v_c^2 alone exceeds int64
+        # once per-event values pass ~3e9 cents (extreme-values suite)
+        F.sum(F.col("v_c").cast("decimal(38,0)") * F.col("v_c"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
     )
     dec = "decimal(38,0)"
     joined = v.join(F.broadcast(st), "event_type")

@@ -61,11 +61,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # e4/e6-scaled charges accumulate in decimal(38,0): the
+            # BIGINT sum overflows near 1e18 total — reachable at very
+            # high SF with normal prices, not just the extreme suite
             trunc_div(
                 F.sum(
                     F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 ),
                 F.lit(100),
                 100.0,
@@ -78,7 +81,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (1 + F.col("l_tax"))
                         * 1_000_000,
                         0,
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 ),
                 F.lit(10_000),
                 100.0,

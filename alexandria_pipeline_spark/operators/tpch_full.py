@@ -176,7 +176,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_year",
-        (int_div(F.col("num_s") * 10000, F.col("den_s")) / F.lit(10000.0)).alias("mkt_share"),
+        (
+            int_div(F.col("num_s").cast("decimal(38,0)") * 10000, F.col("den_s"))
+            / F.lit(10000.0)
+        ).alias("mkt_share"),
     )
 
 
@@ -304,7 +307,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(
-        (int_div(F.col("num_s") * 1000000, F.col("den_s")) / F.lit(10000.0)).alias(
+        (
+            int_div(
+                F.col("num_s").cast("decimal(38,0)") * 1000000, F.col("den_s")
+            )
+            / F.lit(10000.0)
+        ).alias(
             "promo_revenue"
         )
     )
