@@ -2053,3 +2053,109 @@ def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("pattern")
     )
+
+
+@query(
+    "events_session_duration_percentiles",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {PEAK_SESSION_GAP_S} * 1000000
+                  OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_id,
+             CAST(max(sec) - min(sec) AS BIGINT) AS dur_s,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                    AS n_sessions,
+      round(quantile_cont(dur_s, 0.50), 4)        AS p50_s,
+      round(quantile_cont(dur_s, 0.90), 4)        AS p90_s,
+      round(quantile_cont(dur_s, 0.99), 4)        AS p99_s,
+      CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+           * 1000000 // count(*) AS BIGINT)       AS bounce_ppm,
+      CAST(sum(dur_s) * 1000 // count(*) AS BIGINT) AS mean_milli_s
+    FROM spans
+    """,
+)
+def events_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration SLO read-out: p50/p90/p99 and exact milli-mean
+    of 30-min-gap session lengths plus the bounce rate (single-event
+    sessions) — the engagement dashboard every product team keeps,
+    and the empirical input to the session-gap constant itself. Same
+    one-user-window session build as events_peak_concurrency_daily;
+    durations collapse to one row per session, and the exact
+    percentile (bitwise-equal to quantile_cont, the agg_percentiles
+    precedent) runs over the session frame. At 100 TB sessions are
+    ~1% of events — the percentile's sort is over the collapsed
+    frame, and approx_percentile slots in unchanged if even that is
+    too much."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        sec.alias("sec"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("unix_micros(ts)")
+                - F.expr(
+                    "unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+                )
+                > PEAK_SESSION_GAP_S * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w_sess = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.select(
+            "user_id", "sec", F.sum("new_session").over(w_sess).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.max("sec") - F.min("sec")).cast("long").alias("dur_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.expr("percentile(dur_s, 0.50)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(dur_s, 0.90)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(dur_s, 0.99)"), 4).alias("p99_s"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("bounce_ppm"),
+        F.expr("CAST(sum(dur_s) * 1000 div count(1) AS BIGINT)").alias(
+            "mean_milli_s"
+        ),
+    ).select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "p50_s",
+        "p90_s",
+        "p99_s",
+        "bounce_ppm",
+        "mean_milli_s",
+    )

@@ -325,3 +325,48 @@ def run_zorder_sink(
         .parquet(output_path)
     )
     return spark.read.parquet(output_path)
+
+
+def run_restatement_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    start_day: str,
+    end_day: str,
+) -> dict:
+    """Partition RESTATEMENT: recompute a closed date range of the
+    day-partitioned events export and replace ONLY those partitions,
+    leaving every other day's files byte-untouched — the
+    late-data/bug-backfill operation every lakehouse pipeline needs
+    (reference analog: rerunning run.py over a shard subset, which
+    rewrote everything it touched without isolation).
+
+    Mechanics: dynamic partition overwrite
+    (spark.sql.sources.partitionOverwriteMode=dynamic, set ONLY for
+    this write and restored after) with the recomputed range written
+    in mode('overwrite') — Spark then drops exactly the partitions
+    present in the incoming frame. Idempotent by construction: a
+    repeated restatement of the same range produces identical
+    partition contents; counts are returned for audit."""
+    from alexandria_pipeline_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    full = e.select(
+        "event_id", "user_id", "event_type", "value", day.alias("day")
+    )
+    window = full.filter(
+        (F.col("day") >= start_day) & (F.col("day") <= end_day)
+    )
+    n_restated = window.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        window.write.partitionBy("day").mode("overwrite").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "rows_restated": n_restated,
+        "start_day": start_day,
+        "end_day": end_day,
+    }

@@ -258,3 +258,52 @@ def test_zorder_sink_prunes_on_both_keys(spark, tmp_path):
         f"z-order pruning ineffective: {touched}/{len(files)} files overlap"
         " a 1/16-area box"
     )
+
+
+def test_restatement_overwrites_only_target_partitions(spark, tmp_path):
+    """run_restatement_job must replace exactly the [start, end] day
+    partitions: corrupt one in-range and one out-of-range partition,
+    restate the range, and verify the in-range corruption is healed
+    while the out-of-range corruption survives (proof the write was
+    partition-scoped, not a table truncate)."""
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.operators.jobs import run_restatement_job
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, SF_SMOKE, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+    full = e.select("event_id", "user_id", "event_type", "value", day.alias("day"))
+    full.write.partitionBy("day").parquet(out)
+
+    days = sorted(p.name.split("=")[1] for p in pathlib.Path(out).glob("day=*"))
+    assert len(days) >= 4, days
+    target, untouched = days[1], days[-1]
+
+    # corrupt both partitions by replacing them with empty-but-valid data
+    schema = "event_id long, user_id long, event_type string, value double"
+    for d in (target, untouched):
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            f"{out}/day={d}"
+        )
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(f"{out}/day={target}").count() == 0
+
+    res = run_restatement_job(spark, SF_SMOKE, out, days[1], days[2])
+    assert res["rows_restated"] > 0
+
+    spark.catalog.refreshByPath(out)
+    healed = spark.read.parquet(out)
+    expected = full.filter(F.col("day") == target).count()
+    assert healed.filter(F.col("day") == target).count() == expected
+    # out-of-range partition was NOT rewritten: still the corrupted zero
+    assert healed.filter(F.col("day") == untouched).count() == 0
+    # in-range restatement is idempotent
+    run_restatement_job(spark, SF_SMOKE, out, days[1], days[2])
+    spark.catalog.refreshByPath(out)
+    assert (
+        spark.read.parquet(out).filter(F.col("day") == target).count() == expected
+    )
