@@ -1602,3 +1602,85 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "ann_ivf_build_report",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, c_id AS cluster_id
+      FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_dot('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+      ) WHERE rn = 1
+    ),
+    per_cluster AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY cluster_id
+    ),
+    tot AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(max(n_vecs) AS BIGINT) AS mx
+      FROM per_cluster
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_vecs,
+           CAST(n_vecs * {N_CENTROIDS} * 1000 // total AS BIGINT)
+             AS balance_milli,
+           CAST(mx * {N_CENTROIDS} * 1000 // total AS BIGINT)
+             AS worst_balance_milli
+    FROM per_cluster, tot
+    ORDER BY cluster_id
+    """,
+)
+def ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build quality report: vectors per cluster and each
+    cluster's balance factor (1000 = perfectly even) — the number
+    that explains a bad nprobe curve BEFORE re-training (a fat
+    cluster means single-probe queries landing there scan far more
+    than corpus/n_clusters, and the worst factor is the tail-latency
+    multiplier of the whole index; the fix is more/kmeans-trained
+    centroids — knn_ivf_kmeans — not more probes). Same centroid
+    broadcast + assignment as every IVF query, one
+    cluster-cardinality aggregate on top; the
+    diagnose_partition_balance methodology applied to the ANN
+    index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("c_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("c_score", dot("embedding", "c_emb"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cluster_id"))
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = per_cluster.agg(
+        F.sum("n_vecs").alias("total"), F.max("n_vecs").alias("mx")
+    )
+    return (
+        per_cluster.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr(
+                f"CAST(n_vecs * {N_CENTROIDS} * 1000 div total AS BIGINT)"
+            ).alias("balance_milli"),
+            F.expr(
+                f"CAST(mx * {N_CENTROIDS} * 1000 div total AS BIGINT)"
+            ).alias("worst_balance_milli"),
+        )
+        .orderBy("cluster_id")
+    )
