@@ -123,6 +123,12 @@ HEADLINE = [
     "events_peak_concurrency_daily",
     "multimodal_image_ahash_dedup",
     "events_seasonal_residual_anomalies",
+    "events_session_duration_percentiles",
+    "ann_ivf_build_report",
+    "split_leakage_audit",
+    "knn_label_eval",
+    "orders_theilsen_trend",
+    "dedup_lsh_recall_eval",
 ]
 
 
