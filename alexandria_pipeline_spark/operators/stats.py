@@ -1149,3 +1149,88 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theilsen_millicents_per_day",
         )
     )
+
+
+@query(
+    "events_dau_naive_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT day, dau, dayofweek(day) AS dow,
+             row_number() OVER (PARTITION BY dayofweek(day) ORDER BY day DESC)
+               AS rn_desc
+      FROM daily
+    ),
+    train AS (
+      SELECT dow,
+             CAST(sum(dau) // count(*) AS BIGINT) AS forecast,
+             CAST(count(*) AS BIGINT) AS n_train_days
+      FROM keyed WHERE rn_desc > 1 GROUP BY dow
+    ),
+    test AS (
+      SELECT dow, day, dau AS actual FROM keyed WHERE rn_desc = 1
+    )
+    SELECT
+      strftime(t.day, '%Y-%m-%d')                       AS day,
+      CAST(t.actual AS BIGINT)                          AS actual_dau,
+      CAST(tr.forecast AS BIGINT)                       AS forecast_dau,
+      CAST(abs(t.actual - tr.forecast) AS BIGINT)       AS abs_err,
+      CAST(abs(t.actual - tr.forecast) * 1000000
+           // GREATEST(t.actual, 1) AS BIGINT)          AS ape_ppm,
+      tr.n_train_days
+    FROM test t JOIN train tr ON tr.dow = t.dow
+    ORDER BY day
+    """,
+)
+def events_dau_naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive DAU forecast BACKTEST: predict each weekday's
+    LAST observed DAU from the truncating mean of all its earlier
+    occurrences and report the absolute/percentage error — the
+    baseline every forecasting system must beat before anyone trusts
+    a fancier model, and the shape (train on rn > 1, test on rn = 1
+    per seasonal key) is the standard leakage-free holdout for
+    seasonal series. Everything is integers over calendar-bounded
+    frames: daily exact distinct counts, per-dow means via truncating
+    div, 7-row train table broadcast to a 7-row test probe. Engines
+    agree on dow only as a JOIN key (never output), so the
+    Spark/DuckDB dayofweek numbering offset is invisible — the
+    events_seasonal_residual_anomalies convention."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    w = Window.partitionBy(F.dayofweek("day")).orderBy(F.desc("day"))
+    keyed = daily.select(
+        "day", "dau", F.dayofweek("day").alias("dow"),
+        F.row_number().over(w).alias("rn_desc"),
+    )
+    train = (
+        keyed.filter(F.col("rn_desc") > 1)
+        .groupBy("dow")
+        .agg(
+            F.expr("CAST(sum(dau) div count(1) AS BIGINT)").alias("forecast"),
+            F.count(F.lit(1)).alias("n_train_days"),
+        )
+    )
+    test = keyed.filter(F.col("rn_desc") == 1).select(
+        "dow", "day", F.col("dau").alias("actual")
+    )
+    return (
+        test.join(F.broadcast(train), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("actual").cast("long").alias("actual_dau"),
+            F.col("forecast").cast("long").alias("forecast_dau"),
+            F.abs(F.col("actual") - F.col("forecast")).cast("long").alias("abs_err"),
+            F.expr(
+                "CAST(abs(actual - forecast) * 1000000"
+                " div GREATEST(actual, 1) AS BIGINT)"
+            ).alias("ape_ppm"),
+            F.col("n_train_days").cast("long").alias("n_train_days"),
+        )
+        .orderBy("day")
+    )

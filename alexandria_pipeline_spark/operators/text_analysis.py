@@ -1157,3 +1157,93 @@ def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rk")
     )
+
+
+CM_TARGET_RANK = 100  # size the sketch to resolve the top-100 tokens
+CM_DEPTH = 5
+
+
+@query(
+    "diagnose_countmin_advisor",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM cnt
+    ),
+    thr AS (
+      SELECT c AS rank_count FROM cnt
+      ORDER BY c DESC, token LIMIT 1 OFFSET {CM_TARGET_RANK - 1}
+    )
+    SELECT
+      n_tokens, vocab,
+      CAST(coalesce((SELECT rank_count FROM thr), 1) AS BIGINT)
+        AS rank{CM_TARGET_RANK}_count,
+      CAST((3 * n_tokens + coalesce((SELECT rank_count FROM thr), 1) - 1)
+           // coalesce((SELECT rank_count FROM thr), 1) AS BIGINT)
+        AS recommended_width,
+      CAST({CM_DEPTH} AS BIGINT) AS recommended_depth,
+      CAST((3 * n_tokens + coalesce((SELECT rank_count FROM thr), 1) - 1)
+           // coalesce((SELECT rank_count FROM thr), 1) * {CM_DEPTH} * 8
+           AS BIGINT) AS sketch_bytes
+    FROM tot
+    """,
+)
+def diagnose_countmin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch sizing advisor: to RESOLVE the top-{CM_TARGET_RANK}
+    tokens, the additive error bound e·N/width must stay below the
+    rank-{CM_TARGET_RANK} count, so width ≈ ⌈e·N / c_rank⌉ (e rounded
+    UP to 3 — keeps the arithmetic pure ceil-div integers, both
+    engines identical) with the usual depth {CM_DEPTH} for the union
+    bound — and sketch_bytes is what that costs per executor. This is
+    the pre-flight for text_heavy_hitters_countmin at a NEW corpus
+    scale: the answer the docstring rule-of-thumb hand-waves, computed
+    from the actual frequency head. Shape: one token groupBy (the only
+    fact exchange), a 1-row total, and a TakeOrdered probe for the
+    rank count."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    # min over the top-N frame IS the rank-N count — but only when a
+    # full N rows exist (this corpus's vocab can be smaller than the
+    # target rank; the oracle's OFFSET then returns nothing and both
+    # engines fall back to 1 via coalesce)
+    thr = (
+        cnt.orderBy(F.desc("c"), F.asc("token"))
+        .limit(CM_TARGET_RANK)
+        .agg(
+            F.when(F.count(F.lit(1)) == CM_TARGET_RANK, F.min("c")).alias(
+                "rank_count"
+            )
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.coalesce(F.col("rank_count"), F.lit(1))
+            .cast("long")
+            .alias(f"rank{CM_TARGET_RANK}_count"),
+            F.expr(
+                "CAST((3 * n_tokens + coalesce(rank_count, 1) - 1)"
+                " div coalesce(rank_count, 1) AS BIGINT)"
+            ).alias("recommended_width"),
+            F.lit(CM_DEPTH).cast("long").alias("recommended_depth"),
+            F.expr(
+                "CAST((3 * n_tokens + coalesce(rank_count, 1) - 1)"
+                f" div coalesce(rank_count, 1) * {CM_DEPTH} * 8 AS BIGINT)"
+            ).alias("sketch_bytes"),
+        )
+    )
