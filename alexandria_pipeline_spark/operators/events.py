@@ -2159,3 +2159,76 @@ def events_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> Dat
         "bounce_ppm",
         "mean_milli_s",
     )
+
+
+@query(
+    "events_arrival_disorder_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+             ) AS prev_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_arrivals,
+           CAST(sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS inversion_ppm,
+           CAST(coalesce(max(CASE WHEN t_us < prev_us
+                THEN (prev_us - t_us) // 1000000 END), 0) AS BIGINT)
+             AS max_backstep_s
+    FROM seq
+    WHERE prev_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_arrival_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: in ARRIVAL order (event_id — the
+    ingest sequence), how often does event time step backwards per
+    user, and by how much at worst — THE measurement that turns
+    watermark choice from folklore into arithmetic (withWatermark's
+    delay should dominate max_backstep_s; inversion_ppm says how much
+    data a tight watermark would drop). Per event type because
+    different sources have different delivery jitter. One user_id
+    window over arrival order (the standard sessionization exchange),
+    then a type-cardinality aggregate; all integer microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+        F.lag(F.expr("unix_micros(ts)")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    inv = F.col("t_us") < F.col("prev_us")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrivals"),
+            F.sum(inv.cast("long")).alias("n_inversions"),
+            F.expr(
+                "CAST(sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("inversion_ppm"),
+            F.coalesce(
+                F.max(
+                    F.when(inv, F.expr("(prev_us - t_us) div 1000000"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_backstep_s"),
+        )
+        .select(
+            "event_type",
+            F.col("n_arrivals").cast("long").alias("n_arrivals"),
+            F.col("n_inversions").cast("long").alias("n_inversions"),
+            "inversion_ppm",
+            "max_backstep_s",
+        )
+        .orderBy("event_type")
+    )

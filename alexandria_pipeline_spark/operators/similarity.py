@@ -1684,3 +1684,82 @@ def ann_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "embedding_quantization_error_eval",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      FROM embeddings
+    ),
+    errs AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding,
+               x -> CAST(round(abs(
+                 CAST(x AS DOUBLE)
+                 - CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT)
+                   * max_abs / 127.0) * 1000000) AS BIGINT)))
+               AS BIGINT) AS max_err_e6,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(abs(
+                 CAST(x AS DOUBLE)
+                 - CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT)
+                   * max_abs / 127.0) * 1000000) AS BIGINT)))
+               AS BIGINT) AS sum_err_e6
+      FROM m
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                    AS n_vectors,
+      CAST(max(max_err_e6) AS BIGINT)             AS worst_dim_err_e6,
+      CAST(sum(sum_err_e6) // (count(*) * {EMBED_DIM}) AS BIGINT)
+                                                  AS mean_dim_err_e6
+    FROM errs
+    """,
+)
+def embedding_quantization_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error eval for the int8 quantizer: decode each
+    quantized component back (q·scale) and report the worst and mean
+    per-dimension absolute error in e6 units — the number that says
+    whether 4x compression is free for YOUR distribution or is about
+    to eat your recall (symmetric int8's bound is max|x|/254; a
+    worst_dim_err_e6 well beyond that means outlier dimensions and a
+    per-dim or PQ scheme is warranted — knn_pq_adc is the in-repo
+    step up). Per-element errors round to integers INSIDE each engine
+    from the identical double expression (the quantize query's
+    convention), so sums are associative and the read-out hash-exact.
+    Map-only until the 1-row summary."""
+    e = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    err = lambda x: F.round(  # noqa: E731 - local expression builder
+        F.abs(
+            x.cast("double")
+            - F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("bigint")
+            * F.col("max_abs")
+            / 127.0
+        )
+        * 1_000_000
+    ).cast("long")
+    errs = e.withColumn("max_abs", max_abs).select(
+        F.array_max(F.transform("embedding", err)).alias("max_err_e6"),
+        F.aggregate(
+            F.transform("embedding", err),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_err_e6"),
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("max_err_e6").alias("worst_dim_err_e6"),
+        F.expr(
+            f"CAST(sum(sum_err_e6) div (count(1) * {EMBED_DIM}) AS BIGINT)"
+        ).alias("mean_dim_err_e6"),
+    ).select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("worst_dim_err_e6").cast("long").alias("worst_dim_err_e6"),
+        "mean_dim_err_e6",
+    )
