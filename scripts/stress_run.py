@@ -29,7 +29,16 @@ from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 # timings of document-dedup queries are not comparable; new runs land
 # in a fresh file.
 STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r5.json"
-SF_DIRS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".stress/sf1")]
+# Override the measured scale points with e.g.
+#   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
+import os
+
+_dirs_env = os.environ.get("SPARK_GRAFT_STRESS_DIRS", "")
+SF_DIRS = (
+    [tuple(p.split("=", 1)) for p in _dirs_env.split(",")]
+    if _dirs_env
+    else [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".stress/sf1")]
+)
 
 
 def main() -> int:
