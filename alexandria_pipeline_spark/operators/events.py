@@ -2232,3 +2232,135 @@ def events_arrival_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_resample_hourly_interpolate",
+    oracle="""
+    WITH hv0 AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hour_s,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 3600000000
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    hv AS (SELECT user_id, hour_s, v_c FROM hv0 WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(hour_s) AS mn, max(hour_s) AS mx
+      FROM hv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(h AS BIGINT) AS hour_s
+      FROM bounds
+      CROSS JOIN LATERAL (SELECT unnest(range(mn, mx + 3600, 3600)) AS h)
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_s, hv.v_c
+      FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.hour_s = g.hour_s
+    ),
+    carried AS (
+      SELECT user_id, hour_s, v_c,
+        last_value(v_c IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v_c IS NOT NULL THEN hour_s END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v_c IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_s
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v_c IS NOT NULL THEN hour_s END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hour_s
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, hour_s,
+           CAST(CASE
+             WHEN v_c IS NOT NULL THEN v_c
+             WHEN nv IS NULL THEN pv
+             WHEN pv IS NULL THEN nv
+             ELSE pv + (nv - pv) * (hour_s - pt) // (nt - pt)
+           END AS BIGINT) AS value_cents,
+           CAST(CASE WHEN v_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM carried
+    ORDER BY user_id, hour_s
+    """,
+)
+def events_resample_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation across gaps — the
+    numeric-sensor sibling of events_resample_hourly_ffill (step
+    carry-forward lies about trends; the lerp v1 + (v2−v1)(t−t1)/
+    (t2−t1) is the standard gap fill for metering/pricing series).
+    Exact integers end-to-end: cents in, one truncating div per gap
+    point (Spark `div` and DuckDB `//` both truncate toward zero —
+    measured in functions/exact.py — so negative slopes agree too);
+    boundary gaps carry the nearest known value rather than
+    extrapolate. Shape: the ffill plan plus one descending-frame
+    window over the same per-user hour grid (calendar-bounded
+    partitions), no extra exchange."""
+    e = load_table(spark, sf_dir, "events")
+    hour_s = (F.expr("unix_micros(ts) div 3600000000") * 3600).alias("hour_s")
+    w_last = Window.partitionBy(
+        "user_id", F.expr("unix_micros(ts) div 3600000000")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    hv = (
+        e.select(
+            "user_id",
+            hour_s,
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+            F.row_number().over(w_last).alias("rn"),
+            "ts",
+            "event_id",
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_s", "v_c")
+    )
+    bounds = hv.groupBy("user_id").agg(
+        F.min("hour_s").alias("mn"), F.max("hour_s").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", F.col("mx") + 0, F.lit(3600))).alias("hour_s"),
+    )
+    j = grid.join(hv, ["user_id", "hour_s"], "left")
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v_c").isNotNull(), F.col("hour_s"))
+    carried = j.select(
+        "user_id",
+        "hour_s",
+        "v_c",
+        F.last("v_c", ignorenulls=True).over(w_fwd).alias("pv"),
+        F.last(known_t, ignorenulls=True).over(w_fwd).alias("pt"),
+        F.first("v_c", ignorenulls=True).over(w_bwd).alias("nv"),
+        F.first(known_t, ignorenulls=True).over(w_bwd).alias("nt"),
+    )
+    value = (
+        F.when(F.col("v_c").isNotNull(), F.col("v_c"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .otherwise(
+            F.col("pv")
+            + F.expr("(nv - pv) * (hour_s - pt) div (nt - pt)")
+        )
+    )
+    return (
+        carried.select(
+            "user_id",
+            "hour_s",
+            value.cast("long").alias("value_cents"),
+            F.col("v_c").isNull().cast("long").alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_s")
+    )
