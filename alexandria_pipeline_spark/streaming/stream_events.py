@@ -582,3 +582,35 @@ def stream_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.col("n").cast("long").alias("n"))
     )
     return _run_to_memory(agg, "complete").orderBy("d")
+
+
+@query(
+    "stream_hourly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT)      AS hod,
+           CAST(count(*) AS BIGINT)      AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hod
+    """,
+)
+def stream_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dow x hod activity heatmap maintained BY THE STREAMING
+    ENGINE: at most 168 rows of state (complete mode), updated per
+    micro-batch — the always-on ops display whose batch twin is
+    events_hourly_heatmap. Cross-engine note: Spark's dayofweek is
+    1-Sunday while DuckDB's is 0-Sunday, so the stream emits
+    dayofweek(ts) − 1 to match the oracle's 0-based numbering
+    EXPLICITLY (an output key, unlike the join-key-only uses where
+    the offset is invisible — the seasonal-residual convention)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("dow", "hod", F.col("n_events").cast("long").alias("n_events"))
+    )
+    return _run_to_memory(agg, "complete").orderBy("dow", "hod")
