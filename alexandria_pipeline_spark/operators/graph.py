@@ -618,3 +618,95 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k long, n_iterations int, n_nodes_total long, n_edges_total long, "
         "n_nodes_core long, n_edges_core long",
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    pairs AS (
+      -- each undirected edge contributes BOTH orientations so the
+      -- correlation is symmetric in its arguments
+      SELECT da.d AS x, db.d AS y FROM e
+        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+      UNION ALL
+      SELECT db.d, da.d FROM e
+        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ),
+    moms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT n AS n_endpoints,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS assortativity
+    FROM moms
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edge orientations
+    (Newman '02) — positive means hubs prefer hubs (social-network
+    shape), negative means hub-and-spoke (catalog/star shape), and
+    the sign decides which skew defenses matter (disassortative
+    graphs concentrate wedge work at hubs — exactly what the
+    degree-oriented triangle plan defends against). Computed with the
+    agg_correlation_matrix discipline: exact integer/decimal moment
+    sums, ONE float conversion in an expression written identically
+    in both engines, round(6) hash-stable. Shape: the adjacency-first
+    degree build + one edges->degrees join (ids and degrees only),
+    one 1-row moment aggregate."""
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = (
+        sets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
+    oriented = edges.join(da, "a").join(db, "b").select("x", "y")
+    pairs = oriented.unionAll(oriented.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    dec = "decimal(38,0)"
+    moms = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
+    )
+    return moms.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("assortativity"),
+    )

@@ -1234,3 +1234,65 @@ def events_dau_naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("day")
     )
+
+
+@query(
+    "orders_interpurchase_time",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE)
+               - lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ) AS BIGINT) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT
+      CAST(count(*) AS BIGINT)                     AS n_gaps,
+      round(quantile_cont(gap_days, 0.50), 4)      AS p50_days,
+      round(quantile_cont(gap_days, 0.90), 4)      AS p90_days,
+      CAST(sum(gap_days) * 1000 // count(*) AS BIGINT) AS mean_milli_days,
+      CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) * 1000000
+           // count(*) AS BIGINT)                  AS within_30d_ppm
+    FROM g
+    """,
+)
+def orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time distribution: days between a customer's
+    consecutive orders (p50/p90, exact milli-mean, and the share of
+    repeat purchases within 30 days) — the repurchase-cadence metric
+    behind churn windows, reorder reminders, and CLV models, and the
+    empirical basis for the cohort-retention bucketing. One customer
+    window (the standard per-key lag exchange) collapsing to gap
+    rows; the percentile runs over the collapsed gap frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            )
+        )
+        .cast("long")
+        .alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.50)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(gap_days, 0.90)"), 4).alias("p90_days"),
+        F.expr("CAST(sum(gap_days) * 1000 div count(1) AS BIGINT)").alias(
+            "mean_milli_days"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) AS BIGINT)"
+        ).alias("within_30d_ppm"),
+    ).select(
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        "p50_days",
+        "p90_days",
+        "mean_milli_days",
+        "within_30d_ppm",
+    )
