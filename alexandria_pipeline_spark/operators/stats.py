@@ -1296,3 +1296,60 @@ def orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_milli_days",
         "within_30d_ppm",
     )
+
+
+@query(
+    "orders_customer_concentration_hhi",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS HUGEINT) AS total FROM per_cust)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(sum(CAST(rev AS HUGEINT) * rev * 1000000 // (total * total))
+           AS BIGINT)          AS hhi_ppm,
+      CAST(max(rev * 1000000 // CAST(total AS BIGINT)) AS BIGINT)
+                               AS top_share_ppm
+    FROM per_cust, tot
+    """,
+)
+def orders_customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration: Σ share² in ppm
+    (10,000+ = 'concentrated' in antitrust terms; 1/HHI is the
+    effective number of customers) plus the single largest share —
+    the portfolio-risk twin of the Pareto/Gini family that needs NO
+    global ordering at all: HHI is a plain sum of squared shares, so
+    the whole statistic is one per-customer rollup and one 1-row
+    aggregate with every term in truncating decimal/HUGEINT (rev² ·
+    1e6 is far past int64 — same per-term truncation in both engines
+    keeps the hash exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "rev"
+        )
+    )
+    tot = per_cust.agg(F.sum("rev").cast("decimal(38,0)").alias("total"))
+    return (
+        per_cust.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(rev AS decimal(38,0)) * rev * 1000000"
+                    " div (total * total) AS BIGINT)"
+                )
+            ).alias("hhi_ppm"),
+            F.max(
+                F.expr("CAST(rev * 1000000 div CAST(total AS BIGINT) AS BIGINT)")
+            ).alias("top_share_ppm"),
+        )
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("hhi_ppm").cast("long").alias("hhi_ppm"),
+            F.col("top_share_ppm").cast("long").alias("top_share_ppm"),
+        )
+    )

@@ -1247,3 +1247,110 @@ def diagnose_countmin_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_bytes"),
         )
     )
+
+
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    by_count AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_tok FROM cnt GROUP BY c
+    ),
+    cum AS (
+      SELECT c, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY c DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS toks_before,
+             CAST(coalesce(sum(n_tok * c) OVER (ORDER BY c DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS mass_before
+      FROM by_count
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS total_mass
+      FROM cnt
+    ),
+    ks AS (SELECT unnest(ARRAY{list(VOCAB_COVERAGE_KS)}) AS k0)
+    SELECT
+      CAST(k0 AS BIGINT) AS vocab_size,
+      CAST(k AS BIGINT)  AS k_effective,
+      CAST(covered AS BIGINT) AS covered_mass,
+      CAST(CAST(covered AS HUGEINT) * 1000000 // total_mass AS BIGINT)
+        AS coverage_ppm
+    FROM (
+      SELECT k0, total_mass,
+             LEAST(k0, vocab) AS k,
+             (SELECT min(mass_before + (LEAST(k0, vocab) - toks_before) * c)
+              FROM cum
+              WHERE toks_before < LEAST(k0, vocab)
+                AND toks_before + n_tok >= LEAST(k0, vocab)) AS covered
+      FROM ks, tot
+    )
+    ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-truncation loss table: what fraction of corpus token
+    MASS does a top-k vocabulary cover for k in {VOCAB_COVERAGE_KS} —
+    the first table a tokenizer design reads (everything outside the
+    chosen vocab becomes UNK/bytes, and this is exactly how much).
+    The events_power_user_curve machinery on token counts: group by
+    COUNT VALUE (cardinality = max token frequency, not vocab),
+    cumulative windows over that bounded frame, exact tie-group
+    resolution at each cut, k clipped to the actual vocabulary. One
+    token groupBy is the only fact-sized exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    by_count = cnt.groupBy("c").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_count.select(
+        "c",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("toks_before"),
+        F.coalesce(F.sum(F.col("n_tok") * F.col("c")).over(w), F.lit(0)).alias(
+            "mass_before"
+        ),
+    )
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("vocab"), F.sum("c").alias("total_mass")
+    )
+    ks = tot.select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS])).alias("k0"),
+        "vocab",
+        "total_mass",
+    ).withColumn("k", F.least("k0", "vocab"))
+    joined = ks.join(
+        F.broadcast(cum),
+        (F.col("toks_before") < F.col("k"))
+        & (F.col("toks_before") + F.col("n_tok") >= F.col("k")),
+    )
+    return (
+        joined.groupBy("k0", "k", "total_mass")
+        .agg(
+            F.min(
+                F.col("mass_before") + (F.col("k") - F.col("toks_before")) * F.col("c")
+            ).alias("covered")
+        )
+        .select(
+            F.col("k0").cast("long").alias("vocab_size"),
+            F.col("k").cast("long").alias("k_effective"),
+            F.col("covered").cast("long").alias("covered_mass"),
+            F.expr(
+                "CAST(CAST(covered AS decimal(38,0)) * 1000000"
+                " div total_mass AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("vocab_size")
+    )
