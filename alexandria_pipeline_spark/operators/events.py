@@ -2364,3 +2364,86 @@ def events_resample_hourly_interpolate(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id", "hour_s")
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM ud
+    ),
+    classified AS (
+      SELECT day,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day - prev_day = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status,
+             CASE WHEN next_day IS NULL OR next_day - day > 1 THEN 1 ELSE 0 END
+               AS churns_after
+      FROM seq
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected,
+           CAST(sum(churns_after) AS BIGINT) AS n_churning_after
+    FROM classified
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the GAAP of user growth: every active
+    user-day classified as NEW (first ever), RETAINED (also active
+    yesterday) or RESURRECTED (returning after a gap), plus how many
+    of the day's actives churn immediately after (no activity
+    tomorrow) — the four flows whose balance explains any DAU curve
+    (dau_t = new + retained + resurrected; a flat DAU can hide a
+    leaky bucket, which is exactly what this table exposes). Shape:
+    one DISTINCT to (user, day), one user window carrying lag/lead of
+    ACTIVE DAYS (rows per user bounded by days active, not events),
+    one calendar-bounded day aggregate. All integer day arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    status = (
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.datediff("day", "prev_day") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    churns = (
+        F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+    ).cast("long")
+    return (
+        seq.select("day", status.alias("status"), churns.alias("churns_after"))
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") == "retained").cast("long")).alias("n_retained"),
+            F.sum((F.col("status") == "resurrected").cast("long")).alias(
+                "n_resurrected"
+            ),
+            F.sum("churns_after").alias("n_churning_after"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_retained").cast("long").alias("n_retained"),
+            F.col("n_resurrected").cast("long").alias("n_resurrected"),
+            F.col("n_churning_after").cast("long").alias("n_churning_after"),
+        )
+        .orderBy("day")
+    )

@@ -1353,3 +1353,58 @@ def orders_customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataF
             F.col("top_share_ppm").cast("long").alias("top_share_ppm"),
         )
     )
+
+
+@query(
+    "lineitem_discount_effect",
+    oracle="""
+    SELECT
+      CAST(round(l_discount * 100) AS BIGINT)        AS discount_pct,
+      CAST(count(*) AS BIGINT)                       AS n_items,
+      CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 // count(*) AS BIGINT)
+                                                     AS avg_qty_milli,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                     AS revenue_cents,
+      CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+           AS BIGINT)                                AS discount_given_cents
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY discount_pct
+    """,
+)
+def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-effect table: per discount level, items sold, exact
+    milli-average quantity, gross revenue, and the discount dollars
+    given away — the raw elasticity read-out pricing teams fit curves
+    to (if avg_qty doesn't climb with discount_pct, the discount is
+    pure margin leak; TPC-H Q6 asks the forecast version of the same
+    question). One fact shuffle on an ~11-value key, every measure an
+    exact integer-cents aggregate with per-row rounding identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 div count(1) AS BIGINT)"
+            ).alias("avg_qty_milli"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("revenue_cents"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("discount_given_cents"),
+        )
+        .select(
+            "discount_pct",
+            F.col("n_items").cast("long").alias("n_items"),
+            "avg_qty_milli",
+            "revenue_cents",
+            "discount_given_cents",
+        )
+        .orderBy("discount_pct")
+    )
