@@ -1675,3 +1675,123 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+JACCARD_SENS_THRESHOLDS_E6 = (300_000, 500_000, 700_000, 900_000)
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, {_duck_sig_cols('code')}
+      FROM (SELECT doc_id, unnest(codes) AS code FROM docs)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band, ({_duck_band_case('b')}) AS band_val
+      FROM sigs CROSS JOIN LATERAL (SELECT unnest(range(0, {BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT CAST(CAST(len(list_intersect(x.codes, y.codes)) AS BIGINT) * 1000000
+             // len(list_distinct(list_concat(x.codes, y.codes))) AS BIGINT)
+               AS j_e6
+      FROM cand c
+      JOIN docs x ON x.doc_id = c.doc_a
+      JOIN docs y ON y.doc_id = c.doc_b
+    ),
+    th AS (SELECT unnest(ARRAY{list(JACCARD_SENS_THRESHOLDS_E6)}) AS t)
+    SELECT CAST(t AS BIGINT) AS threshold_e6,
+           CAST((SELECT count(*) FROM scored WHERE j_e6 >= t) AS BIGINT)
+             AS n_pairs,
+           CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_candidates
+    FROM th
+    ORDER BY threshold_e6
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning table for the near-dup verifier: how many
+    candidate pairs survive at Jaccard ≥ 0.3 / 0.5 / 0.7 / 0.9 — the
+    dedup analog of ann_nprobe_curve (pick the threshold by reading
+    the knee, not folklore: a cliff between 0.5 and 0.7 means the
+    corpus separates cleanly; a smooth slope means every threshold is
+    a tradeoff you should price in removed-token terms). ONE
+    candidate generation and ONE exact verification pass serve all
+    four thresholds — the counts are conditional aggregates over the
+    same scored frame, so the whole table costs one dedup run, not
+    four. Same banded machinery as dedup_minhash_lsh."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", shingle_codes(toks).alias("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    band_vals = F.array(
+        *[
+            sum(
+                F.col(f"m{b * ROWS_PER_BAND + j}")
+                * (MINHASH_P ** (ROWS_PER_BAND - 1 - j))
+                for j in range(ROWS_PER_BAND)
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"))
+    scored = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            int_div(
+                F.size(F.array_intersect("ca", "cb")).cast("long") * 1_000_000,
+                F.size(F.array_union("ca", "cb")).cast("long"),
+            ).alias("j_e6")
+        )
+    )
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        *[
+            F.sum((F.col("j_e6") >= t).cast("long")).alias(f"n_{t}")
+            for t in JACCARD_SENS_THRESHOLDS_E6
+        ],
+    )
+    stack_args = ", ".join(
+        f"{t}, n_{t}" for t in JACCARD_SENS_THRESHOLDS_E6
+    )
+    return (
+        counts.select(
+            "n_candidates",
+            F.expr(
+                f"stack({len(JACCARD_SENS_THRESHOLDS_E6)}, {stack_args})"
+                " AS (threshold_e6, n_pairs)"
+            ),
+        )
+        .select(
+            F.col("threshold_e6").cast("long").alias("threshold_e6"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+        .orderBy("threshold_e6")
+    )

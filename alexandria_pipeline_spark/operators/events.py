@@ -2447,3 +2447,100 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Intended 90/10 split for the SRM check (user_id % 10 == 0 -> treatment)
+SRM_WEIGHTS = {"control": 9, "treatment": 1}
+SRM_CHI2_FLAG_MILLI = 3841  # chi-square df=1, p=0.05 critical value x1000
+
+
+@query(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 10 = 0 THEN 'treatment' ELSE 'control' END
+               AS arm
+      FROM events
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n FROM users GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM arms),
+    terms AS (
+      SELECT arm, n,
+             CASE arm WHEN 'control' THEN 9 ELSE 1 END AS w,
+             CAST(CAST(10 * n - (CASE arm WHEN 'control' THEN 9 ELSE 1 END) * total
+                       AS HUGEINT)
+                  * (10 * n - (CASE arm WHEN 'control' THEN 9 ELSE 1 END) * total)
+                  * 1000
+                  // (10 * (CASE arm WHEN 'control' THEN 9 ELSE 1 END) * total)
+                  AS BIGINT) AS chi2_milli
+      FROM arms, tot
+    )
+    SELECT arm, n AS n_users,
+           CAST(w * (SELECT total FROM tot) // 10 AS BIGINT) AS expected_users,
+           chi2_milli,
+           CAST(CASE WHEN (SELECT sum(chi2_milli) FROM terms)
+                          > {SRM_CHI2_FLAG_MILLI} THEN 1 ELSE 0 END AS BIGINT)
+             AS srm_flag
+    FROM terms
+    ORDER BY arm
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the prerequisite NO experiment
+    read-out is valid without: does the realized arm split match the
+    intended 90/10 within chi-square noise? A failed SRM means the
+    assignment or logging is broken and every downstream lift number
+    is garbage (the industry's most common silent A/B bug). The
+    statistic uses the division-free cell form (10·O − w·N)²·1000 /
+    (10·w·N) — pure integers, per-term truncation identical in both
+    engines (the orders_priority_mix_shift discipline) — and the flag
+    compares the milli-statistic to the df=1 p=0.05 critical value.
+    One DISTINCT user exchange, then 2-row arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select(
+        "user_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+    ).distinct()
+    arms = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    tot = arms.agg(F.sum("n").alias("total"))
+    w = (
+        F.when(F.col("arm") == "control", F.lit(9)).otherwise(F.lit(1))
+    ).alias("w")
+    terms = (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n",
+            w,
+            "total",
+        )
+        .withColumn(
+            "chi2_milli",
+            # decimal(38,0)/HUGEINT: the squared deviation passes int64
+            # around 1e9 users
+            F.expr(
+                "CAST(CAST(10 * n - w * total AS decimal(38,0))"
+                " * (10 * n - w * total) * 1000"
+                " div (10 * w * total) AS BIGINT)"
+            ),
+        )
+    )
+    chi2_total = terms.agg(F.sum("chi2_milli").alias("chi2_sum"))
+    return (
+        terms.crossJoin(F.broadcast(chi2_total))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n_users"),
+            F.expr("CAST(w * total div 10 AS BIGINT)").alias("expected_users"),
+            F.col("chi2_milli").cast("long").alias("chi2_milli"),
+            (F.col("chi2_sum") > SRM_CHI2_FLAG_MILLI)
+            .cast("long")
+            .alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )
