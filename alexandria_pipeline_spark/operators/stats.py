@@ -1311,7 +1311,7 @@ def orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(count(*) AS BIGINT) AS n_customers,
       CAST(sum(CAST(rev AS HUGEINT) * rev * 1000000 // (total * total))
            AS BIGINT)          AS hhi_ppm,
-      CAST(max(rev * 1000000 // CAST(total AS BIGINT)) AS BIGINT)
+      CAST(max(CAST(rev AS HUGEINT) * 1000000 // total) AS BIGINT)
                                AS top_share_ppm
     FROM per_cust, tot
     """,
@@ -1343,8 +1343,12 @@ def orders_customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataF
                     " div (total * total) AS BIGINT)"
                 )
             ).alias("hhi_ppm"),
+            # decimal: rev*1e6 passes int64 at ~9e12-cent customers
             F.max(
-                F.expr("CAST(rev * 1000000 div CAST(total AS BIGINT) AS BIGINT)")
+                F.expr(
+                    "CAST(CAST(rev AS decimal(38,0)) * 1000000 div total"
+                    " AS BIGINT)"
+                )
             ).alias("top_share_ppm"),
         )
         .select(

@@ -108,10 +108,20 @@ class _SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # Replay path (failure recovery): MUST equal the original read.
-        return [
-            _doc_row(i, self.tokens_per_doc, i % 4)
-            for i in range(start["next_id"], end["next_id"])
-        ]
+        # Returned as an ITERATOR, not a list: this path runs inside the
+        # partition-read worker, whose serializer rejects plain lists
+        # ("Unsupported return type ('list') ... Expected types:
+        # iterator"). It only executes when the prefetch cache misses
+        # the range — restart recovery or an empty planned batch — so a
+        # list here was a TIMING-dependent failure the normal happy
+        # path never hit (read() above legitimately returns a list:
+        # Spark's prefetch cache copy.copy()s it for replay).
+        return iter(
+            [
+                _doc_row(i, self.tokens_per_doc, i % 4)
+                for i in range(start["next_id"], end["next_id"])
+            ]
+        )
 
 
 class SyntheticDocsStreamSource(DataSource):
