@@ -661,3 +661,131 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         schema="doc_id long, raw_bytes long, compressed_bytes long, ratio_permille long",
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_quality_vs_embedding_outlier",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+        CAST((4 * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 // len(string_split(text, ' ')))
+            + 3 * (1000000 - CAST(len(list_filter(string_split(text, ' '), w -> list_contains({STOPWORDS!r}, w))) AS BIGINT) * 1000000 // len(string_split(text, ' ')))
+            + 3 * least(CAST(len(string_split(text, ' ')) AS BIGINT) * 10000, 1000000)) // 10
+          AS BIGINT) AS quality_e6
+      FROM documents
+    ),
+    ex AS (
+      SELECT vec_id, CAST(d AS INT) AS dim,
+             CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+      FROM embeddings
+      CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS d)
+    ),
+    cent AS (
+      SELECT dim, CAST(sum(x_e6) // count(*) AS BIGINT) AS m_e6
+      FROM ex GROUP BY dim
+    ),
+    dist AS (
+      SELECT ex.vec_id, CAST(sum(abs(ex.x_e6 - c.m_e6)) AS BIGINT) AS l1_e6
+      FROM ex JOIN cent c ON c.dim = ex.dim
+      GROUP BY ex.vec_id
+    ),
+    joined AS (
+      SELECT q.quality_e6 AS x, d.l1_e6 AS y
+      FROM q JOIN dist d ON d.vec_id = q.doc_id
+    ),
+    moms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM joined
+    )
+    SELECT n AS n_docs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0 AS quality_outlier_corr
+    FROM moms
+    """,
+)
+def corpus_quality_vs_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL QA: does the TEXT quality score anticipate the
+    EMBEDDING-space outlier score? The Pearson correlation between
+    each document's heuristic quality (the C4/Gopher-style integer
+    score) and its L1 distance from the global embedding centroid —
+    strong negative correlation validates cheap text filters as a
+    pre-screen before paying for embeddings; near-zero says the two
+    signals are complementary and BOTH belong in the curation funnel.
+    This is the round's first query joining the text and vector
+    modalities (doc_id = vec_id in the testdata). All inputs are
+    exact e6 integers (the decile-budget quality formula; the
+    centroid machinery of embedding_centroid_drift), moments in
+    decimal/HUGEINT, one IEEE-deterministic float conversion at the
+    end (the agg_correlation_matrix discipline). Shape: one
+    (dim)-keyed centroid aggregate (64 rows broadcast back), one
+    posexplode distance pass, one id-keyed modality join, one 1-row
+    moment read-out."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(sw) for sw in STOPWORDS])
+    uniq_e6 = int_div(
+        F.size(F.array_distinct(toks)).cast("long") * 1_000_000, n_tok
+    )
+    stop_e6 = int_div(
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+        * 1_000_000,
+        n_tok,
+    )
+    q = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        uniq_e6.alias("uniq_e6"),
+        stop_e6.alias("stop_e6"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST((4 * uniq_e6 + 3 * (1000000 - stop_e6)"
+            " + 3 * least(n_tok * 10000, 1000000)) div 10 AS BIGINT)"
+        ).alias("x"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("x_e6"),
+    )
+    cent = ex.groupBy("dim").agg(
+        F.expr("CAST(sum(x_e6) div count(1) AS BIGINT)").alias("m_e6")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.abs(F.col("x_e6") - F.col("m_e6"))).cast("long").alias("y"))
+    )
+    joined = q.join(dist, q.doc_id == dist.vec_id).select("x", "y")
+    dec = "decimal(38,0)"
+    moms = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
+    )
+    return moms.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("quality_outlier_corr"),
+    )
