@@ -1795,3 +1795,91 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_e6")
     )
+
+
+_CC_ORACLE_FOR_IMPACT = ORACLES["dedup_connected_components"]
+
+
+@query(
+    "dedup_token_savings",
+    oracle=f"""
+    WITH cc AS ({_CC_ORACLE_FOR_IMPACT}),
+    toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per_comp AS (
+      SELECT cc.component,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t.n_tok) AS BIGINT) AS tokens,
+             CAST(min(cc.doc_id) AS BIGINT) AS canonical
+      FROM cc JOIN toks t ON t.doc_id = cc.doc_id
+      GROUP BY cc.component
+    ),
+    kept AS (
+      SELECT p.component, t.n_tok AS kept_tokens
+      FROM per_comp p JOIN toks t ON t.doc_id = p.canonical
+    ),
+    corpus AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM toks)
+    SELECT
+      CAST(count(*) AS BIGINT)                          AS n_clusters,
+      CAST(sum(p.n_docs - 1) AS BIGINT)                 AS docs_removable,
+      CAST(sum(p.tokens - k.kept_tokens) AS BIGINT)     AS tokens_removable,
+      CAST(min(c.corpus_tokens) AS BIGINT)              AS corpus_tokens,
+      CAST(CAST(sum(p.tokens - k.kept_tokens) AS HUGEINT) * 1000000
+           // min(c.corpus_tokens) AS BIGINT)           AS savings_ppm
+    FROM per_comp p
+    JOIN kept k ON k.component = p.component
+    CROSS JOIN corpus c
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE dedup business number: how many TOKENS does keep-one-per-
+    cluster dedup remove from the corpus (docs_removable counts
+    documents, but training budgets are token-denominated — a
+    thousand near-dup tweets matter less than two near-dup books).
+    Composition: connected components join per-doc token counts, the
+    canonical keeper (min doc_id) contributes its tokens to the kept
+    side, and the read-out is one row with removable tokens and the
+    corpus-relative savings in ppm (decimal-widened). The oracle
+    nests the recursive-CTE components query, so the whole chain —
+    shingles → bands → verify → clusters → token accounting — is
+    hash-checked end-to-end."""
+    cc = QUERIES["dedup_connected_components"](spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    per_comp = (
+        cc.join(toks, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.min("doc_id").alias("canonical"),
+        )
+    )
+    kept = per_comp.join(
+        toks.select(F.col("doc_id").alias("canonical"), F.col("n_tok").alias("kept_tokens")),
+        "canonical",
+    )
+    corpus = toks.agg(F.sum("n_tok").alias("corpus_tokens"))
+    return (
+        kept.crossJoin(F.broadcast(corpus))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("n_docs") - 1).alias("docs_removable"),
+            F.sum(F.col("tokens") - F.col("kept_tokens")).alias("tokens_removable"),
+            F.min("corpus_tokens").alias("corpus_tokens"),
+            F.expr(
+                "CAST(CAST(sum(tokens - kept_tokens) AS decimal(38,0)) * 1000000"
+                " div min(corpus_tokens) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .select(
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("docs_removable").cast("long").alias("docs_removable"),
+            F.col("tokens_removable").cast("long").alias("tokens_removable"),
+            F.col("corpus_tokens").cast("long").alias("corpus_tokens"),
+            "savings_ppm",
+        )
+    )
