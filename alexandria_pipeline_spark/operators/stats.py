@@ -1412,3 +1412,122 @@ def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@query(
+    "orders_revenue_bridge",
+    oracle="""
+    WITH per_cm AS (
+      SELECT o_custkey,
+             CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) * 12
+               + CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS BIGINT) - 1
+               AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT o_custkey, mi, rev,
+             lag(mi)  OVER w AS prev_mi,
+             lag(rev) OVER w AS prev_rev,
+             lead(mi) OVER w AS next_mi
+      FROM per_cm
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY mi)
+    ),
+    flows AS (
+      SELECT mi,
+             CASE WHEN prev_mi IS NULL OR prev_mi < mi - 1 THEN rev ELSE 0 END
+               AS new_or_resurrected,
+             CASE WHEN prev_mi = mi - 1 AND rev > prev_rev
+                  THEN rev - prev_rev ELSE 0 END AS expansion,
+             CASE WHEN prev_mi = mi - 1 AND rev < prev_rev
+                  THEN prev_rev - rev ELSE 0 END AS contraction,
+             CASE WHEN next_mi IS NULL OR next_mi > mi + 1 THEN rev ELSE 0 END
+               AS churning_out
+      FROM seq
+    )
+    SELECT
+      CAST(mi // 12 AS VARCHAR) || '-' ||
+        CASE WHEN (mi % 12) + 1 < 10 THEN '0' ELSE '' END ||
+        CAST((mi % 12) + 1 AS VARCHAR)                    AS month,
+      CAST(sum(new_or_resurrected) AS BIGINT)             AS inflow_cents,
+      CAST(sum(expansion) AS BIGINT)                      AS expansion_cents,
+      CAST(sum(contraction) AS BIGINT)                    AS contraction_cents,
+      CAST(sum(churning_out) AS BIGINT)                   AS churning_out_cents
+    FROM flows
+    GROUP BY mi
+    ORDER BY month
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (the SaaS growth-accounting of MONEY): each
+    month's revenue movement decomposed into inflow (customers with
+    no spend the previous calendar month — new or resurrected),
+    expansion and contraction (same customer, adjacent months), and
+    the revenue that churns out after the month — the waterfall every
+    finance review reads, and the money twin of
+    events_growth_accounting's user flows. Month index mi = y·12+m−1
+    keeps ALL month arithmetic pure integers (adjacent = mi−1; no
+    date-diff edge cases). One (customer, month) rollup shuffle, one
+    customer window over ACTIVE MONTHS (rows bounded by months
+    active), calendar-bounded read-out; exact cents throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (
+        F.year(F.col("o_orderdate").cast("date")) * 12
+        + F.month(F.col("o_orderdate").cast("date"))
+        - 1
+    ).cast("long")
+    per_cm = o.groupBy("o_custkey", mi.alias("mi")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("rev")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    seq = per_cm.select(
+        "mi",
+        "rev",
+        F.lag("mi").over(w).alias("prev_mi"),
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("mi").over(w).alias("next_mi"),
+    )
+    adjacent = F.col("prev_mi") == F.col("mi") - 1
+    flows = seq.select(
+        "mi",
+        F.when(F.col("prev_mi").isNull() | ~adjacent, F.col("rev"))
+        .otherwise(F.lit(0))
+        .alias("inflow"),
+        F.when(adjacent & (F.col("rev") > F.col("prev_rev")), F.col("rev") - F.col("prev_rev"))
+        .otherwise(F.lit(0))
+        .alias("expansion"),
+        F.when(adjacent & (F.col("rev") < F.col("prev_rev")), F.col("prev_rev") - F.col("rev"))
+        .otherwise(F.lit(0))
+        .alias("contraction"),
+        F.when(
+            F.col("next_mi").isNull() | (F.col("next_mi") > F.col("mi") + 1),
+            F.col("rev"),
+        )
+        .otherwise(F.lit(0))
+        .alias("churning_out"),
+    )
+    month_str = F.concat(
+        (F.col("mi") / 12).cast("long").cast("string"),
+        F.lit("-"),
+        F.lpad(((F.col("mi") % 12) + 1).cast("string"), 2, "0"),
+    )
+    return (
+        flows.groupBy("mi")
+        .agg(
+            F.sum("inflow").alias("inflow_cents"),
+            F.sum("expansion").alias("expansion_cents"),
+            F.sum("contraction").alias("contraction_cents"),
+            F.sum("churning_out").alias("churning_out_cents"),
+        )
+        .select(
+            month_str.alias("month"),
+            F.col("inflow_cents").cast("long").alias("inflow_cents"),
+            F.col("expansion_cents").cast("long").alias("expansion_cents"),
+            F.col("contraction_cents").cast("long").alias("contraction_cents"),
+            F.col("churning_out_cents").cast("long").alias("churning_out_cents"),
+        )
+        .orderBy("month")
+    )
