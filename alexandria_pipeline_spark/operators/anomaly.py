@@ -309,3 +309,125 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "events_anomaly_consensus",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_c) AS BIGINT) AS s,
+             CAST(sum(CAST(v_c AS HUGEINT) * v_c) AS BIGINT) AS ss,
+             CAST(floor(quantile_cont(v_c, 0.25)) AS BIGINT) AS q1,
+             CAST(floor(quantile_cont(v_c, 0.50)) AS BIGINT) AS med,
+             CAST(floor(quantile_cont(v_c, 0.75)) AS BIGINT) AS q3
+      FROM v GROUP BY event_type
+    ),
+    mad AS (
+      SELECT v.event_type,
+             CAST(floor(quantile_cont(abs(v.v_c - st.med), 0.5)) AS BIGINT) AS mad
+      FROM v JOIN st USING (event_type) GROUP BY v.event_type
+    ),
+    flags AS (
+      SELECT v.event_type,
+             CASE WHEN CAST(v.v_c * st.n - st.s AS HUGEINT)
+                     * CAST(v.v_c * st.n - st.s AS HUGEINT)
+                     > 4
+                     * (CAST(st.ss AS HUGEINT) * st.n
+                        - CAST(st.s AS HUGEINT) * st.s)
+                  THEN 1 ELSE 0 END AS f_z,
+             CASE WHEN 2 * v.v_c < 5 * st.q1 - 3 * st.q3
+                    OR 2 * v.v_c > 5 * st.q3 - 3 * st.q1
+                  THEN 1 ELSE 0 END AS f_iqr,
+             CASE WHEN abs(v.v_c - st.med) > 3 * mad.mad
+                  THEN 1 ELSE 0 END AS f_mad
+      FROM v JOIN st USING (event_type) JOIN mad USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(f_z) AS BIGINT)   AS n_zscore,
+           CAST(sum(f_iqr) AS BIGINT) AS n_iqr,
+           CAST(sum(f_mad) AS BIGINT) AS n_mad,
+           CAST(sum(CASE WHEN f_z + f_iqr + f_mad >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT)            AS n_consensus
+    FROM flags
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly voting: an event is a CONSENSUS outlier when
+    at least 2 of the 3 registered detectors (2σ z-test, Tukey
+    fences, 3×MAD) agree — each detector alone has a known blind spot
+    (σ inflated by the outliers themselves; fences brittle on skew;
+    MAD degenerate when >50% of values tie) and the majority vote is
+    the standard production mitigation. Every rule is the SAME
+    integer decision form its standalone query uses (this query's
+    per-detector counts must equal theirs — the oracle recomputes all
+    three from shared statistics CTEs). One value scan joined to
+    type-cardinality statistics broadcasts; one type-row read-out."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    dec = "decimal(38,0)"
+    st = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("s"),
+        F.sum(F.col("v_c").cast(dec) * F.col("v_c")).cast(dec).alias("ss"),
+        F.floor(F.expr("percentile(v_c, 0.25)")).cast("long").alias("q1"),
+        F.floor(F.expr("percentile(v_c, 0.50)")).cast("long").alias("med"),
+        F.floor(F.expr("percentile(v_c, 0.75)")).cast("long").alias("q3"),
+    )
+    with_st = v.join(F.broadcast(st), "event_type")
+    mad = (
+        with_st.groupBy("event_type")
+        .agg(
+            F.floor(F.expr("percentile(abs(v_c - med), 0.5)"))
+            .cast("long")
+            .alias("mad")
+        )
+    )
+    flagged = with_st.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN CAST(v_c * n - s AS decimal(38,0))"
+            " * CAST(v_c * n - s AS decimal(38,0))"
+            f" > {Z_SCORE * Z_SCORE}"
+            " * (CAST(ss AS decimal(38,0)) * n - CAST(s AS decimal(38,0)) * s)"
+            " THEN 1 ELSE 0 END"
+        ).alias("f_z"),
+        F.expr(
+            "CASE WHEN 2 * v_c < 5 * q1 - 3 * q3"
+            " OR 2 * v_c > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END"
+        ).alias("f_iqr"),
+        F.expr(
+            f"CASE WHEN abs(v_c - med) > {MAD_K} * mad THEN 1 ELSE 0 END"
+        ).alias("f_mad"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("f_z").alias("n_zscore"),
+            F.sum("f_iqr").alias("n_iqr"),
+            F.sum("f_mad").alias("n_mad"),
+            F.sum(
+                (F.col("f_z") + F.col("f_iqr") + F.col("f_mad") >= 2).cast("long")
+            ).alias("n_consensus"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_zscore").cast("long").alias("n_zscore"),
+            F.col("n_iqr").cast("long").alias("n_iqr"),
+            F.col("n_mad").cast("long").alias("n_mad"),
+            F.col("n_consensus").cast("long").alias("n_consensus"),
+        )
+        .orderBy("event_type")
+    )

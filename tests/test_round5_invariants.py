@@ -375,3 +375,30 @@ def test_quantization_error_within_theory(spark):
     assert row["n_vectors"] > 0
     assert 0 <= row["mean_dim_err_e6"] <= row["worst_dim_err_e6"]
     assert row["worst_dim_err_e6"] <= 1_000_000 // 254 + 2
+
+
+def test_anomaly_consensus_agrees_with_standalone_detectors(spark):
+    """The ensemble's per-detector counts must equal each standalone
+    query's flags exactly (same integer decision rules), and consensus
+    can never exceed any pairwise-compatible bound."""
+    cons = {
+        r["event_type"]: r
+        for r in QUERIES["events_anomaly_consensus"](spark, SF_SMOKE).collect()
+    }
+    z = {
+        r["event_type"]: r["n_anomalies"]
+        for r in QUERIES["events_zscore_anomalies"](spark, SF_SMOKE).collect()
+    }
+    iqr = {
+        r["event_type"]: r["n_outliers"]
+        for r in QUERIES["events_iqr_outliers"](spark, SF_SMOKE).collect()
+    }
+    mad = {
+        r["event_type"]: r["n_anomalies"]
+        for r in QUERIES["events_anomaly_mad"](spark, SF_SMOKE).collect()
+    }
+    for t, r in cons.items():
+        assert r["n_zscore"] == z[t], t
+        assert r["n_iqr"] == iqr[t], t
+        assert r["n_mad"] == mad[t], t
+        assert r["n_consensus"] <= r["n_zscore"] + r["n_iqr"] + r["n_mad"]
