@@ -609,7 +609,7 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dev_ppm"),
         )
     )
-    return (
+    out = (
         terms.groupBy("source")
         .agg(
             F.expr("CAST(sum(dev_ppm) div 2 AS BIGINT)").alias("tv_distance_ppm"),
@@ -617,6 +617,12 @@ def corpus_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # Eager localCheckpoint cuts lineage so the per_src cache can be
+    # released NOW instead of leaking across a sweep/bench session
+    # (ADVICE r5, low); the read-out is source-cardinality tiny.
+    out = out.localCheckpoint(eager=True)
+    per_src.unpersist()
+    return out
 
 
 @query("text_compression_ratio")  # rows-only: no SQL zlib twin exists

@@ -1604,7 +1604,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_recalled")
     )
-    return (
+    out = (
         n_sample.crossJoin(n_truth)
         .crossJoin(n_cand)
         .crossJoin(n_hit)
@@ -1618,6 +1618,13 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
+    # 1-row read-out: eager localCheckpoint cuts lineage so the three
+    # sample-sized caches release immediately instead of leaking across
+    # a sweep/bench session (ADVICE r5, low).
+    out = out.localCheckpoint(eager=True)
+    for cached in (docs, truth, cand):
+        cached.unpersist()
+    return out
 
 
 _COSINE_ORACLE_FOR_CC = ORACLES["dedup_embedding_cosine"]

@@ -1822,7 +1822,7 @@ PEAK_SESSION_GAP_S = 1800
     "events_peak_concurrency_daily",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS sec,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                        > {PEAK_SESSION_GAP_S} * 1000000
                   OR lag(ts) OVER w IS NULL
@@ -1833,7 +1833,7 @@ PEAK_SESSION_GAP_S = 1800
     sess AS (
       SELECT user_id, sec,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY sec
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged
@@ -1894,6 +1894,8 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
         "user_id",
+        "ts",
+        "event_id",
         sec.alias("sec"),
         F.when(
             F.lag("ts").over(w).isNull()
@@ -1907,9 +1909,12 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit(0))
         .alias("new_session"),
     )
+    # session-numbering cumsum ordered by (ts, event_id) — the repo's
+    # documented tie-break rule; ordering by the collapsed `sec` alone
+    # is nondeterministic for same-second events (ADVICE r5, medium).
     w_sess = (
         Window.partitionBy("user_id")
-        .orderBy("sec")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = flagged.select(
@@ -2059,7 +2064,7 @@ def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_session_duration_percentiles",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS sec,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                        > {PEAK_SESSION_GAP_S} * 1000000
                   OR lag(ts) OVER w IS NULL
@@ -2070,7 +2075,7 @@ def events_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame
     sess AS (
       SELECT user_id, sec,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY sec
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged
@@ -2109,6 +2114,8 @@ def events_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> Dat
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
         "user_id",
+        "ts",
+        "event_id",
         sec.alias("sec"),
         F.when(
             F.lag("ts").over(w).isNull()
@@ -2124,9 +2131,11 @@ def events_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> Dat
         .otherwise(F.lit(0))
         .alias("new_session"),
     )
+    # (ts, event_id) ordering — same tie-break fix as
+    # events_peak_concurrency_daily (ADVICE r5, medium).
     w_sess = (
         Window.partitionBy("user_id")
-        .orderBy("sec")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     spans = (

@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
+from alexandria_pipeline_spark.operators.dedup import (
+    _DUCK_PLANES_CTE,
+    _duck_bucket,
+)
 from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
 
 EMBED_DIM = 64  # embeddings table vector width (see module docstring)
@@ -1158,10 +1162,20 @@ KNN_MUTUAL_EXACT_LIMIT = 1_000
 @query(
     "knn_mutual_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH np AS ({_DUCK_PLANES_CTE}),
+    gate AS (
+      SELECT count(*) <= {KNN_MUTUAL_EXACT_LIMIT} AS is_exact FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings, np
+    ),
+    scored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              {duck_dot('a.embedding', 'b.embedding')} AS score
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      FROM bucketed a JOIN bucketed b
+        ON a.vec_id <> b.vec_id
+       AND ((SELECT is_exact FROM gate) OR a.bucket = b.bucket)
     ),
     topk AS (
       SELECT src, dst, score,
@@ -1191,8 +1205,11 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bucket pair volume stays ~128·n) and the same top-k + mutual
     join runs over the bucket-local candidates; recall tracks the
     bucket collision probability exactly like the dedup path, and the
-    output schema is unchanged. The oracle checks the exact path
-    (sf0.01 is far below the gate)."""
+    output schema is unchanged. The oracle encodes the SAME gate
+    (count <= {KNN_MUTUAL_EXACT_LIMIT} -> all-pairs, else same-bucket
+    candidates from the identical np-CTE plane formula), so a sweep at
+    ANY SF stays hash-exact — the dedup_embedding_cosine convention
+    (ADVICE r5, low)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
@@ -1491,14 +1508,24 @@ EVAL_K = 5
 @query(
     "knn_label_eval",
     oracle=f"""
-    WITH scored AS (
+    WITH np AS ({_DUCK_PLANES_CTE}),
+    gate AS (
+      SELECT count(*) <= {KNN_MUTUAL_EXACT_LIMIT} AS is_exact FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, label, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings, np
+    ),
+    scored AS (
       SELECT a.vec_id AS src, a.label AS true_label,
              b.label AS nb_label,
              row_number() OVER (
                PARTITION BY a.vec_id
                ORDER BY {duck_dot('a.embedding', 'b.embedding')} DESC, b.vec_id
              ) AS rk
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      FROM bucketed a JOIN bucketed b
+        ON a.vec_id <> b.vec_id
+       AND ((SELECT is_exact FROM gate) OR a.bucket = b.bucket)
     ),
     votes AS (
       SELECT src, true_label, nb_label, CAST(count(*) AS BIGINT) AS v
@@ -1531,8 +1558,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, the space doesn't separate the classes and no downstream
     index will fix it); run per-label, it also pinpoints WHICH class
     collapsed after a model change. Mechanics share the knn_mutual
-    scaffold: exact all-pairs scoring under the same 1k-vector gate
-    (the sf0.01 oracle path), LSH-bucket candidates above it; the
+    scaffold: exact all-pairs scoring under the same 1k-vector gate,
+    LSH-bucket candidates above it, with the oracle encoding the SAME
+    gate + bucket formula (np CTE) so any-SF sweeps stay hash-exact;
+    the
     majority vote is a (src, label)-bounded count + row_number argmax
     with a deterministic label tiebreak. Read-out is |labels| rows."""
     e = load_table(spark, sf_dir, "embeddings")

@@ -1139,11 +1139,19 @@ def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB substr agree on 1-based indexing and short tails by
     construction (the range stops at length-2)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "lang",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
-        "text",
-    ).select("lang", F.expr("substring(text, i, 3)").alias("g"))
+    # length >= 3 guard: Spark's sequence(1, n) with n < 1 counts DOWN
+    # (step defaults to -1), emitting bogus descending indices for
+    # short texts, while DuckDB's range(1, length-1) yields nothing
+    # (ADVICE r5, medium). Filtering first makes both frames empty.
+    grams = (
+        d.filter(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+            "text",
+        )
+        .select("lang", F.expr("substring(text, i, 3)").alias("g"))
+    )
     cnt = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
     return (
