@@ -2305,11 +2305,18 @@ def events_resample_hourly_interpolate(spark: SparkSession, sf_dir: str) -> Data
     (t2−t1) is the standard gap fill for metering/pricing series).
     Exact integers end-to-end: cents in, one truncating div per gap
     point (Spark `div` and DuckDB `//` both truncate toward zero —
-    measured in functions/exact.py — so negative slopes agree too);
-    boundary gaps carry the nearest known value rather than
-    extrapolate. Shape: the ffill plan plus one descending-frame
-    window over the same per-user hour grid (calendar-bounded
-    partitions), no extra exchange."""
+    measured in functions/exact.py — so negative slopes agree too).
+    Shape (r5 verdict #2 rewrite): the per-user grid is bounded by the
+    OBSERVED min/max hour, so every gap row sits strictly between two
+    observed neighbours — one lead() window over the observed rows
+    (tiny vs the grid) yields each gap's endpoints, and the gap hours
+    are generated by a per-gap sequence explode with the lerp endpoints
+    already attached as row constants. The dense-grid materialize +
+    left join + two unbounded-frame windows of the old plan are gone;
+    the only exchange left before the output sort is the per-user
+    window over observed hours. Output rows are identical (the oracle
+    keeps the dense-grid formulation; its boundary-carry branches are
+    dead code under the observed-min/max grid)."""
     e = load_table(spark, sf_dir, "events")
     hour_s = (F.expr("unix_micros(ts) div 3600000000") * 3600).alias("hour_s")
     w_last = Window.partitionBy(
@@ -2327,52 +2334,42 @@ def events_resample_hourly_interpolate(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") == 1)
         .select("user_id", "hour_s", "v_c")
     )
-    bounds = hv.groupBy("user_id").agg(
-        F.min("hour_s").alias("mn"), F.max("hour_s").alias("mx")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("mn", F.col("mx") + 0, F.lit(3600))).alias("hour_s"),
-    )
-    j = grid.join(hv, ["user_id", "hour_s"], "left")
-    w_fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_bwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_s")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    known_t = F.when(F.col("v_c").isNotNull(), F.col("hour_s"))
-    carried = j.select(
+    w_u = Window.partitionBy("user_id").orderBy("hour_s")
+    seq = hv.select(
         "user_id",
         "hour_s",
         "v_c",
-        F.last("v_c", ignorenulls=True).over(w_fwd).alias("pv"),
-        F.last(known_t, ignorenulls=True).over(w_fwd).alias("pt"),
-        F.first("v_c", ignorenulls=True).over(w_bwd).alias("nv"),
-        F.first(known_t, ignorenulls=True).over(w_bwd).alias("nt"),
+        F.lead("hour_s").over(w_u).alias("nt"),
+        F.lead("v_c").over(w_u).alias("nv"),
     )
-    value = (
-        F.when(F.col("v_c").isNotNull(), F.col("v_c"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .otherwise(
-            F.col("pv")
-            + F.expr("(nv - pv) * (hour_s - pt) div (nt - pt)")
-        )
+    observed = seq.select(
+        "user_id",
+        "hour_s",
+        F.col("v_c").cast("long").alias("value_cents"),
+        F.lit(0).cast("long").alias("is_gap"),
     )
-    return (
-        carried.select(
+    gaps = (
+        seq.filter(F.col("nt").isNotNull() & (F.col("nt") - F.col("hour_s") > 3600))
+        .select(
             "user_id",
             "hour_s",
-            value.cast("long").alias("value_cents"),
-            F.col("v_c").isNull().cast("long").alias("is_gap"),
+            "v_c",
+            "nt",
+            "nv",
+            F.explode(
+                F.sequence(F.col("hour_s") + 3600, F.col("nt") - 3600, F.lit(3600))
+            ).alias("h"),
         )
-        .orderBy("user_id", "hour_s")
+        .select(
+            "user_id",
+            F.expr("CAST(v_c + (nv - v_c) * (h - hour_s) div (nt - hour_s) AS BIGINT)")
+            .alias("value_cents"),
+            F.col("h").alias("hour_s"),
+            F.lit(1).cast("long").alias("is_gap"),
+        )
+        .select("user_id", "hour_s", "value_cents", "is_gap")
     )
+    return observed.unionByName(gaps).orderBy("user_id", "hour_s")
 
 
 @query(
