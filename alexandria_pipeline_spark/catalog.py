@@ -108,3 +108,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism, but ONLY if the
+    frame is currently narrower — a no-op on a real cluster where the
+    scan is already wide, essential on the local fixtures where a
+    ~10 MB single-row-group parquet scans as ONE partition and a
+    downstream CPU-heavy scorer (e.g. a 64-float interpreted dot fold
+    per candidate pair) would serialize on one core (measured: 43 s
+    single-core vs ~2 s spread for knn_label_eval at the sf1 stress).
+    The byte-based knobs (maxPartitionBytes, AQE advisory sizes) size
+    partitions by DATA volume and cannot see CPU-per-row, so the
+    spread is an explicit plan-time decision gated on the actual
+    partition count."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

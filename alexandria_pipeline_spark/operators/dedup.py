@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     MINHASH_P,
@@ -702,7 +702,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with/aggregate, no UDF)."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = lsh_planes_for(e.count())
-    bucketed = e.select(
+    # spread: the verify fold is CPU-per-pair heavy; see spread_to_cores
+    bucketed = spread_to_cores(e).select(
         "vec_id", "embedding", lsh_bucket("embedding", n_planes).alias("bucket")
     )
     a = bucketed.select(

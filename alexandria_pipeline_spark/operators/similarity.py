@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
 from alexandria_pipeline_spark.operators.dedup import (
@@ -1215,7 +1215,9 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b"))
     if n <= KNN_MUTUAL_EXACT_LIMIT:
-        cand = F.broadcast(a).crossJoin(b).filter(F.col("src") != F.col("dst"))
+        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
+            F.col("src") != F.col("dst")
+        )
     else:
         from alexandria_pipeline_spark.operators.dedup import (
             lsh_bucket,
@@ -1233,7 +1235,9 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("emb_b"),
             lsh_bucket("embedding", planes).alias("bucket"),
         )
-        cand = ab.join(bb, "bucket").filter(F.col("src") != F.col("dst"))
+        cand = spread_to_cores(ab).join(bb, "bucket").filter(
+            F.col("src") != F.col("dst")
+        )
     scored = cand.select(
         "src", "dst", dot("emb_a", "emb_b").alias("score")
     )
@@ -1577,7 +1581,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
     )
     if n <= KNN_MUTUAL_EXACT_LIMIT:
-        cand = F.broadcast(a).crossJoin(b).filter(F.col("src") != F.col("dst"))
+        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
+            F.col("src") != F.col("dst")
+        )
     else:
         from alexandria_pipeline_spark.operators.dedup import (
             lsh_bucket,
@@ -1597,7 +1603,9 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("emb_b"),
             lsh_bucket("embedding", planes).alias("bucket"),
         )
-        cand = ab.join(bb, "bucket").filter(F.col("src") != F.col("dst"))
+        cand = spread_to_cores(ab).join(bb, "bucket").filter(
+            F.col("src") != F.col("dst")
+        )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     topk = (
         cand.select(
