@@ -795,3 +795,131 @@ def corpus_quality_vs_embedding_outlier(spark: SparkSession, sf_dir: str) -> Dat
             + 0.0
         ).alias("quality_outlier_corr"),
     )
+
+
+# Fixed "published" weights for the linear quality scorer (e6 fixed
+# point). Sigmoid dressing is omitted on purpose: it is monotone, so
+# histogram band membership is identical and the score stays
+# integer-exact cross-engine (same trade tfidf_top_terms documents).
+QL_BIAS_E6 = -1_000_000
+QL_W_LEN_E6 = 800_000  # saturating length credit, caps at 512 tokens
+QL_W_UNIQ_E6 = 600_000  # vocabulary-diversity credit
+QL_W_AWL_E6 = 400_000  # penalty for avg word length far from 4.5
+QL_AWL_TARGET_E6 = 4_500_000
+QL_HIST_LO_E6 = -800_000  # histogram domain [lo, lo+width)
+QL_HIST_WIDTH_E6 = 480_000
+QL_HIST_BANDS = 10
+
+
+@query(
+    "corpus_quality_linear_hist",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                                t -> CAST(length(t) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS sum_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_toks,
+             {QL_BIAS_E6}
+             + ({QL_W_LEN_E6} * least(n_toks, 512)) // 512
+             + ({QL_W_UNIQ_E6} * (n_uniq * 1000000 // n_toks)) // 1000000
+             - ({QL_W_AWL_E6}
+                * abs(sum_len * 1000000 // n_toks - {QL_AWL_TARGET_E6}))
+               // {QL_AWL_TARGET_E6} AS z_e6
+      FROM feats WHERE n_toks > 0
+    ),
+    banded AS (
+      SELECT n_toks, z_e6,
+             least({QL_HIST_BANDS - 1}, greatest(0,
+               (z_e6 - {QL_HIST_LO_E6}) * {QL_HIST_BANDS}
+               // {QL_HIST_WIDTH_E6})) AS band
+      FROM scored
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(z_e6) AS BIGINT) / 1000000.0 AS min_score,
+           CAST(max(z_e6) AS BIGINT) / 1000000.0 AS max_score,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def corpus_quality_linear_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier + equi-width score
+    histogram — the shape of a fasttext-style quality filter's scoring
+    pass, with the model replaced by published integer weights over
+    three cheap features (saturating length, type/token diversity,
+    avg-word-length deviation). The score is scaled-integer, so band
+    membership is bit-identical cross-engine; the monotone sigmoid is
+    omitted (band edges in z-space are band edges in p-space). Plan:
+    map-only feature extraction (no explode — the features fold over
+    the split array in place), then ONE 10-group aggregate. The
+    histogram is equi-WIDTH on the bounded score domain rather than
+    equi-depth precisely so no global sort or two-phase rank is needed
+    — this is the 100 TB-friendly form of a score-distribution
+    readout."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    feats = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.aggregate(
+            F.transform(w, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+    ).filter(F.col("n_toks") > 0)
+    z_e6 = (
+        F.lit(QL_BIAS_E6)
+        + int_div(F.lit(QL_W_LEN_E6) * F.least(F.col("n_toks"), F.lit(512)), F.lit(512))
+        + int_div(
+            F.lit(QL_W_UNIQ_E6)
+            * int_div(F.col("n_uniq") * 1_000_000, F.col("n_toks")),
+            F.lit(1_000_000),
+        )
+        - int_div(
+            F.lit(QL_W_AWL_E6)
+            * F.abs(
+                int_div(F.col("sum_len") * 1_000_000, F.col("n_toks"))
+                - QL_AWL_TARGET_E6
+            ),
+            F.lit(QL_AWL_TARGET_E6),
+        )
+    )
+    scored = feats.select("n_toks", z_e6.alias("z_e6"))
+    band = F.least(
+        F.lit(QL_HIST_BANDS - 1),
+        F.greatest(
+            F.lit(0),
+            int_div(
+                (F.col("z_e6") - QL_HIST_LO_E6) * QL_HIST_BANDS,
+                F.lit(QL_HIST_WIDTH_E6),
+            ),
+        ),
+    )
+    return (
+        scored.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.min("z_e6").cast("long") / 1_000_000.0).alias("min_score"),
+            (F.max("z_e6").cast("long") / 1_000_000.0).alias("max_score"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_docs",
+            "min_score",
+            "max_score",
+            "sum_tokens",
+        )
+        .orderBy("band")
+    )

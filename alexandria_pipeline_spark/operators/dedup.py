@@ -29,6 +29,7 @@ from alexandria_pipeline_spark.functions.text import (
     MINHASH_P,
     MIX_A,
     MIX_MOD,
+    duck_rolling_fingerprint,
     duck_shingle_codes,
     shingle_codes,
 )
@@ -1890,4 +1891,111 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("corpus_tokens").cast("long").alias("corpus_tokens"),
             "savings_ppm",
         )
+    )
+
+
+PASSAGE_W = 32  # words per non-overlapping passage
+PASSAGE_MIN = 8  # drop tail passages shorter than this
+# doc_id * _PASSAGE_OKEY_MULT + chunk_idx is a unique global
+# occurrence key: chunk_idx < text_len/PASSAGE_W ≪ 100000 at any SF.
+_PASSAGE_OKEY_MULT = 100_000
+
+
+@query(
+    "dedup_passage_level",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source, i,
+             list_slice(w, i * {PASSAGE_W} + 1, i * {PASSAGE_W} + {PASSAGE_W}) AS p
+      FROM words, unnest(range(0, (n - 1) // {PASSAGE_W} + 1)) AS t(i)
+    ),
+    keyed AS (
+      SELECT doc_id, source, CAST(len(p) AS BIGINT) AS p_len,
+             doc_id * {_PASSAGE_OKEY_MULT} + i AS okey,
+             {duck_rolling_fingerprint("p")} AS fp
+      FROM occ WHERE len(p) >= {PASSAGE_MIN}
+    ),
+    marked AS (
+      SELECT source, p_len,
+             CAST(okey > min(okey) OVER (PARTITION BY fp) AS INT) AS is_dup
+      FROM keyed
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_occurrences,
+           CAST(sum(is_dup * p_len) AS BIGINT) AS dup_tokens,
+           CAST(sum(p_len) * 1 AS BIGINT) AS total_tokens,
+           CAST(sum(is_dup * p_len) * 1000000 // sum(p_len) AS BIGINT)
+             / 1000000.0 AS dup_token_share
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def dedup_passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the finer-grained sibling of the
+    doc-level exact pass — the granularity used to strip repeated
+    license blocks / navigation chrome that whole-doc hashing misses):
+    each document is cut into non-overlapping 32-word passages, each
+    passage keyed by the order-sensitive rolling fingerprint, and any
+    occurrence after the global first (min (doc_id, chunk) key) counts
+    as removable. Plan: one explode (≤ n_tokens/32 rows per doc), a
+    window min over the fingerprint partition (ONE shuffle on fp —
+    same cost as the groupBy a join-back would need, minus the join),
+    and a per-source terminal aggregate. Passage rows carry only
+    (source, fp, p_len, okey) — the text never shuffles. Linear at any
+    SF; the fp shuffle is the only fact-sized exchange."""
+    from alexandria_pipeline_spark.functions.text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    occ = words.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(f"sequence(0, (n - 1) div {PASSAGE_W})")
+        ).alias("_p", "i"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.slice("w", F.col("i") * PASSAGE_W + 1, PASSAGE_W).alias("p"),
+    )
+    keyed = occ.filter(F.size("p") >= PASSAGE_MIN).select(
+        "source",
+        F.size("p").cast("long").alias("p_len"),
+        (F.col("doc_id") * _PASSAGE_OKEY_MULT + F.col("i")).alias("okey"),
+        rolling_fingerprint(F.col("p")).alias("fp"),
+    )
+    marked = keyed.select(
+        "source",
+        "p_len",
+        (F.col("okey") > F.min("okey").over(Window.partitionBy("fp")))
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.sum("is_dup").cast("long").alias("n_dup_occurrences"),
+            F.sum(F.col("is_dup") * F.col("p_len"))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.sum("p_len").cast("long").alias("total_tokens"),
+            (
+                int_div(
+                    F.sum(F.col("is_dup") * F.col("p_len")) * 1_000_000,
+                    F.sum("p_len"),
+                )
+                / 1_000_000.0
+            ).alias("dup_token_share"),
+        )
+        .orderBy("source")
     )

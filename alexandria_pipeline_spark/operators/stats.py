@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.registry import query
 
 GINI_BAND_CHARS = 256  # n_chars band width for the two-phase rank
@@ -1590,3 +1591,80 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+EWMA_WINDOW = 15  # trailing days in the smoothing window
+EWMA_SPIKE_MULT = 2  # flag days with revenue > MULT x trailing EWMA
+
+
+@query(
+    "orders_ewma_daily",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    sm AS (
+      SELECT a.d, a.rev,
+             CAST(sum(b.rev * (CAST(1 AS BIGINT) << ({EWMA_WINDOW} - (a.d - b.d))))
+                  // sum(CAST(1 AS BIGINT) << ({EWMA_WINDOW} - (a.d - b.d)))
+                  AS BIGINT) AS ewma
+      FROM per_day a JOIN per_day b
+        ON b.d >= a.d - {EWMA_WINDOW} AND b.d <= a.d - 1
+      GROUP BY a.d, a.rev
+    )
+    SELECT d AS day, rev AS rev_cents, ewma AS ewma_cents,
+           CAST(rev > {EWMA_SPIKE_MULT} * ewma AS INT) AS spike_flag
+    FROM sm ORDER BY d
+    """,
+)
+def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with a
+    spike flag — the simple-and-robust smoother a monitoring pipeline
+    runs before alerting. Weights are EXACT powers of two (2^(W-lag),
+    lag 1..15, i.e. half-life one day) so the whole statistic is
+    integer rational: ewma = Σ rev·2^(W-lag) // Σ 2^(W-lag), with the
+    partial-window head using the same formula over the days that
+    exist. Plan shape: the fact table collapses to ≤ span-days rows in
+    ONE groupBy, then the trailing window is a calendar-BOUNDED
+    broadcast self-join (≤ 15 partners per day, day count is
+    SF-invariant) and a tiny re-aggregate — identical cost at sf0.01
+    and sf100. Overflow: daily cents ≤ ~1e11 at sf10 × 2^14 × 15 days
+    ≈ 2e16 ≪ 2^63."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("rev")
+    )
+    a = per_day.select(F.col("d").alias("ad"), F.col("rev").alias("arev"))
+    b = per_day.select(F.col("d").alias("bd"), F.col("rev").alias("brev"))
+    w_pow = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({EWMA_WINDOW} - (ad - bd) AS INT))"
+    )
+    sm = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bd") >= F.col("ad") - EWMA_WINDOW)
+            & (F.col("bd") <= F.col("ad") - 1),
+        )
+        .groupBy("ad", "arev")
+        .agg(
+            int_div(
+                F.sum(F.col("brev") * w_pow), F.sum(w_pow)
+            ).alias("ewma")
+        )
+    )
+    return sm.select(
+        F.col("ad").alias("day"),
+        F.col("arev").alias("rev_cents"),
+        F.col("ewma").alias("ewma_cents"),
+        (F.col("arev") > EWMA_SPIKE_MULT * F.col("ewma")).cast("int").alias("spike_flag"),
+    ).orderBy("day")

@@ -69,6 +69,7 @@ def register_all() -> None:
         curation,
         packing,
         quality,
+        retrieval,
         maintenance,
         stats,
         skew,
