@@ -24,11 +24,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 
-# r5: the fixture was regenerated with de-correlated replica vocab
-# (cross-replica shingle share 0.0000 — see make_stress_sf.py), so r4
-# timings of document-dedup queries are not comparable; new runs land
-# in a fresh file.
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r5.json"
+# r6: triangle count / knn scorer plans were rewritten (edge-iterator
+# closure; guarded repartition), so r5 rows for those queries measure
+# retired code; post-fix runs land in a fresh file, and the axis now
+# extends to sf10 (verdict r5 #1).
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r6.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os
@@ -74,7 +74,10 @@ def main() -> int:
             dt = round(time.monotonic() - t0, 2)
             out.setdefault(name, {})[sf_label] = dt
             print(f"{name:40s} {sf_label:6s} {dt:8.2f}s", flush=True)
-    recorded["timings"].update(out)
+    # merge per-SF rows: a later partial re-run (one SF) must not drop
+    # a query's previously recorded scale points
+    for name, sfs in out.items():
+        recorded["timings"].setdefault(name, {}).update(sfs)
     STRESS_JSON.write_text(json.dumps(recorded, indent=1))
     print(f"recorded {len(out)} queries into {STRESS_JSON.name}")
     return 0
