@@ -1999,3 +1999,147 @@ def dedup_passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SEM_K = 16  # deterministic seed centroids (vec_id < SEM_K)
+SEM_COS_THRESHOLD = 0.40
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH np AS ({_DUCK_PLANES_CTE}),
+    cent AS (
+      SELECT DISTINCT vec_id AS cid, embedding AS cemb
+      FROM embeddings WHERE vec_id < {SEM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_reduce(list_transform(range(1, {EMBED_DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+               (a, b) -> a + b) AS dot
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cid) AS rn
+      FROM scored
+    ),
+    mem AS (
+      SELECT vec_id, cid, {_duck_bucket('embedding')} AS bucket
+      FROM (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1) m, np
+    ),
+    emb AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+      FROM mem a JOIN mem b
+        ON a.cid = b.cid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN emb x ON x.vec_id = a.vec_id
+      JOIN emb y ON y.vec_id = b.vec_id
+      WHERE list_reduce(list_transform(range(1, {EMBED_DIM} + 1),
+              i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+              (p, q) -> p + q) >= {SEM_COS_THRESHOLD}
+    ),
+    per_cluster AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM mem GROUP BY cid
+    ),
+    dup AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+             CAST(count(DISTINCT vb) AS BIGINT) AS n_dropped
+      FROM pairs GROUP BY cid
+    )
+    SELECT CAST(p.cid AS INT) AS cluster, p.n_vecs,
+           coalesce(d.n_dup_pairs, 0) AS n_dup_pairs,
+           coalesce(d.n_dropped, 0) AS n_dropped
+    FROM per_cluster p LEFT JOIN dup d USING (cid)
+    ORDER BY cluster
+    """,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. '23): assign every
+    vector to its nearest centroid, then near-dup-verify only WITHIN a
+    cluster — the cluster structure is what lets the real system size
+    blocks and pick per-cluster keep policies. Centroids here are the
+    SEM_K smallest vec_ids (deterministic seeds, so the whole pipeline
+    is oracle-checkable end to end; production swaps in the trained
+    centroids of knn_ivf_kmeans — same plan shape, rows-only check).
+    The within-cluster verify does NOT go all-pairs: candidates are
+    blocked on (cluster, LSH bucket) with the SAME auto-scaled plane
+    count as dedup_embedding_cosine, so pair volume stays ~128·n even
+    if a cluster captures most of the corpus — the hazard that makes
+    naive SemDeDup quadratic on skewed data. Plan: a K-row broadcast
+    cross for assignment (n·K dots, K fixed), one shuffle on the
+    (cluster, bucket) key, and per-cluster terminal aggregates.
+    Outputs per-cluster membership and dedup pressure — the report a
+    curation run reads to see WHERE its redundancy lives."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_planes = lsh_planes_for(e.count())
+    cent = (
+        e.filter(F.col("vec_id") < SEM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .distinct()
+    )
+    dot_c = F.aggregate(
+        F.zip_with(
+            "embedding", "cemb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = spread_to_cores(e).crossJoin(F.broadcast(cent)).withColumn(
+        "dot", dot_c
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    mem = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            "embedding",
+            lsh_bucket("embedding", n_planes).alias("bucket"),
+        )
+    )
+    a = mem.select(
+        "cid", "bucket", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = mem.select(
+        F.col("cid").alias("cid_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    dot_p = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .withColumn("dot", dot_p)
+        .filter(F.col("dot") >= SEM_COS_THRESHOLD)
+        .select("cid", "va", "vb")
+    )
+    per_cluster = mem.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    dup = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("vb").cast("long").alias("n_dropped"),
+    )
+    return (
+        per_cluster.join(dup, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cluster"),
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )

@@ -1362,3 +1362,90 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+SURPRISAL_TOP_N = 20
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+    bits AS (
+      SELECT tok, CAST(length(bin(n // tf)) - 1 AS BIGINT) AS sbits
+      FROM tf CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(b.sbits) AS BIGINT) AS sum_bits
+      FROM occ o JOIN bits b USING (tok)
+      GROUP BY o.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_toks,
+             sum_bits * 1000 // n_toks AS avg_surprisal_mbits,
+             row_number() OVER (ORDER BY sum_bits * 1000 // n_toks DESC,
+                                doc_id) AS rnk
+      FROM per_doc
+    )
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, n_toks,
+           CAST(avg_surprisal_mbits AS BIGINT) AS avg_surprisal_mbits
+    FROM ranked WHERE rnk <= {SURPRISAL_TOP_N}
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Shannon surprisal scoring against the corpus's own
+    unigram LM — the cheap perplexity proxy used to surface OOD /
+    junk documents for curation review (high average surprisal = the
+    corpus LM finds the document improbable). The log2 is EXACT
+    integer: surprisal(tok) = floor(log2(N / tf)) computed as
+    length(bin(N // tf)) - 1, identical in Spark and DuckDB, so the
+    whole statistic is oracle-hashable with no float anywhere. Plan:
+    one explode feeds the global tf aggregate (map-side combined); the
+    corpus total is a 1-row broadcast; per-token bits join back onto
+    the occurrence stream on the token key (vocabulary-sized build
+    side — broadcastable in practice, left to AQE since vocab grows
+    with corpus); per-doc sum + global top-20 is TakeOrdered, not a
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    bits = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.expr("bin(n div tf)")) - 1).cast("long").alias("sbits"),
+    )
+    per_doc = occ.join(bits, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("sbits").cast("long").alias("sum_bits"),
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        "n_toks",
+        int_div(F.col("sum_bits") * 1000, F.col("n_toks")).alias(
+            "avg_surprisal_mbits"
+        ),
+    )
+    # TakeOrdered first (orderBy+limit never global-sorts), THEN rank:
+    # the row_number window sees only the 20 surviving rows, so its
+    # single partition is constant-sized at any SF.
+    top = ranked.orderBy(
+        F.col("avg_surprisal_mbits").desc(), F.col("doc_id")
+    ).limit(SURPRISAL_TOP_N)
+    w = Window.orderBy(F.col("avg_surprisal_mbits").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "n_toks",
+            "avg_surprisal_mbits",
+        )
+    )
