@@ -2247,3 +2247,113 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.col("n").cast("long").alias("n"), "min_age_days", "max_age_days")
         .orderBy("bucket")
     )
+
+
+EQUIDEPTH_BAND_CENTS = 100_000  # $1k value bands for the two-phase rank probe
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH priced AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM priced),
+    ranks AS (
+      SELECT CAST(k AS INT) AS decile,
+             greatest(1, k * n // {EQUIDEPTH_BUCKETS}) AS r
+      FROM tot, unnest(range(1, {EQUIDEPTH_BUCKETS})) AS t(k)
+    ),
+    ordered AS (
+      SELECT price,
+             row_number() OVER (ORDER BY price, l_orderkey, l_linenumber)
+               AS rn
+      FROM priced
+    )
+    SELECT r.decile, CAST(r.r AS BIGINT) AS rank, o.price AS boundary_cents
+    FROM ranks r JOIN ordered o ON o.rn = r.r
+    ORDER BY r.decile
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth decile boundaries of line-item price — the
+    statistic ANALYZE builds for optimizer histograms — without ever
+    globally sorting the fact table. Two-phase banded rank probe (the
+    orders_pareto_8020 technique pointed at rank-selection): (1) one
+    groupBy collapses prices into fixed $1k value bands (bounded by
+    the value DOMAIN, not the row count — SF-invariant ~100 rows), and
+    the exclusive band-offset cumsum runs over that tiny frame;
+    (2) each decile's target rank r_k = k·n/10 locates its band via a
+    broadcast range probe, the fact scan re-reads ONLY the ≤9 target
+    bands (predicate-pushdown on the band expression prunes the rest),
+    and a window PARTITIONED BY band — never global — finds the row
+    whose band-offset + in-band row_number equals r_k exactly, ties
+    broken by (orderkey, linenumber) as everywhere else. The oracle is
+    the naive full row_number, so the banded plan must be
+    rank-for-rank identical. Value-skew note: a band holding most of
+    the mass bounds phase 2 by that band's population; production
+    would recursively re-band inside a fat band (same plan, one more
+    level) — the domain-banded first cut is what makes that recursion
+    cheap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("band", F.expr(f"price div {EQUIDEPTH_BAND_CENTS}"))
+    band_counts = priced.groupBy("band").agg(
+        F.count(F.lit(1)).alias("band_n")
+    )
+    w_bands = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = band_counts.select(
+        "band",
+        "band_n",
+        F.coalesce(F.sum("band_n").over(w_bands), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    tot = priced.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.range(1, EQUIDEPTH_BUCKETS)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"decile * n div {EQUIDEPTH_BUCKETS}"),
+            ).alias("r"),
+        )
+    )
+    targets = ranks.join(
+        F.broadcast(offsets),
+        (F.col("r") > F.col("cum_before"))
+        & (F.col("r") <= F.col("cum_before") + F.col("band_n")),
+    ).select("decile", "r", "band", "cum_before")
+    # scan phase 2 touches only the <=9 target bands: the semi join on
+    # the band expression prunes before the window
+    in_band = priced.join(
+        F.broadcast(targets.select("band").distinct()), "band", "semi"
+    )
+    w_in = Window.partitionBy("band").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    ranked = in_band.withColumn("rn", F.row_number().over(w_in))
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (ranked["band"] == targets["band"])
+            & (F.col("rn") == F.col("r") - F.col("cum_before")),
+        )
+        .select(
+            "decile",
+            F.col("r").cast("long").alias("rank"),
+            F.col("price").alias("boundary_cents"),
+        )
+        .orderBy("decile")
+    )
