@@ -129,6 +129,15 @@ HEADLINE = [
     "knn_label_eval",
     "orders_theilsen_trend",
     "dedup_lsh_recall_eval",
+    # round 6 additions
+    "text_bm25_topk",
+    "join_fuzzy_deletion_neighborhood",
+    "dedup_passage_level",
+    "orders_ewma_daily",
+    "corpus_quality_linear_hist",
+    "dedup_semantic_cluster",
+    "text_unigram_surprisal",
+    "agg_histogram_equidepth",
 ]
 
 
