@@ -614,3 +614,97 @@ def stream_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dow", "hod", F.col("n_events").cast("long").alias("n_events"))
     )
     return _run_to_memory(agg, "complete").orderBy("dow", "hod")
+
+
+@query(
+    "stream_ewma_spike_flags",
+    oracle="""
+    WITH RECURSIVE per_hour AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hour_s, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_s) AS rn
+      FROM per_hour
+    ),
+    rec AS (
+      SELECT event_type, hour_s, n, rn,
+             n AS ewma, CAST(NULL AS BIGINT) AS ewma_prior
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.hour_s, r.n, r.rn,
+             (p.ewma + r.n) // 2 AS ewma, p.ewma
+      FROM ranked r JOIN rec p
+        ON p.event_type = r.event_type AND r.rn = p.rn + 1
+    )
+    SELECT event_type, CAST(hour_s AS BIGINT) AS hour_s,
+           n AS n_events,
+           coalesce(ewma_prior, -1) AS ewma_prior,
+           CAST(CASE WHEN ewma_prior IS NULL THEN 0
+                     ELSE CAST(n > 2 * ewma_prior AS INT) END AS INT)
+             AS spike_flag
+    FROM rec ORDER BY event_type, hour_s
+    """,
+)
+def stream_ewma_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume-spike monitor — the streaming twin of
+    orders_ewma_daily's smoothing idea, maintained as CUSTOM state:
+    per event type, an integer EWMA of hourly event counts
+    (ewma' = (ewma + n) // 2, α=1/2 — division-free-exact in both
+    engines) carried across micro-batches in applyInPandasWithState;
+    each hour is flagged when its count exceeds 2× the EWMA of the
+    hours BEFORE it (self-exclusive, so a spike can't suppress its
+    own alarm). State is two integers per event type — constant bytes
+    per key at any scale, the canonical shape for an always-on
+    detector over a Kafka source. With availableNow over one input
+    the per-type fold equals the oracle's recursive-CTE recurrence,
+    which is what the value-hash checks."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, last_hour = state.get
+        else:
+            ewma, last_hour = -1, -1
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            hours = (pdf["ts"].astype("int64") // 10**9 // 3600) * 3600
+            for h, c in hours.value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+        rows = []
+        for h in sorted(counts):
+            n = counts[h]
+            prior = ewma if h > last_hour and ewma >= 0 else -1
+            rows.append(
+                {
+                    "event_type": key[0],
+                    "hour_s": h,
+                    "n_events": n,
+                    "ewma_prior": prior,
+                    "spike_flag": int(prior >= 0 and n > 2 * prior),
+                }
+            )
+            ewma = n if prior < 0 else (ewma + n) // 2
+            last_hour = h
+        state.update((int(ewma), int(last_hour)))
+        yield pd.DataFrame(rows)
+
+    out = events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, hour_s long, n_events long, "
+            "ewma_prior long, spike_flag int"
+        ),
+        stateStructType="ewma long, last_hour long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update").orderBy("event_type", "hour_s")
