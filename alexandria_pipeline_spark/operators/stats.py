@@ -1655,10 +1655,15 @@ def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bd") >= F.col("ad") - EWMA_WINDOW)
             & (F.col("bd") <= F.col("ad") - 1),
         )
+        .withColumn("w_pow", w_pow)
         .groupBy("ad", "arev")
+        # products summed in decimal(38,0): daily_cents × 2^14 fits
+        # int64 but the 15-day SUM can pass 2^63 at extreme magnitudes
+        # (the extreme-sweep fixture); DuckDB's sum is already HUGEINT
         .agg(
-            int_div(
-                F.sum(F.col("brev") * w_pow), F.sum(w_pow)
+            F.expr(
+                "CAST(sum(CAST(brev * w_pow AS decimal(38,0))) "
+                "div sum(CAST(w_pow AS decimal(38,0))) AS BIGINT)"
             ).alias("ewma")
         )
     )
