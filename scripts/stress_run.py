@@ -74,6 +74,12 @@ def main() -> int:
             dt = round(time.monotonic() - t0, 2)
             out.setdefault(name, {})[sf_label] = dt
             print(f"{name:40s} {sf_label:6s} {dt:8.2f}s", flush=True)
+            # queries persist frames their returned DataFrame still
+            # references, so they cannot unpersist themselves; without
+            # this, query N's timing includes query 1..N-1's leftover
+            # storage thrash (measured: graph_triangle_count sf3 went
+            # 39.6s solo -> 143.8s ninth-in-session)
+            spark.catalog.clearCache()
     # merge per-SF rows: a later partial re-run (one SF) must not drop
     # a query's previously recorded scale points
     for name, sfs in out.items():
