@@ -305,6 +305,10 @@ JACCARD_TOP_N = 20
 # Signature width for the above-gate sketch path: 64 min-hashes ≈ 6 ppt
 # worst-case standard error on the Jaccard estimate, 8·64 B per node.
 JACCARD_SKETCH_K = 64
+# Above this raw-pair volume the sketch width halves (32 slots ≈ 8.8
+# ppt worst-case SE) to bound the per-edge join payload on very large
+# graphs.
+JACCARD_K_HALVE_PAIRS = 50_000_000
 
 
 @query(
@@ -359,20 +363,26 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaker. The oracle recomputes common-neighbor counts with the
     naive wedge GROUP BY.
 
-    ABOVE the plan-time size gate the exact path's per-edge
-    array_intersect cost — deg(a)+deg(b), summed over edges = Σdeg² —
-    is quadratic in hub degree (sf1 measured ~16x wall for 10x data)
-    and the fat adjacency arrays would shuffle through both joins. The
-    big-graph path therefore switches to MinHash SKETCHES of the
-    adjacency sets: K=64 per-node min-hashes computed map-side over
-    the persisted adjacency arrays (transform+array_min, codegen, one
-    pass), so every edge carries two FIXED 64-slot signatures instead
-    of unbounded neighbor arrays, per-edge cost is O(K), and the
-    Jaccard estimate is the matching-component fraction (standard
-    error ~sqrt(j(1-j)/64) ≈ 6 ppt worst case). n_common is read back
-    from the estimate via j·(da+db)/(1+j) in truncating integer ppm.
-    The exact path — and thus the sf0.01 oracle hash — is unchanged
-    below the gate."""
+    ABOVE the gate the exact path's per-edge array_intersect cost —
+    deg(a)+deg(b), summed over edges = Σdeg² — is quadratic in hub
+    degree (sf1 measured ~16x wall for 10x data) and the fat adjacency
+    arrays would shuffle through both joins. The big-graph path
+    therefore switches to MinHash SKETCHES of the adjacency sets, and
+    since round 6 it is fully ARRAY-FREE: per-node arrays are never
+    collected (the sf10 run proved the collect_set + per-row transform
+    build exhausts a 16g local JVM before any timing); instead K
+    32-bit-truncated xxhash64 minima are computed as SCALAR
+    min-aggregates over the distinct incidence rows, every edge
+    carries two FIXED K-slot int signatures (8+4K bytes), per-edge
+    cost is O(K), and K auto-halves above JACCARD_K_HALVE_PAIRS so
+    the join payload stays bounded as the graph grows (SE
+    ~sqrt(j(1-j)/K): 6 -> 9 ppt worst case). The gate itself is a
+    MAP-ONLY raw-pair-volume aggregate over per-order set sizes — a
+    conservative upper bound on distinct edges that also prices the
+    array build the below-gate path would ingest. n_common is read
+    back from the estimate via j·(da+db)/(1+j) in truncating integer
+    ppm. The exact path — and thus the sf0.01 oracle hash — is
+    unchanged below the gate."""
     sets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -383,15 +393,24 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.explode("ps").alias("nb"))
         .filter(F.col("node") != F.col("nb"))
     )
-    adj = (
-        pairs.groupBy("node")
-        .agg(F.collect_set("nb").alias("ns"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Σ|ns| = 2·|E|: one cheap aggregate over the persisted adjacency
-    # sizes both the gate and nothing else.
-    n_edges_val = (adj.agg(F.sum(F.size("ns"))).first()[0] or 0) // 2
-    if n_edges_val <= BROADCAST_EDGE_LIMIT:
+    # Pre-gate on RAW pair volume — a MAP-ONLY aggregate over per-order
+    # set sizes (no explode, no shuffle), so the path decision costs a
+    # footer-cheap scan. raw_pairs bounds the distinct edge count from
+    # above AND (unlike the old distinct-edge gate) measures the work
+    # the array build itself would ingest: at sf10 the collect_set +
+    # 64-transform signature build over fat adjacency arrays killed the
+    # 16g local JVM (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY)
+    # before any timing — the sketch path must not materialize
+    # per-node arrays at all.
+    raw_pairs = (
+        sets.agg(F.sum(F.size("ps") * (F.size("ps") - 1))).first()[0] or 0
+    ) // 2
+    if raw_pairs <= BROADCAST_EDGE_LIMIT:
+        adj = (
+            pairs.groupBy("node")
+            .agg(F.collect_set("nb").alias("ns"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # EXACT path. The a-side neighbor array rides along for free:
         # every canonical edge (a < b) appears exactly once as an
         # element of a's set. nodes ≤ 2·edges, so the edge gate bounds
@@ -421,31 +440,50 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     else:
-        # SKETCH path (big graphs): K min-hashes of each adjacency set,
-        # computed in ONE map-side pass over the persisted arrays —
-        # h_k(x) = xxhash64(x, k), a genuinely mixing hash (an affine
-        # (a·x+b) mod P family is MONOTONIC until the product wraps,
-        # which at 32-bit keys makes every signature collapse to the
-        # set's minimum element), all inside whole-stage codegen
-        # (transform + array_min, no UDF). Signatures and degree are
-        # fixed-width, so the two edge joins shuffle ~(8 + 8·K)
-        # bytes/row regardless of hub degree — the Σdeg² term is gone
-        # from the plan entirely.
-        def _sig_slot(k: int):
-            # bind the seed OUTSIDE the lambda: a two-parameter lambda
-            # (x, k=k) would be introspected by F.transform as its
-            # (element, index) form and the seed silently replaced by
-            # the array index
-            seed = F.lit(k)
-            return F.array_min(F.transform("ns", lambda x: F.xxhash64(x, seed)))
-
-        sig = F.array(*[_sig_slot(k) for k in range(JACCARD_SKETCH_K)])
-        sigs = adj.select(
-            "node", F.size("ns").cast("long").alias("deg"), sig.alias("sig")
+        # SKETCH path (big graphs) — ARRAY-FREE since round 6: the old
+        # form built per-node adjacency arrays (collect_set) and then
+        # 64 transform+array_min passes per node; at sf10 (~300M
+        # incidence rows) those per-row array materializations plus
+        # the persisted arrays exhausted unified memory
+        # (UNABLE_TO_ACQUIRE_MEMORY) before a single timing. Now the
+        # signature is built as 64 SCALAR min-aggregates over the
+        # distinct incidence rows — h_k(x) = xxhash64(x, k) truncated
+        # to 32 bits (a different but equally valid hash family for
+        # minhash; truncation costs 2^-32 per-slot collisions and
+        # HALVES the per-edge payload), all codegen, zero array
+        # allocation until the final fixed-width array per NODE. K
+        # auto-halves above JACCARD_K_HALVE_PAIRS (6.2 -> 8.8 ppt
+        # worst-case standard error) so the two edge joins' payload
+        # stays bounded as the graph grows. The Σdeg² term and the
+        # fat-array shuffles are both gone from the plan.
+        K = (
+            JACCARD_SKETCH_K
+            if raw_pairs <= JACCARD_K_HALVE_PAIRS
+            else JACCARD_SKETCH_K // 2
         )
-        edges = adj.select(
-            F.col("node").alias("a"), F.explode("ns").alias("b")
-        ).filter(F.col("a") < F.col("b"))
+        und = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+        def _h32(k: int):
+            return (
+                F.xxhash64("nb", F.lit(k)).bitwiseAND(F.lit(4294967295))
+                - F.lit(2147483648)
+            ).cast("int")
+
+        sigs = (
+            und.groupBy("node")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("deg"),
+                *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)],
+            )
+            .select(
+                "node",
+                "deg",
+                F.array(*[F.col(f"s{k}") for k in range(K)]).alias("sig"),
+            )
+        )
+        edges = und.filter(F.col("node") < F.col("nb")).select(
+            F.col("node").alias("a"), F.col("nb").alias("b")
+        )
         paired = (
             edges.join(
                 sigs.select(
@@ -481,11 +519,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             F.expr(
-                "CAST(m * dsum div "
-                f"({JACCARD_SKETCH_K} + m) AS BIGINT)"
+                f"CAST(m * dsum div ({K} + m) AS BIGINT)"
             ).alias("n_common"),
             F.expr(
-                f"CAST(m * 1000000 div {JACCARD_SKETCH_K} AS BIGINT)"
+                f"CAST(m * 1000000 div {K} AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
     # Edges with ZERO common neighbors are excluded before the top-N:
