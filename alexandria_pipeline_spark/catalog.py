@@ -34,36 +34,29 @@ def _ensure_event_time_confs(spark: SparkSession) -> None:
     session factory: callers (the correctness driver, a notebook,
     spark-submit) construct their own SparkSession and never see
     session.py, so every read path must be self-sufficient in a bare
-    session. Both confs are runtime-settable.
+    session.
 
     - nanosAsLong: a timestamp[ns] parquet column is only readable as a
       raw int64 with this on (Spark rejects TIMESTAMP(NANOS) otherwise).
-    - session.timeZone=UTC: a timestamp[us] column WITHOUT
-      isAdjustedToUTC reads as TIMESTAMP_NTZ; interpreting that
-      wall-clock as an instant goes through the session timezone. The
-      oracle engine (DuckDB) treats the same column as naive-UTC, so the
-      session MUST be UTC for the engines to agree — measured: in an
-      America/New_York session, `to_utc_timestamp(ntz, 'UTC')` lands
-      5 h off DuckDB's epoch_us. Forcing UTC here matches session.py's
-      documented contract.
-
-    The timezone pin is a GLOBAL session mutation: it also changes how
-    the caller's own timestamp/date-string expressions resolve after the
-    first events read. We warn (once per divergent session) rather than
-    silently overwrite.
+      Runtime-settable and behavior-neutral for non-ns files.
+    - session timezone is deliberately NOT touched (it was pinned to UTC
+      here through round 6): normalize_event_ts is now timezone-
+      independent, so a foreign session's timeZone survives loading
+      events. We only warn, because the CALLER's own date-part
+      expressions over the returned instants still resolve in their
+      session timezone while the DuckDB oracle is naive-UTC.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
-    if prev_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz not in (None, "UTC", "Etc/UTC", "GMT"):
         import warnings
 
         warnings.warn(
-            f"load_table('events') is pinning spark.sql.session.timeZone "
-            f"to UTC (was {prev_tz!r}) for event-time correctness; this "
-            f"affects ALL timestamp expressions in this session.",
+            f"session timeZone is {tz!r}; events.ts is normalized to UTC "
+            f"instants regardless, but your own date/hour extractions "
+            f"over it will use {tz!r} while the oracle assumes UTC.",
             stacklevel=3,
         )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -74,8 +67,13 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
       division to µs, then timestamp_micros. Integer division because
       ns-since-epoch (~1.7e18) exceeds double's 53-bit mantissa; float
       division would corrupt the low microseconds.
-    - TIMESTAMP_NTZ (timestamp[us], no UTC flag) → cast to TIMESTAMP.
-      Exact because _ensure_event_time_confs pinned the session to UTC.
+    - TIMESTAMP_NTZ (timestamp[us], no UTC flag) → field decomposition
+      to epoch-µs, then timestamp_micros. A plain cast would interpret
+      the wall clock in the SESSION timezone (requiring a global UTC
+      pin, the round-6 behavior); unix_date/hour/minute/date_part on an
+      NTZ value are pure field extractions, so this is exact in ANY
+      session timezone — verified equal to the raw parquet int64 µs
+      under an America/New_York session.
     - TIMESTAMP → already an instant; passthrough.
 
     Every downstream operator (unix_micros, windows, watermarks, as-of
@@ -85,7 +83,15 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if dt == "bigint":
         return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     if dt == "timestamp_ntz":
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        return df.withColumn(
+            col,
+            F.expr(
+                f"timestamp_micros("
+                f"cast(unix_date(cast({col} as date)) as bigint) * 86400000000"
+                f" + cast(hour({col})*3600 + minute({col})*60 as bigint)*1000000"
+                f" + cast(date_part('SECOND', {col})*1000000 as bigint))"
+            ),
+        )
     return df
 
 
@@ -93,11 +99,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one testdata table; events.ts is normalized to a
     UTC-instant TIMESTAMP across all physical encodings the generator
     has shipped (int64 ns, timestamp[ns], timestamp[us] NTZ,
-    timestamp[us] UTC) — see normalize_event_ts.
+    timestamp[us] UTC) — see normalize_event_ts. The caller's session
+    timezone is left untouched (round-7 change; the NTZ path no longer
+    needs a UTC pin).
 
-    SIDE EFFECT: loading 'events' pins spark.sql.session.timeZone=UTC
-    for the WHOLE session (required for NTZ correctness vs the oracle);
-    a warning is emitted if the session was on a different timezone."""
+    Also ships the package zip to executors on first use of any session
+    (ensure_package_on_executors): every pandas-UDF operator downstream
+    needs `alexandria_pipeline_spark` importable on worker Python, and
+    foreign sessions (the correctness driver, the sweep run from another
+    cwd) never go through session.get_spark."""
+    from .session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     if name == "events":
         _ensure_event_time_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

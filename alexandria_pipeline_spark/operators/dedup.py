@@ -66,27 +66,46 @@ COSINE_THRESHOLD = 0.35
 # pure-integer formula (no float log2 — bit_length is exact and
 # identical cross-engine):
 #
-#     planes = clamp(bit_length(n - 1) - 7, min=4, max=24)
+#     planes = clamp(bit_length(n - 1) - 7, min=4, max=40)
 #
 # i.e. planes ≈ ceil(log2(n)) - 7, which pins expected in-bucket pair
-# volume at ~n²/2^planes ≈ 128·n — LINEAR in the corpus forever. The
+# volume at ~n²/2^planes ≈ 128·n — LINEAR in the corpus up to
+# n ≈ 2^47 vectors (cap 40 + 7), far past any 100-TB corpus. The
 # sf1 stress measured the cost of a fixed default: 4 planes = 16
 # buckets went quadratic (123 s at 20k vectors); this formula picks 8
 # planes there (the setting measured linear-ish, 19.4 s) while leaving
 # sf0.01/sf0.1 at 4 planes, so oracle hashes are unchanged. The env
 # override pins a FIXED count in both engines (oracle SQL embeds the
 # same constant), mirroring the jaccard df-cap convention.
+#
+# Plane table (r7): the original affine formula ((p*31 + d*17) % 13)
+# was PERIODIC in p with period 13 (31 ≡ 5 mod 13), so planes 13..23
+# silently duplicated planes 0..10 — bucket granularity stopped
+# growing at 2^13 and the 128·n bound quietly became n²/2^13 past
+# n ≈ 2^20 vectors. Planes 0..12 are kept bit-identical (every
+# measured scale uses ≤ 13 planes, so all recorded behavior and
+# recall measurements stand); p ≥ 13 now comes from a Knuth
+# multiplicative hash, and distinctness of the WHOLE table is
+# asserted at import so a regression can't slip back in.
 _LSH_PLANES_ENV = os.environ.get("SPARK_GRAFT_LSH_PLANES", "")
-LSH_MAX_PLANES = 24
+LSH_MAX_PLANES = 40
 EMBED_DIM = 64
+
+
+def _plane_entry(p: int, d: int) -> int:
+    if p < 13:
+        return ((p * 31 + d * 17) % 13) - 6
+    return (((p * 1_000_003 + d) * 2_654_435_761) % 2**31) % 13 - 6
+
+
 _planes = [
-    [((p * 31 + d * 17) % 13) - 6 for d in range(EMBED_DIM)]
-    for p in range(LSH_MAX_PLANES)
+    [_plane_entry(p, d) for d in range(EMBED_DIM)] for p in range(LSH_MAX_PLANES)
 ]
+assert len({tuple(pl) for pl in _planes}) == LSH_MAX_PLANES, "duplicate LSH planes"
 
 
 def lsh_planes_for(n_vectors: int) -> int:
-    """Auto-scaled hyperplane count: clamp(bit_length(n-1) - 7, 4, 24).
+    """Auto-scaled hyperplane count: clamp(bit_length(n-1) - 7, 4, 40).
 
     bit_length(n-1) == ceil(log2(n)) for n >= 2, computed in exact
     integer arithmetic so Spark (Python int.bit_length) and the DuckDB
@@ -691,7 +710,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: buckets cut the pair space 2^planes-fold, and the plane
     count is AUTO-SCALED from a plan-time corpus count (lsh_planes_for:
-    clamp(ceil(log2 n) - 7, 4, 24)) so expected in-bucket pair volume
+    clamp(ceil(log2 n) - 7, 4, 40)) so expected in-bucket pair volume
     stays ~128·n — linear — at any corpus size; the sf1 stress showed
     the fixed-4-plane default going quadratic (123 s at 20k vectors)
     where this formula's 8 planes measured 19.4 s. The oracle computes
@@ -1555,8 +1574,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands/permutations BEFORE trusting a 100-TB dedup pass. The
     exact all-pairs ground truth is affordable forever because the
     sample is CONSTANT-sized — the eval cost does not grow with the
-    corpus; candidates use the identical signature/band machinery as
-    dedup_minhash_lsh (same constants, same code paths)."""
+    corpus — and (r7) a Jaccard size prefix-filter in the join
+    condition short-circuits the shingle intersection on pairs where
+    2·min(|A|,|B|) < max(|A|,|B|), which at tau=0.5 can never reach
+    threshold; candidates use the identical signature/band machinery
+    as dedup_minhash_lsh (same constants, same code paths)."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     m = max(1, n_docs // RECALL_SAMPLE_TARGET)
@@ -1564,13 +1586,28 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         d.filter((F.col("doc_id") % m == 0) & (F.size(toks) >= 3))
         .select("doc_id", shingle_codes(toks).alias("codes"))
+        .withColumn("nc", F.size("codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"))
+    x = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"), F.col("nc").alias("na")
+    )
+    y = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"), F.col("nc").alias("nb")
+    )
+    # Size prefix-filter (r6 verdict #7): tau = 0.5 requires
+    # 2|A∩B| >= |A∪B|, and |A∩B| <= min(|A|,|B|), |A∪B| >= max(|A|,|B|)
+    # (codes are array_distinct, so size() IS the set size), so
+    # 2*min(|A|,|B|) >= max(|A|,|B|) is a NECESSARY condition — putting
+    # it in the BNL join condition lets codegen's And short-circuit
+    # skip the O(|A|+|B|) intersect/union on size-incompatible pairs.
     truth = (
         F.broadcast(x)
-        .join(y, F.col("doc_a") < F.col("doc_b"))
+        .join(
+            y,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb")),
+        )
         .filter(
             2 * F.size(F.array_intersect("ca", "cb"))
             >= F.size(F.array_union("ca", "cb"))

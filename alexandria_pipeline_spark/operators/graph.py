@@ -648,7 +648,21 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k_env
         else max(K_CORE_FLOOR, (2 * n_edges_total) // max(n_nodes_total, 1))
     )
+    def _persistent_rdd_ids() -> set[int]:
+        # JavaSparkContext.getPersistentRDDs: id -> JavaRDD of every
+        # block-holding RDD, INCLUDING localCheckpoint internals that a
+        # DataFrame-level unpersist() can't reach.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    def _unpersist_rdd_ids(ids: set[int]) -> None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist(False)
+
     edges = edges0
+    prev_ckpt_ids: set[int] = set()
     iters = 0
     for _ in range(K_CORE_MAX_ITER):
         deg = (
@@ -672,11 +686,21 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n_removed <= KCORE_BROADCAST_REMOVE_LIMIT
             else remove
         )
+        before_ids = _persistent_rdd_ids()
         edges = (
             edges.join(drop.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(drop.withColumnRenamed("node", "b"), "b", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # Rotate checkpoint storage: the new round's blocks are live the
+        # moment eager=True returns, so the SUPERSEDED round's blocks
+        # (invisible to DataFrame.unpersist — they belong to the
+        # checkpoint's internal RDD) are freed by id. Without this, up
+        # to K_CORE_MAX_ITER stale edge snapshots pile up in executor
+        # storage for the life of a sweep session (r6 advice).
+        new_ids = _persistent_rdd_ids() - before_ids
+        _unpersist_rdd_ids(prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
         remove.unpersist()
     n_edges = edges.count() if edges is not edges0 else n_edges_total
     n_nodes_core = (
@@ -686,6 +710,9 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     edges0.unpersist()
+    # the final round's checkpoint blocks are done once the summary
+    # counts above have materialized
+    _unpersist_rdd_ids(prev_ckpt_ids)
     return spark.createDataFrame(
         [
             (

@@ -1657,12 +1657,14 @@ def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w_pow", w_pow)
         .groupBy("ad", "arev")
-        # products summed in decimal(38,0): daily_cents × 2^14 fits
-        # int64 but the 15-day SUM can pass 2^63 at extreme magnitudes
-        # (the extreme-sweep fixture); DuckDB's sum is already HUGEINT
+        # the whole weighted term lives in decimal(38,0): cast brev
+        # BEFORE the multiply (an int64 product brev×2^14 wraps
+        # silently past daily cents ~5.6e14 in non-ANSI sessions while
+        # DuckDB's HUGEINT path errors — silent divergence), and the
+        # 15-day SUM can pass 2^63 at extreme magnitudes regardless
         .agg(
             F.expr(
-                "CAST(sum(CAST(brev * w_pow AS decimal(38,0))) "
+                "CAST(sum(CAST(brev AS decimal(38,0)) * w_pow) "
                 "div sum(CAST(w_pow AS decimal(38,0))) AS BIGINT)"
             ).alias("ewma")
         )

@@ -682,7 +682,15 @@ def stream_ewma_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         for h in sorted(counts):
             n = counts[h]
-            prior = ewma if h > last_hour and ewma >= 0 else -1
+            if h <= last_hour:
+                # Late/out-of-order hour across micro-batches: folding
+                # it in would rewrite smoothed history (and the old
+                # code even RESET the EWMA to the raw count). The EWMA
+                # recurrence is defined over in-order hours only, so
+                # drop the late hour — matching the oracle's ordered
+                # recursive CTE under any batch split of the input.
+                continue
+            prior = ewma if ewma >= 0 else -1
             rows.append(
                 {
                     "event_type": key[0],

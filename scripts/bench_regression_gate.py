@@ -1,33 +1,37 @@
-"""Per-query round-over-round bench regression gate (r5 verdict #4).
+"""Per-query bench regression gate vs ALL prior rounds (r6 verdict #3).
 
-Round 5 shipped two per-query regressions (+40% graph_jaccard_neighbors,
-+18% graph_triangle_count) that no artifact recorded — they were found
-by diffing BENCH_HOST files by hand. This script makes that diff a
-first-class artifact: it runs bench.py (or reads an existing bench
-JSON), compares every shared query against the previous round's
-per-query min-of-N, and writes BENCH_HOST_r{N}.json with a
-`regressions` section flagging any shared query slower than
-REGRESSION_RATIO. Flagged queries REQUIRE an annotation (why the
-regression is real/acceptable/a trade) before the artifact is
-considered complete — unannotated entries carry "annotation": null so
-a reviewer can see exactly what hasn't been explained.
+Round 5's gate diffed only against the PREVIOUS round's per-query
+table, so queries added late in a round were ungated on their first
+re-measure (concretely: dedup_lsh_recall_eval went 0.765s in the r5
+driver bench -> 4.98s in r6 and `regressions` stayed empty). This
+version builds the baseline as the UNION of every prior artifact —
+all BENCH_HOST_r*.json per-query tables plus the driver BENCH_r*.json
+tails — and flags each current query against its EARLIEST recorded
+time, so a query is gated from the first round it ever appeared in.
+
+A flagged query REQUIRES an annotation (why the regression is
+real/acceptable/a measurement artifact); unannotated entries carry
+"annotation": null and the exit code is 1 so the ritual can't be
+waved through. Known adjudications live in ADJUDICATIONS below so the
+explanation ships with the artifact, not a commit message.
 
 Usage:
   python scripts/bench_regression_gate.py \
-      [--prev BENCH_HOST_r5.json] [--cur bench_output.json] \
-      [--out BENCH_HOST_r6.json] [--annotations notes.json]
+      [--cur bench_output.json] [--out BENCH_HOST_r7.json] \
+      [--annotations notes.json]
 
 With no --cur, runs `python bench.py` at $SPARK_GRAFT_SF_DIR (default
-sf0.1) and uses its per-query timings. --annotations points at a JSON
-object {query_name: "explanation"} merged into flagged entries.
+sf0.1) and uses its per-query timings.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import pathlib
+import re
 import subprocess
 import sys
 
@@ -37,10 +41,40 @@ REGRESSION_RATIO = 1.5
 # host's multi-second noise bursts dominate and every diff is noise.
 MIN_PREV_SEC = 0.3
 
+# Standing adjudications for flags whose story is already settled —
+# merged under any --annotations overrides.
+ADJUDICATIONS = {
+    "dedup_lsh_recall_eval": (
+        "r5's 0.765s was a cache-leak-warmed artifact: the pre-r6 code "
+        "leaked its persisted frames so run 2 of min-of-2 read warm "
+        "caches. ~5s was the honest SF-invariant cost after the leak "
+        "fix; r7 cuts the exact-ground-truth pass with a Jaccard size "
+        "prefix-filter (2*min(|A|,|B|) >= max at tau=0.5) before the "
+        "shingle intersection."
+    ),
+    "graph_jaccard_neighbors": (
+        "r4-r5 used a collect_set adjacency sketch that KILLED the 16g "
+        "JVM at sf10 (GCLocker 128MB array retries); r6 rebuilt it "
+        "array-free (64 scalar min-aggregates). The sf0.1 wall roughly "
+        "doubled but sf10 went from OOM-crash to 209.97s (43x wall for "
+        "100x data) — a deliberate scale-over-small-SF trade."
+    ),
+}
+
+
+def _round_key(path: str) -> int:
+    m = re.search(r"_r0*(\d+)", path)
+    return int(m.group(1)) if m else 0
+
+
+_META_KEYS = {"metric", "value", "unit", "n_timed", "n_failed", "sf", "n", "rc", "cpus"}
+
 
 def _per_query(doc: dict) -> dict[str, float]:
-    """Extract the per-query map from a bench line or a BENCH_HOST doc
-    (which nests bench records under r{N}_bench-style keys)."""
+    """Extract the per-query map from a bench line, a BENCH_HOST doc
+    (which nests bench records under keys holding {'queries': ...}),
+    or a driver BENCH_rN doc (whose per-query timings survive only in
+    the raw-stdout `tail` string — regex them out, r6 verdict #3)."""
     if "queries" in doc:
         return dict(doc["queries"])
     best: dict[str, float] = {}
@@ -50,7 +84,39 @@ def _per_query(doc: dict) -> dict[str, float]:
             # full-surface bench, not a shared-subset re-measure)
             if len(v["queries"]) > len(best):
                 best = dict(v["queries"])
+    if best:
+        return best
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        for name, sec in re.findall(r'"([a-z][a-z0-9_]*)":\s*([0-9]+(?:\.[0-9]+)?)', tail):
+            if name not in _META_KEYS and "_" in name:
+                best[name] = float(sec)
     return best
+
+
+def build_baseline(exclude: str | None = None) -> tuple[dict[str, float], dict[str, str]]:
+    """Earliest recorded per-query seconds across every prior artifact,
+    host tables taking precedence over driver tables within a round
+    (same machine as the current run). Returns (times, provenance)."""
+    candidates = sorted(
+        glob.glob(str(REPO / "BENCH_r*.json"))
+        + glob.glob(str(REPO / "BENCH_HOST_r*.json")),
+        key=lambda p: (_round_key(p), "HOST" not in p),
+    )
+    times: dict[str, float] = {}
+    prov: dict[str, str] = {}
+    for path in candidates:
+        if exclude and pathlib.Path(path).name == exclude:
+            continue
+        try:
+            doc = json.loads(pathlib.Path(path).read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        for name, sec in _per_query(doc).items():
+            if name not in times and isinstance(sec, (int, float)):
+                times[name] = float(sec)
+                prov[name] = pathlib.Path(path).name
+    return times, prov
 
 
 def run_bench() -> dict:
@@ -63,43 +129,45 @@ def run_bench() -> dict:
         env=env,
         check=False,
     )
-    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
-    for line in lines:  # first parseable line with per-query timings
-        doc = json.loads(line)
-        if "queries" in doc:
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:  # a Spark log fragment can start with '{' — skip, don't die
+            doc = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(doc, dict) and "queries" in doc:
             return doc
     raise SystemExit(f"bench.py produced no per-query JSON:\n{proc.stdout[-2000:]}")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prev", default=str(REPO / "BENCH_HOST_r5.json"))
     ap.add_argument("--cur", default=None, help="existing bench JSON; else run bench.py")
-    ap.add_argument("--out", default=str(REPO / "BENCH_HOST_r6.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_HOST_r7.json"))
     ap.add_argument("--annotations", default=None)
     args = ap.parse_args()
 
-    prev_doc = json.loads(pathlib.Path(args.prev).read_text())
-    prev_q = _per_query(prev_doc)
+    base_q, base_src = build_baseline(exclude=pathlib.Path(args.out).name)
     cur_bench = (
         json.loads(pathlib.Path(args.cur).read_text()) if args.cur else run_bench()
     )
     cur_q = _per_query(cur_bench)
-    notes: dict[str, str] = (
-        json.loads(pathlib.Path(args.annotations).read_text())
-        if args.annotations
-        else {}
-    )
+    notes = dict(ADJUDICATIONS)
+    if args.annotations:
+        notes.update(json.loads(pathlib.Path(args.annotations).read_text()))
 
-    shared = sorted(set(prev_q) & set(cur_q))
+    shared = sorted(set(base_q) & set(cur_q))
     regressions = []
     for name in shared:
-        p, c = prev_q[name], cur_q[name]
+        p, c = base_q[name], cur_q[name]
         if p >= MIN_PREV_SEC and c > p * REGRESSION_RATIO:
             regressions.append(
                 {
                     "query": name,
-                    "prev_sec": p,
+                    "baseline_sec": p,
+                    "baseline_src": base_src[name],
                     "cur_sec": c,
                     "ratio": round(c / p, 2),
                     "annotation": notes.get(name),
@@ -107,25 +175,26 @@ def main() -> int:
             )
     improvements = sorted(
         (
-            {"query": n, "prev_sec": prev_q[n], "cur_sec": cur_q[n],
-             "ratio": round(cur_q[n] / prev_q[n], 2)}
+            {"query": n, "baseline_sec": base_q[n], "baseline_src": base_src[n],
+             "cur_sec": cur_q[n], "ratio": round(cur_q[n] / base_q[n], 2)}
             for n in shared
-            if prev_q[n] >= MIN_PREV_SEC and cur_q[n] < prev_q[n] / REGRESSION_RATIO
+            if base_q[n] >= MIN_PREV_SEC and cur_q[n] < base_q[n] / REGRESSION_RATIO
         ),
         key=lambda r: r["ratio"],
     )
 
     out = {
         "what": (
-            "Per-query round-over-round bench gate: current bench vs "
-            f"{pathlib.Path(args.prev).name}; a shared query is flagged when "
-            f"cur > {REGRESSION_RATIO}x prev (prev >= {MIN_PREV_SEC}s). "
-            "Every flagged entry must carry an annotation explaining the "
-            "regression; null annotation = unexplained."
+            "Per-query bench gate vs the union of ALL prior rounds' "
+            "artifacts (earliest recorded time per query, host tables "
+            f"preferred within a round): flagged when cur > "
+            f"{REGRESSION_RATIO}x baseline (baseline >= {MIN_PREV_SEC}s). "
+            "Every flagged entry must carry an annotation; null "
+            "annotation = unexplained."
         ),
-        "prev_file": pathlib.Path(args.prev).name,
         "n_shared": len(shared),
-        "shared_total_prev_sec": round(sum(prev_q[n] for n in shared), 3),
+        "n_new_unbaselined": len(set(cur_q) - set(base_q)),
+        "shared_total_baseline_sec": round(sum(base_q[n] for n in shared), 3),
         "shared_total_cur_sec": round(sum(cur_q[n] for n in shared), 3),
         "regressions": regressions,
         "improvements_beyond_ratio": improvements,
@@ -133,12 +202,17 @@ def main() -> int:
     }
     pathlib.Path(args.out).write_text(json.dumps(out, indent=1))
     print(
-        f"{len(shared)} shared, {len(regressions)} regressions "
+        f"{len(shared)} shared (of {len(cur_q)} timed; "
+        f"{out['n_new_unbaselined']} new/unbaselined), "
+        f"{len(regressions)} regressions "
         f"({sum(1 for r in regressions if not r['annotation'])} unannotated), "
         f"{len(improvements)} >1.5x improvements -> {args.out}"
     )
     for r in regressions:
-        print(f"  REGRESSION {r['query']}: {r['prev_sec']} -> {r['cur_sec']} ({r['ratio']}x)")
+        print(
+            f"  REGRESSION {r['query']}: {r['baseline_sec']} "
+            f"({r['baseline_src']}) -> {r['cur_sec']} ({r['ratio']}x)"
+        )
     return 1 if any(not r["annotation"] for r in regressions) else 0
 
 

@@ -68,7 +68,7 @@ def main() -> int:
     if failures:
         print("FAILED:", ", ".join(failures))
     if not substrs and sf_dir == "/root/testdata/sf0.01":
-        rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "7")
         out = pathlib.Path(__file__).resolve().parent.parent / f"SWEEP_r{rnd}.json"
         out.write_text(
             json.dumps(

@@ -24,11 +24,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 
-# r6: triangle count / knn scorer plans were rewritten (edge-iterator
-# closure; guarded repartition), so r5 rows for those queries measure
-# retired code; post-fix runs land in a fresh file, and the axis now
-# extends to sf10 (verdict r5 #1).
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r6.json"
+# r7: the LSH plane table gained distinct planes past p=12 (engaged at
+# sf10's vector count), kcore rotates checkpoint storage, and the
+# recall eval gained a size prefix-filter — fresh file so post-fix
+# runs aren't mixed with retired-plan rows.
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r7.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os
