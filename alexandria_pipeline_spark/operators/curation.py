@@ -810,12 +810,11 @@ QL_HIST_LO_E6 = -800_000  # histogram domain [lo, lo+width)
 QL_HIST_WIDTH_E6 = 480_000
 QL_HIST_BANDS = 10
 
-
-@query(
-    "corpus_quality_linear_hist",
-    oracle=f"""
-    WITH feats AS (
-      SELECT doc_id,
+# Shared scorer fragments (hist + calibration): one definition of the
+# feature fold, the integer z-score, and the band id per engine, so
+# the two read-outs can never drift apart.
+_QL_FEATS_SQL = """
+      SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
                AS n_uniq,
@@ -825,22 +824,80 @@ QL_HIST_BANDS = 10
                                 t -> CAST(length(t) AS BIGINT))),
                (a, b) -> a + b) AS BIGINT) AS sum_len
       FROM documents
-    ),
-    scored AS (
-      SELECT doc_id, n_toks,
+"""
+_QL_Z_SQL = f"""
              {QL_BIAS_E6}
              + ({QL_W_LEN_E6} * least(n_toks, 512)) // 512
              + ({QL_W_UNIQ_E6} * (n_uniq * 1000000 // n_toks)) // 1000000
              - ({QL_W_AWL_E6}
                 * abs(sum_len * 1000000 // n_toks - {QL_AWL_TARGET_E6}))
-               // {QL_AWL_TARGET_E6} AS z_e6
+               // {QL_AWL_TARGET_E6}
+"""
+_QL_BAND_SQL = f"""
+             least({QL_HIST_BANDS - 1}, greatest(0,
+               (z_e6 - {QL_HIST_LO_E6}) * {QL_HIST_BANDS}
+               // {QL_HIST_WIDTH_E6}))
+"""
+
+
+def _ql_feats(d: DataFrame) -> DataFrame:
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(w).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.aggregate(
+            F.transform(w, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+    ).filter(F.col("n_toks") > 0)
+
+
+def _ql_z_e6() -> Column:
+    return (
+        F.lit(QL_BIAS_E6)
+        + int_div(F.lit(QL_W_LEN_E6) * F.least(F.col("n_toks"), F.lit(512)), F.lit(512))
+        + int_div(
+            F.lit(QL_W_UNIQ_E6)
+            * int_div(F.col("n_uniq") * 1_000_000, F.col("n_toks")),
+            F.lit(1_000_000),
+        )
+        - int_div(
+            F.lit(QL_W_AWL_E6)
+            * F.abs(
+                int_div(F.col("sum_len") * 1_000_000, F.col("n_toks"))
+                - QL_AWL_TARGET_E6
+            ),
+            F.lit(QL_AWL_TARGET_E6),
+        )
+    )
+
+
+def _ql_band() -> Column:
+    return F.least(
+        F.lit(QL_HIST_BANDS - 1),
+        F.greatest(
+            F.lit(0),
+            int_div(
+                (F.col("z_e6") - QL_HIST_LO_E6) * QL_HIST_BANDS,
+                F.lit(QL_HIST_WIDTH_E6),
+            ),
+        ),
+    )
+
+
+@query(
+    "corpus_quality_linear_hist",
+    oracle=f"""
+    WITH feats AS ({_QL_FEATS_SQL}),
+    scored AS (
+      SELECT doc_id, n_toks, {_QL_Z_SQL} AS z_e6
       FROM feats WHERE n_toks > 0
     ),
     banded AS (
-      SELECT n_toks, z_e6,
-             least({QL_HIST_BANDS - 1}, greatest(0,
-               (z_e6 - {QL_HIST_LO_E6}) * {QL_HIST_BANDS}
-               // {QL_HIST_WIDTH_E6})) AS band
+      SELECT n_toks, z_e6, {_QL_BAND_SQL} AS band
       FROM scored
     )
     SELECT CAST(band AS INT) AS band,
@@ -866,47 +923,9 @@ def corpus_quality_linear_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this is the 100 TB-friendly form of a score-distribution
     readout."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    feats = d.select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_toks"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
-        F.aggregate(
-            F.transform(w, lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, b: a + b,
-        ).alias("sum_len"),
-    ).filter(F.col("n_toks") > 0)
-    z_e6 = (
-        F.lit(QL_BIAS_E6)
-        + int_div(F.lit(QL_W_LEN_E6) * F.least(F.col("n_toks"), F.lit(512)), F.lit(512))
-        + int_div(
-            F.lit(QL_W_UNIQ_E6)
-            * int_div(F.col("n_uniq") * 1_000_000, F.col("n_toks")),
-            F.lit(1_000_000),
-        )
-        - int_div(
-            F.lit(QL_W_AWL_E6)
-            * F.abs(
-                int_div(F.col("sum_len") * 1_000_000, F.col("n_toks"))
-                - QL_AWL_TARGET_E6
-            ),
-            F.lit(QL_AWL_TARGET_E6),
-        )
-    )
-    scored = feats.select("n_toks", z_e6.alias("z_e6"))
-    band = F.least(
-        F.lit(QL_HIST_BANDS - 1),
-        F.greatest(
-            F.lit(0),
-            int_div(
-                (F.col("z_e6") - QL_HIST_LO_E6) * QL_HIST_BANDS,
-                F.lit(QL_HIST_WIDTH_E6),
-            ),
-        ),
-    )
+    scored = _ql_feats(d).select("n_toks", _ql_z_e6().alias("z_e6"))
     return (
-        scored.withColumn("band", band)
+        scored.withColumn("band", _ql_band())
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -922,4 +941,180 @@ def corpus_quality_linear_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_tokens",
         )
         .orderBy("band")
+    )
+
+
+@query(
+    "curation_quality_calibration",
+    oracle=f"""
+    WITH feats AS ({_QL_FEATS_SQL}),
+    scored AS (
+      SELECT doc_id, lang, {_QL_Z_SQL} AS z_e6
+      FROM feats WHERE n_toks > 0
+    ),
+    banded AS (
+      SELECT lang, z_e6, {_QL_BAND_SQL} AS band
+      FROM scored
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_pos,
+           CAST(count(*) FILTER (WHERE lang = 'en') * 1000000
+                // count(*) AS BIGINT) AS pos_rate_ppm
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def curation_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear quality classifier — per
+    score band, the OBSERVED rate of a reference indicator (here
+    lang='en', the dominant corpus language standing in for a held-out
+    'good' label). This is the calibration check a curation pipeline
+    runs before trusting a quality filter's threshold: a well-
+    calibrated scorer shows pos_rate_ppm monotone in band; a flat or
+    non-monotone diagram means the threshold budget is garbage. Shares
+    the EXACT scorer fragments with corpus_quality_linear_hist (one
+    definition per engine — the two read-outs cannot drift), and the
+    same 100-TB shape: map-only feature fold, ONE 10-group aggregate,
+    no explode, no sort wider than 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_feats(d).select("lang", _ql_z_e6().alias("z_e6"))
+    return (
+        scored.withColumn("band", _ql_band())
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("n_pos"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_docs",
+            "n_pos",
+            int_div(F.col("n_pos") * 1_000_000, F.col("n_docs"))
+            .cast("long")
+            .alias("pos_rate_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely
+# its hashed-bigram bag is under a TARGET corpus model than under the
+# RAW corpus model; keep the top of the distribution. Bucket count is
+# small on purpose — the published method uses 10k buckets at web
+# scale; 64 keeps the oracle's unnest affordable while exercising the
+# identical plan shape.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 20
+
+
+@query(
+    "curation_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i ->
+               ((({duck_word_code("t[i]")}) * {SHINGLE_MULT}
+                  + ({duck_word_code("t[i+1]")})) % {SHINGLE_MOD})
+               % {DSIR_BUCKETS})) AS b
+      FROM toks
+    ),
+    bucket_stats AS (
+      SELECT b,
+             CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}')
+               AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS rb
+      FROM bg GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(tb) AS BIGINT) AS tt, CAST(sum(rb) AS BIGINT) AS rr
+      FROM bucket_stats
+    ),
+    lr AS (
+      SELECT b,
+             CAST(round(ln(((tb + 1e0) / (tt + {DSIR_BUCKETS}e0))
+                          * ((rr + {DSIR_BUCKETS}e0) / (rb + 1e0)))
+                        * 1000000) AS BIGINT) AS l_micro
+      FROM bucket_stats, tot
+    ),
+    doc_counts AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM bg
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(c * l_micro) AS BIGINT) AS dsir_score_micro
+    FROM doc_counts JOIN lr USING (b)
+    GROUP BY doc_id
+    ORDER BY dsir_score_micro DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023): hashed-bigram
+    bag-of-buckets models for the TARGET slice (lang = 'en') and the
+    RAW corpus, add-1 smoothed; each document's importance weight is
+    sum_b count_doc(b) * log-ratio(b), reported in integer micro-nats
+    so ordering and the value hash are deterministic (the per-bucket
+    log is ONE ln over doubles built with the same operation order in
+    both engines, then rounded once). Top-{DSIR_TOP_K} by score.
+
+    Plan at 100 TB: bigram buckets come from zip_with over two shifted
+    slices (linear per doc, same trick as shingle_codes); the per-doc
+    bucket histogram is one groupBy(doc_id, bucket) with map-side
+    combine; the corpus model is a SECOND aggregate over bucket alone
+    ({DSIR_BUCKETS} rows) whose log-ratio table is BROADCAST back —
+    so the score pass is one shuffle of doc-bucket counts plus a
+    broadcast join, and the final top-k is TakeOrdered, no global
+    sort. Nothing here grows with corpus size except the one
+    doc-bucket aggregate. Reference analog: the reference pipeline
+    embeds everything (run.py) — this is the published selection step
+    a 100-TB corpus runs FIRST so the expensive embedding pass sees
+    only target-like data."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    wc = F.transform(toks, word_code)
+    buckets = F.zip_with(
+        F.slice(wc, 1, n - 1),
+        F.slice(wc, 2, n - 1),
+        lambda x, y: ((x * SHINGLE_MULT + y) % SHINGLE_MOD) % DSIR_BUCKETS,
+    )
+    bg = (
+        d.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(buckets).alias("b"))
+    )
+    doc_counts = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bucket_stats = bg.groupBy("b").agg(
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long"))
+        .cast("long")
+        .alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("rb"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("tb").cast("long").alias("tt"), F.sum("rb").cast("long").alias("rr")
+    )
+    lr = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("tb") + F.lit(1.0)) / (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
+                * ((F.col("rr") + F.lit(float(DSIR_BUCKETS))) / (F.col("rb") + F.lit(1.0)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("l_micro"),
+    )
+    return (
+        doc_counts.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("l_micro")).cast("long").alias("dsir_score_micro"))
+        .orderBy(F.desc("dsir_score_micro"), "doc_id")
+        .limit(DSIR_TOP_K)
     )

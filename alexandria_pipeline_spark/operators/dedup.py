@@ -1574,11 +1574,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands/permutations BEFORE trusting a 100-TB dedup pass. The
     exact all-pairs ground truth is affordable forever because the
     sample is CONSTANT-sized — the eval cost does not grow with the
-    corpus — and (r7) a Jaccard size prefix-filter in the join
-    condition short-circuits the shingle intersection on pairs where
-    2·min(|A|,|B|) < max(|A|,|B|), which at tau=0.5 can never reach
-    threshold; candidates use the identical signature/band machinery
-    as dedup_minhash_lsh (same constants, same code paths)."""
+    corpus — and (r7) it is computed by inverted-index equi-join
+    (3·|A∩B| >= |A|+|B| decides tau = 0.5 with zero pairwise array
+    ops; see inline comment), not a broadcast nested loop; candidates
+    use the identical signature/band machinery as dedup_minhash_lsh
+    (same constants, same code paths)."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     m = max(1, n_docs // RECALL_SAMPLE_TARGET)
@@ -1589,34 +1589,38 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nc", F.size("codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    x = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"), F.col("nc").alias("na")
+    # Exact ground truth WITHOUT pairwise array ops (r6 verdict #7):
+    # the r6 form broadcast-BNL'd all ~s²/2 sample pairs and ran
+    # array_intersect + array_union per pair (~20 µs/pair — 3.8 s of
+    # the query's 5 s). Instead: inverted-index the sample (explode to
+    # (doc_id, code); codes are array_distinct, so a code equi-join
+    # counts |A∩B| exactly), and decide tau = 0.5 by the identity
+    # 2·I >= |A∪B|  ⇔  3·I >= |A| + |B|  (|A∪B| = na + nb − I) — so
+    # only pairs sharing >= 1 shingle are ever enumerated and each
+    # joined row is O(1) work instead of an O(|A|·|B|) intersect.
+    ex = docs.select("doc_id", F.explode("codes").alias("code"))
+    inter = (
+        ex.select(F.col("doc_id").alias("doc_a"), "code")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "code"), "code")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    y = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"), F.col("nc").alias("nb")
-    )
-    # Size prefix-filter (r6 verdict #7): tau = 0.5 requires
-    # 2|A∩B| >= |A∪B|, and |A∩B| <= min(|A|,|B|), |A∪B| >= max(|A|,|B|)
-    # (codes are array_distinct, so size() IS the set size), so
-    # 2*min(|A|,|B|) >= max(|A|,|B|) is a NECESSARY condition — putting
-    # it in the BNL join condition lets codegen's And short-circuit
-    # skip the O(|A|+|B|) intersect/union on size-incompatible pairs.
+    sizes = docs.select("doc_id", "nc")
     truth = (
-        F.broadcast(x)
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nc").alias("na"))),
+            "doc_a",
+        )
         .join(
-            y,
-            (F.col("doc_a") < F.col("doc_b"))
-            & (2 * F.least("na", "nb") >= F.greatest("na", "nb")),
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nc").alias("nb"))),
+            "doc_b",
         )
-        .filter(
-            2 * F.size(F.array_intersect("ca", "cb"))
-            >= F.size(F.array_union("ca", "cb"))
-        )
+        .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
         .select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exploded = docs.select("doc_id", F.explode("codes").alias("code"))
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
+    sigs = ex.groupBy("doc_id").agg(*_sig_cols())
     band_vals = F.array(
         *[
             sum(

@@ -1425,6 +1425,118 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_kmv_user_overlap",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+        ((user_id * {_KMV_A} + {_KMV_B}) % {_KMV_M} * {_KMV_A}
+          + {_KMV_B}) % {_KMV_M} AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= {KMV_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, h, max(in_a) AS ia, max(in_b) AS ib FROM (
+        SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b
+      ) GROUP BY type_a, type_b, h
+    ),
+    ranked AS (
+      SELECT type_a, type_b, ia, ib,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      FROM m
+    )
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT)     AS k_used,
+           CAST(sum(ia * ib) AS BIGINT) AS n_common,
+           CAST(sum(ia * ib) * 1000000 // count(*) AS BIGINT)
+             AS jaccard_est_ppm
+    FROM ranked WHERE rn <= {KMV_K}
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via KMV sketch ALGEBRA: for every
+    pair of event types, the Jaccard similarity of their user SETS is
+    estimated from the k-minimum-values sketches alone — |common
+    members of the union's k smallest hashes| / k (Beyer et al. 2007)
+    — never touching the raw sets pairwise. The sketch hash is the
+    same cross-engine double-LCG as agg_distinct_kmv (bijective mod
+    the Mersenne prime, so distinct users ↔ distinct hash values and
+    a shared hash across types IS a shared user), making the estimate
+    itself integer-deterministic and oracle-checked, not rows-only.
+
+    Plan at 100 TB: the ONLY corpus-scale work is distinct
+    (event_type, h) — one shuffle with map-side combine; the per-type
+    top-{KMV_K} window, the pair expansion, and the union-rank run on
+    ≤ types × {KMV_K} rows (constant). This is the shape that replaces
+    a types² self-join of user sets (quadratic in the fact table) with
+    sketch algebra on constant-size summaries."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        (F.col("user_id") * _KMV_A + _KMV_B) % _KMV_M * _KMV_A + _KMV_B
+    ) % _KMV_M
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    types = sk.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    ra = pairs.join(sk, sk["event_type"] == pairs["type_a"]).select(
+        "type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    rb = pairs.join(sk, sk["event_type"] == pairs["type_b"]).select(
+        "type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        ra.unionByName(rb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = m.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    return (
+        ranked.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_common"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "n_common",
+            int_div(F.col("n_common") * 1_000_000, F.col("k_used"))
+            .cast("long")
+            .alias("jaccard_est_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
     "sql_recursive_ancestors",
     oracle="""
     WITH RECURSIVE anc(doc_id, ancestor, depth) AS (

@@ -1800,3 +1800,137 @@ def embedding_quantization_error_eval(spark: SparkSession, sf_dir: str) -> DataF
         F.col("worst_dim_err_e6").cast("long").alias("worst_dim_err_e6"),
         "mean_dim_err_e6",
     )
+
+
+# MMR re-ranking (Carbonell & Goldstein 1998): greedy diversified
+# selection from an ANN candidate pool. Lambda = 0.5, scaled x2 so the
+# score 2*relevance - max_sim stays integer in micro-units.
+MMR_POOL = 32
+MMR_SELECT = 8
+MMR_QUERY_ID = 0
+
+
+def _duck_mmr_sql() -> str:
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {MMR_QUERY_ID}
+    ),
+    pool AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             CAST(round({duck_dot("q.q_emb", "e.embedding")} * 1000000)
+               AS BIGINT) AS rel_micro
+      FROM embeddings e, q WHERE e.vec_id <> {MMR_QUERY_ID}
+      ORDER BY rel_micro DESC, e.vec_id LIMIT {MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(round({duck_dot("a.embedding", "b.embedding")} * 1000000)
+               AS BIGINT) AS sim_micro
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel_micro, 2 * rel_micro AS mmr_micro
+      FROM pool ORDER BY rel_micro DESC, vec_id LIMIT 1
+    ),
+    cum1 AS MATERIALIZED (SELECT vec_id FROM sel1)"""
+    parts = [head]
+    for i in range(2, MMR_SELECT + 1):
+        parts.append(f""",
+    sel{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.rel_micro, 2 * p.rel_micro - ms.ms AS mmr_micro
+      FROM pool p JOIN (
+        SELECT va, max(sim_micro) AS ms FROM sims
+        WHERE vb IN (SELECT vec_id FROM cum{i - 1}) GROUP BY va
+      ) ms ON ms.va = p.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM cum{i - 1})
+      ORDER BY mmr_micro DESC, p.vec_id LIMIT 1
+    ),
+    cum{i} AS MATERIALIZED (SELECT vec_id FROM cum{i - 1}
+               UNION ALL SELECT vec_id FROM sel{i})""")
+    sels = "\n    UNION ALL ".join(
+        f"SELECT {i} AS rk, vec_id, rel_micro, mmr_micro FROM sel{i}"
+        for i in range(1, MMR_SELECT + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(rk AS INT) AS rk, vec_id, rel_micro, mmr_micro
+    FROM ({sels})
+    ORDER BY rk""")
+    return "".join(parts)
+
+
+@query("similarity_mmr_rerank", oracle=_duck_mmr_sql())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified top-k: greedily
+    pick {MMR_SELECT} results from a {MMR_POOL}-candidate ANN pool,
+    each pick maximizing 2*relevance - max_similarity_to_selected
+    (lambda = 0.5 in integer micro-units, ties by vec_id) — the
+    re-ranking step a retrieval pipeline runs so the final hits aren't
+    {MMR_SELECT} copies of the same near-duplicate passage.
+
+    Plan at 100 TB: everything CORPUS-sized is distributed — the pool
+    is a broadcast-query scan + TakeOrdered (exactly knn_brute_force's
+    shape), and the pool's pairwise sim matrix is a self-join of a
+    {MMR_POOL}-row broadcast frame. The greedy chain itself is
+    inherently sequential in k and runs on the driver over a BOUNDED
+    collect ({MMR_POOL}^2 = {MMR_POOL * MMR_POOL} integer cells, same
+    documented pattern as the PCA Gram fold — the pool size is a
+    constant of the query, not of the corpus). The oracle replays the
+    identical greedy as {MMR_SELECT} unrolled CTE stages, so the whole
+    pool->greedy pipeline is value-hash-checked cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    pool = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != MMR_QUERY_ID)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(dot("q_emb", "embedding") * 1_000_000)
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.desc("rel_micro"), "vec_id")
+        .limit(MMR_POOL)
+    )
+    pool = pool.persist()
+    a = pool.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(dot("ea", "eb") * 1_000_000).cast("long").alias("sim_micro"),
+        )
+    )
+    # bounded driver-side greedy: MMR_POOL rel rows + MMR_POOL^2 sims
+    rel = {
+        r["vec_id"]: r["rel_micro"]
+        for r in pool.select("vec_id", "rel_micro").collect()
+    }
+    sim = {(r["va"], r["vb"]): r["sim_micro"] for r in sims.collect()}
+    pool.unpersist()
+    selected: list[tuple[int, int, int, int]] = []  # (rk, vec_id, rel, mmr)
+    chosen: list[int] = []
+    for rk in range(1, MMR_SELECT + 1):
+        best = None
+        for v, rv in rel.items():
+            if v in chosen:
+                continue
+            ms = max((sim[(v, s)] for s in chosen), default=None)
+            mmr = 2 * rv if ms is None else 2 * rv - ms
+            key = (-mmr, v)
+            if best is None or key < best[0]:
+                best = (key, v, rv, mmr)
+        selected.append((rk, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "rk int, vec_id long, rel_micro long, mmr_micro long"
+    ).orderBy("rk")

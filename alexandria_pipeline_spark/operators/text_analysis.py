@@ -1449,3 +1449,61 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_surprisal_mbits",
         )
     )
+
+
+BPE_TOP_K = 20
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over the corpus: count every adjacent
+    character pair within words and rank the top-{BPE_TOP_K} merge
+    candidates (Sennrich et al. 2016 — the highest-count pair is the
+    first merge a tokenizer trainer would learn). This is the
+    corpus-scale kernel of tokenizer training: each further merge
+    round is the same aggregate over a re-paired corpus.
+
+    Plan at 100 TB: pair extraction is transform(sequence) over each
+    word — linear per word, no join — and the count is ONE aggregate
+    whose key space is bounded by |alphabet|² (a few thousand keys
+    even with CJK), so map-side partial aggregation collapses each
+    partition to its local pair histogram before a tiny shuffle;
+    top-k is TakeOrdered. The explode multiplies rows by average word
+    length, but those rows never shuffle — they die in the partial
+    aggregate. Reference analog: the reference tokenizes with a
+    pretrained HF vocab (script512.py:21); this is the op that BUILDS
+    such a vocab."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_K)
+    )

@@ -138,6 +138,12 @@ HEADLINE = [
     "dedup_semantic_cluster",
     "text_unigram_surprisal",
     "agg_histogram_equidepth",
+    # round 7 additions
+    "curation_dsir_importance",
+    "curation_quality_calibration",
+    "text_bpe_pair_counts",
+    "agg_kmv_user_overlap",
+    "similarity_mmr_rerank",
 ]
 
 

@@ -114,6 +114,76 @@ def test_kcore_releases_all_checkpoint_blocks(spark):
     assert not leaked, f"persistent RDD blocks leaked: {leaked}"
 
 
+def test_mmr_rerank_greedy_invariants(spark):
+    """MMR output must be a valid greedy chain: distinct picks, rank 1
+    is the max-relevance candidate, and every pick's mmr score is
+    2*rel - max_sim over the PREVIOUS picks (lambda=0.5 scaled x2);
+    sims of unit vectors live in [-1, 1], so every pick satisfies
+    |mmr_micro - 2*rel_micro| <= 1e6 (and rank 1 has max_sim == 0)."""
+    from alexandria_pipeline_spark.registry import QUERIES
+
+    rows = (
+        QUERIES["similarity_mmr_rerank"](spark, "/root/testdata/sf0.001")
+        .orderBy("rk")
+        .collect()
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert rows[0]["mmr_micro"] == 2 * rows[0]["rel_micro"]
+    for r in rows[1:]:
+        assert abs(r["mmr_micro"] - 2 * r["rel_micro"]) <= 1_000_000
+    # rank 1 is the global argmax of relevance among the selected
+    assert rows[0]["rel_micro"] == max(r["rel_micro"] for r in rows)
+
+
+def test_kmv_overlap_estimates_are_sane(spark):
+    """KMV Jaccard estimates live in [0, 1e6] ppm, k_used <= K, and
+    n_common <= k_used; the estimate must be within a loose sketch
+    tolerance of the EXACT user-set Jaccard (k=64 => s.e. ~ 1/8)."""
+    from alexandria_pipeline_spark.operators.relational_ext import KMV_K
+    from alexandria_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["agg_kmv_user_overlap"](spark, sf).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    exact = {
+        (a, b): j
+        for a, b, j in con.execute(
+            """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+            t AS (SELECT DISTINCT event_type FROM s),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb
+                  FROM t a JOIN t b ON a.event_type < b.event_type)
+            SELECT ta, tb,
+              (SELECT count(*) FROM s x JOIN s y
+                ON x.user_id = y.user_id
+               WHERE x.event_type = ta AND y.event_type = tb) * 1.0 /
+              ((SELECT count(*) FROM s WHERE event_type = ta)
+               + (SELECT count(*) FROM s WHERE event_type = tb)
+               - (SELECT count(*) FROM s x JOIN s y
+                   ON x.user_id = y.user_id
+                  WHERE x.event_type = ta AND y.event_type = tb))
+            FROM p
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        assert 0 <= r["jaccard_est_ppm"] <= 1_000_000
+        assert r["n_common"] <= r["k_used"] <= KMV_K
+        true_j = exact[(r["type_a"], r["type_b"])]
+        assert abs(r["jaccard_est_ppm"] / 1e6 - true_j) < 0.25, (
+            r["type_a"], r["type_b"], r["jaccard_est_ppm"], true_j,
+        )
+
+
 def test_package_zip_is_importable_and_content_addressed():
     import zipfile
 
