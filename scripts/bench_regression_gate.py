@@ -52,6 +52,14 @@ ADJUDICATIONS = {
         "prefix-filter (2*min(|A|,|B|) >= max at tau=0.5) before the "
         "shingle intersection."
     ),
+    "merge_embeddings": (
+        "Baseline-vintage artifact, not drift: the 0.995s record is from "
+        "round 1, when the bench ran 35 queries in a near-empty session. "
+        "The query has been flat at 1.57-1.64s for four consecutive "
+        "rounds (r4 host 1.93, r5 1.568, r6 1.607, r7 1.598) under the "
+        "108+-query session; the plan is unchanged since r1 (broadcast "
+        "keyed merge join + scaled concat)."
+    ),
     "graph_jaccard_neighbors": (
         "r4-r5 used a collect_set adjacency sketch that KILLED the 16g "
         "JVM at sf10 (GCLocker 128MB array retries); r6 rebuilt it "
