@@ -455,10 +455,11 @@ def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
     return bytes(out)
 
 
-def decode_wav_pcm16(data: bytes) -> tuple[int, int, int, int, int]:
+def decode_wav_samples(data: bytes) -> tuple[int, "np.ndarray"]:
     """Walk the RIFF chunks of a PCM16 mono WAV; returns
-    (sample_rate, n_samples, sum_abs, sum_sq, peak) with exact integer
-    sums. Raises ValueError on anything that isn't PCM16 mono."""
+    (sample_rate, samples as int64 array). Raises ValueError on
+    anything that isn't PCM16 mono — the shared byte-walk under both
+    the stats decode and the loudness analysis."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, samples = 12, None, None
@@ -477,6 +478,13 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, int, int, int, int]:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, n_samples, sum_abs, sum_sq, peak) with exact
+    integer sums, from the shared RIFF walk."""
+    rate, samples = decode_wav_samples(data)
     a = np.abs(samples)
     sum_abs = int(a.sum())
     sum_sq = int((samples * samples).sum())
@@ -1226,4 +1234,104 @@ def multimodal_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="media_id long, n_frames long, n_cuts long, first_cut_idx long",
         )
         .orderBy("media_id")
+    )
+
+
+# Loudness normalization target: RMS 16384 (half full-scale) in e3
+# fixed point — the level a speech pipeline normalizes clips to before
+# feature extraction.
+AUDIO_TARGET_RMS_E3 = 16_384_000
+
+
+@query(
+    "multimodal_audio_loudness",
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_samples
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n_samples,
+             CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT) AS s
+      FROM spec
+      CROSS JOIN LATERAL (SELECT unnest(range(0, n_samples)) AS k)
+    ),
+    st AS (
+      SELECT doc_id, n_samples, CAST(sum(s * s) AS BIGINT) AS sum_sq
+      FROM px GROUP BY doc_id, n_samples
+    ),
+    g AS (
+      SELECT doc_id, n_samples,
+             GREATEST(CAST(floor(sqrt(CAST(sum_sq * 1000000 // n_samples
+                                           AS DOUBLE))) AS BIGINT), 1) AS rms_e3
+      FROM st
+    ),
+    gg AS (
+      SELECT doc_id, n_samples, rms_e3,
+             CAST({AUDIO_TARGET_RMS_E3} AS BIGINT) * 1000000 // rms_e3
+               AS gain_e6
+      FROM g
+    )
+    SELECT gg.doc_id AS media_id, gg.n_samples, gg.rms_e3, gg.gain_e6,
+           CAST(count(*) FILTER (WHERE abs(p.s) * gg.gain_e6
+                                 > CAST(32767 AS BIGINT) * 1000000)
+             AS BIGINT) AS n_clipped
+    FROM gg JOIN px p ON p.doc_id = gg.doc_id
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization report over REAL decoded audio: per
+    clip, integer RMS (e3 fixed point), the gain (e6) that would bring
+    it to the target level, and how many samples would CLIP at that
+    gain — the decision table a speech-data pipeline computes before
+    normalizing (clips with high n_clipped need a limiter, not a gain).
+    The clip test |s|·gain_e6 > 32767·10^6 is pure int64, and the RMS
+    uses floor(sqrt(double)) computed identically in both engines (the
+    argument is < 2^53, so the double is the exact integer). Payloads
+    are decoded by the same RIFF byte-walk as multimodal_decode_wav —
+    a hash match proves the round-trip AND the analysis. Map-only
+    plan: payload bytes never shuffle, one row out per clip."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_samples", "rms_e3", "gain_e6", "n_clipped"
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, samples = decode_wav_samples(bytes(payload))
+                except ValueError:
+                    continue
+                n = len(samples)
+                if n == 0:
+                    continue
+                sum_sq = int((samples * samples).sum())
+                rms_e3 = max(
+                    int(math.floor(math.sqrt(float(sum_sq * 1_000_000 // n)))), 1
+                )
+                gain_e6 = AUDIO_TARGET_RMS_E3 * 1_000_000 // rms_e3
+                n_clip = int(
+                    (np.abs(samples) * gain_e6 > 32767 * 1_000_000).sum()
+                )
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["rms_e3"].append(rms_e3)
+                rows["gain_e6"].append(gain_e6)
+                rows["n_clipped"].append(n_clip)
+            yield pd.DataFrame(rows)
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [wav_formula_payload(did) for did in ids]}
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return media.mapInPandas(
+        run,
+        "media_id long, n_samples int, rms_e3 long, gain_e6 long, n_clipped long",
     )

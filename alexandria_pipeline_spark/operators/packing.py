@@ -753,3 +753,117 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# Cluster-safe split hash: the KMV family's wrapping double-LCG over
+# the cluster ROOT id (not the doc id), so every member of a near-dup
+# cluster lands in the same split by construction.
+from alexandria_pipeline_spark.operators.dedup import (  # noqa: E402
+    connected_components_from_pairs,
+)
+from alexandria_pipeline_spark.operators.relational_ext import (  # noqa: E402
+    _KMV_A,
+    _KMV_B,
+    _KMV_M,
+)
+
+
+@query(
+    "corpus_split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.root, d.doc_id) AS root
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    tagged AS (
+      SELECT doc_id, root,
+             CASE WHEN ((root * {_KMV_A} + {_KMV_B}) % {_KMV_M} * {_KMV_A}
+                        + {_KMV_B}) % {_KMV_M} % 100 < {TRAIN_CUT} THEN 'train'
+                  WHEN ((root * {_KMV_A} + {_KMV_B}) % {_KMV_M} * {_KMV_A}
+                        + {_KMV_B}) % {_KMV_M} % 100 < {VAL_CUT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    ),
+    leaks AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leak_pairs
+      FROM pairs p
+      JOIN tagged a ON a.doc_id = p.doc_a
+      JOIN tagged b ON b.doc_id = p.doc_b
+      WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_clusters,
+           (SELECT n_leak_pairs FROM leaks) AS n_leak_pairs
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def corpus_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split ASSIGNMENT — the fix for what
+    split_leakage_audit detects: hash the near-dup CLUSTER ROOT (min
+    doc_id of each connected component of the verified MinHash pair
+    graph; singletons root at themselves), not the document, so a
+    near-dup pair can never straddle train/eval. The read-out carries
+    the audit IN-QUERY: n_leak_pairs joins the pair graph against the
+    final assignment and must be 0 — a value the oracle hash actually
+    proves, not a claim. This is the split discipline real LLM data
+    pipelines adopt after their first contaminated eval.
+
+    Composition at scale: pair graph (ids only — text never moves) →
+    the shared min-label-propagation CC core (per-round cost bounded
+    by the pair graph, not the corpus) → a map-only split tag on the
+    full corpus via a LEFT join against the component labels (labels
+    frame is pair-graph-sized, broadcastable in practice) → one
+    split-cardinality aggregate + a pair-graph-sized audit join. The
+    oracle nests the minhash SQL inside a recursive closure and
+    replays the same LCG split hash, hash-checking pair gen →
+    clustering → assignment → audit end-to-end."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_from_pairs(pairs, "doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.join(
+        labels.select(F.col("node").alias("doc_id"), F.col("lab")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("lab", "doc_id").alias("root"))
+    slot = (
+        (F.col("root") * _KMV_A + _KMV_B) % _KMV_M * _KMV_A + _KMV_B
+    ) % _KMV_M % 100
+    tagged = assigned.select(
+        "doc_id",
+        "root",
+        F.when(slot < TRAIN_CUT, F.lit("train"))
+        .when(slot < VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    ta = tagged.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    tb = tagged.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leak_pairs"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("root").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_clusters", "n_leak_pairs")
+        .orderBy("split")
+    )

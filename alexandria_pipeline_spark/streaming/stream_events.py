@@ -23,6 +23,12 @@ from alexandria_pipeline_spark.catalog import (
     _ensure_event_time_confs,
     normalize_event_ts,
 )
+from alexandria_pipeline_spark.operators.relational_ext import (
+    KMV_K,
+    _KMV_A,
+    _KMV_B,
+    _KMV_M,
+)
 from alexandria_pipeline_spark.registry import query
 
 
@@ -712,6 +718,199 @@ def stream_ewma_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_prior long, spike_flag int"
         ),
         stateStructType="ewma long, last_hour long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update").orderBy("event_type", "hour_s")
+
+
+@query(
+    "stream_kmv_distinct_users",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+        ((user_id * {_KMV_A} + {_KMV_B}) % {_KMV_M} * {_KMV_A}
+          + {_KMV_B}) % {_KMV_M} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact_h
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(LEAST(n_exact_h, {KMV_K}) AS INT) AS k_used,
+           CAST(CASE WHEN n_exact_h < {KMV_K} THEN n_exact_h
+                     ELSE CAST({KMV_K} - 1 AS BIGINT) * {_KMV_M} // h
+                END AS BIGINT) AS est_distinct
+    FROM ranked
+    WHERE rn = CASE WHEN n_exact_h < {KMV_K} THEN 1 ELSE {KMV_K} END
+    ORDER BY event_type
+    """,
+)
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user counting as MERGEABLE SKETCH STATE: per
+    event type, the KMV sketch (k smallest values of the cross-engine
+    LCG hash over user_id) is carried across micro-batches in
+    applyInPandasWithState — each batch folds its new hashes into the
+    sketch and re-emits the current estimate. This is the always-on
+    cardinality monitor a 100-TB event pipeline runs where exact
+    distinct is unaffordable: state is a FIXED {KMV_K} longs per key
+    forever (vs. dropDuplicates' unbounded key set), and because the
+    sketch is a pure min-merge, late or replayed data can only refine
+    it — no ordering assumptions at all (unlike the EWMA monitor's
+    in-order recurrence). The oracle recomputes the same estimator
+    ((k-1)*M // h_k, exact below k) from the full table with the same
+    integer hash, so the ESTIMATE itself is value-hash-checked, same
+    contract as the batch twin agg_distinct_kmv."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        ks: list[int] = list(state.get[0]) if state.exists else []
+        s = set(ks)
+        for pdf in pdfs:
+            u = pdf["user_id"].astype("int64")
+            h = ((u * _KMV_A + _KMV_B) % _KMV_M * _KMV_A + _KMV_B) % _KMV_M
+            s.update(int(x) for x in h.unique())
+        ks = sorted(s)[:KMV_K]
+        state.update((ks,))
+        if len(ks) < KMV_K:
+            k_used, est = len(ks), len(ks)
+        else:
+            k_used, est = KMV_K, (KMV_K - 1) * _KMV_M // ks[KMV_K - 1]
+        yield pd.DataFrame(
+            [{"event_type": key[0], "k_used": k_used, "est_distinct": est}]
+        )
+
+    out = (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, k_used int, est_distinct long",
+            stateStructType="ks array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update").orderBy("event_type")
+
+
+def _tdiv2(x: int) -> int:
+    """Halve with truncation toward ZERO: DuckDB's // truncates
+    (-7 // 2 = -3) while Python's floors (-4); the Holt trend term
+    goes negative on declining series, so the state fold must match
+    the oracle's truncating semantics explicitly."""
+    return x // 2 if x >= 0 else -((-x) // 2)
+
+
+@query(
+    "stream_holt_trend_flags",
+    oracle="""
+    WITH RECURSIVE per_hour AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hour_s, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_s) AS rn
+      FROM per_hour
+    ),
+    rec AS (
+      SELECT event_type, hour_s, n, rn,
+             n AS l, CAST(0 AS BIGINT) AS b,
+             CAST(NULL AS BIGINT) AS forecast_prior
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.hour_s, r.n, r.rn,
+             (p.l + p.b + r.n) // 2 AS l,
+             (((p.l + p.b + r.n) // 2 - p.l) + p.b) // 2 AS b,
+             p.l + p.b
+      FROM ranked r JOIN rec p
+        ON p.event_type = r.event_type AND r.rn = p.rn + 1
+    )
+    SELECT event_type, CAST(hour_s AS BIGINT) AS hour_s,
+           n AS n_events,
+           coalesce(forecast_prior, -1) AS forecast_prior,
+           CAST(CASE WHEN forecast_prior IS NULL THEN 0
+                     ELSE CAST(n > 2 * forecast_prior AS INT) END AS INT)
+             AS spike_flag
+    FROM rec ORDER BY event_type, hour_s
+    """,
+)
+def stream_holt_trend_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) as streaming
+    state — the EWMA spike monitor's big brother for series with
+    drift: a steadily-growing stream makes a level-only EWMA lag
+    permanently and fire false spikes, while Holt's trend term b
+    absorbs the slope. Integer recurrences with alpha = beta = 1/2:
+    l' = (l + b + n) div 2, b' = ((l' - l) + b) div 2 (truncating
+    division toward zero in BOTH engines — see _tdiv2; the trend term
+    goes negative on declining series where floor and trunc differ).
+    Each hour is flagged against the PRIOR forecast l + b, so a spike
+    cannot suppress its own alarm; late hours are dropped, matching
+    the ordered recursive-CTE oracle under any batch split. State is
+    three integers per event type — constant bytes per key at any
+    scale."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            lvl, trend, last_hour = state.get
+        else:
+            lvl, trend, last_hour = -1, 0, -1
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            hours = (pdf["ts"].astype("int64") // 10**9 // 3600) * 3600
+            for h, c in hours.value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+        rows = []
+        for h in sorted(counts):
+            n = counts[h]
+            if h <= last_hour:
+                continue  # late hour: the recurrence is order-defined
+            if lvl < 0:
+                prior, lvl, trend = -1, n, 0
+                flag = 0
+            else:
+                f = lvl + trend
+                prior = f
+                flag = int(n > 2 * f)
+                new_l = _tdiv2(f + n)
+                trend = _tdiv2((new_l - lvl) + trend)
+                lvl = new_l
+            rows.append(
+                {
+                    "event_type": key[0],
+                    "hour_s": h,
+                    "n_events": n,
+                    "forecast_prior": prior,
+                    "spike_flag": flag,
+                }
+            )
+            last_hour = h
+        state.update((int(lvl), int(trend), int(last_hour)))
+        yield pd.DataFrame(rows)
+
+    out = events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, hour_s long, n_events long, "
+            "forecast_prior long, spike_flag int"
+        ),
+        stateStructType="l long, b long, last_hour long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

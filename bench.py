@@ -144,6 +144,7 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "agg_kmv_user_overlap",
     "similarity_mmr_rerank",
+    "multimodal_audio_loudness",
 ]
 
 

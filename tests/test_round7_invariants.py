@@ -197,3 +197,101 @@ def test_package_zip_is_importable_and_content_addressed():
     assert "alexandria_pipeline_spark/__init__.py" in names
     assert "alexandria_pipeline_spark/operators/multimodal.py" in names
     assert all(n.endswith(".py") for n in names)
+
+
+def _staged_two_batch_sf(rows_filter_a, rows_filter_b, tag: str) -> str:
+    """Build a temp sf_dir whose streaming stage contains TWO parquet
+    files (batch A then batch B), exercising real cross-micro-batch
+    state in applyInPandasWithState. Mirrors read_events_stream's
+    staging layout: {sf_dir}/events.parquet symlinks in as file 0000;
+    we pre-create the stage dir and drop file 0001 next to it with a
+    later mtime (FileStreamSource picks oldest-first)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    a = src.filter(rows_filter_a(src))
+    b = src.filter(rows_filter_b(src))
+    assert a.num_rows + b.num_rows == src.num_rows
+    sf_dir = tempfile.mkdtemp(prefix=f"apspark_2batch_{tag}_")
+    pq.write_table(a, f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "apspark_stream_src_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    pq.write_table(b, os.path.join(stage, "events-0001.parquet"))
+    now = os.path.getmtime(os.path.join(stage, "events-0001.parquet"))
+    # the symlink target's mtime governs; backdate file A's source
+    os.utime(f"{sf_dir}/events.parquet", (now - 60, now - 60))
+    return sf_dir
+
+
+def test_stream_kmv_state_is_order_independent_across_batches(spark):
+    """The KMV sketch is a pure min-merge: splitting the input into two
+    micro-batches by event_id PARITY (arbitrary order, no time
+    structure) must converge to the same final per-type estimate as the
+    single-batch run — the order-independence claim in the docstring,
+    exercised against real cross-batch state."""
+    import pyarrow.compute as pc
+
+    from alexandria_pipeline_spark.registry import QUERIES
+
+    sf2 = _staged_two_batch_sf(
+        lambda t: pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0),
+        lambda t: pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 1),
+        "kmv",
+    )
+    got = QUERIES["stream_kmv_distinct_users"](spark, sf2).collect()
+    # est is monotone non-decreasing as elements merge in (h_k can only
+    # shrink), so the final state row per type is the max (k_used, est)
+    final = {}
+    for r in got:
+        key = r["event_type"]
+        cand = (r["k_used"], r["est_distinct"])
+        if key not in final or cand > final[key]:
+            final[key] = cand
+    want = {
+        r["event_type"]: (r["k_used"], r["est_distinct"])
+        for r in QUERIES["stream_kmv_distinct_users"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert final == want
+
+
+def test_stream_holt_in_order_batches_match_single_batch(spark):
+    """Holt's recurrence is order-defined; split at an exact HOUR
+    boundary (no hour spans both batches) and the union of per-batch
+    emissions must equal the single-batch series row-for-row."""
+    import pyarrow.compute as pc
+
+    from alexandria_pipeline_spark.registry import QUERIES
+
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ts_sorted = sorted(src.column("ts").to_pylist())
+    cut_wall = ts_sorted[len(ts_sorted) // 2].replace(
+        minute=0, second=0, microsecond=0
+    )
+    sf2 = _staged_two_batch_sf(
+        lambda t: pc.less(t.column("ts"), cut_wall),
+        lambda t: pc.greater_equal(t.column("ts"), cut_wall),
+        "holt",
+    )
+    key = lambda r: (r["event_type"], r["hour_s"])  # noqa: E731
+    got = {
+        key(r): (r["n_events"], r["forecast_prior"], r["spike_flag"])
+        for r in QUERIES["stream_holt_trend_flags"](spark, sf2).collect()
+    }
+    want = {
+        key(r): (r["n_events"], r["forecast_prior"], r["spike_flag"])
+        for r in QUERIES["stream_holt_trend_flags"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
