@@ -1118,3 +1118,105 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score_micro"), "doc_id")
         .limit(DSIR_TOP_K)
     )
+
+
+# Semantic decontamination: the eval set is a deterministic 1-in-97
+# slice of the vector space standing in for a benchmark's embedded
+# prompts; train vectors within DECONTAM_COS of an eval vector are
+# paraphrase-level contamination the n-gram overlap pass cannot see.
+DECONTAM_EVAL_MOD = 97
+DECONTAM_COS = 0.35
+
+from alexandria_pipeline_spark.functions.vectors import (  # noqa: E402
+    dot as _vdot,
+    duck_dot as _duck_vdot,
+)
+
+
+@query(
+    "decontam_embedding_cosine",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding AS e_emb
+      FROM embeddings WHERE vec_id % {DECONTAM_EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {DECONTAM_EVAL_MOD} <> 0
+    ),
+    scored AS (
+      SELECT ev.eval_id, tr.vec_id,
+             {_duck_vdot('ev.e_emb', 'tr.embedding')} AS s
+      FROM ev CROSS JOIN tr
+    ),
+    flagged AS (
+      SELECT eval_id, vec_id, s FROM scored WHERE s >= {DECONTAM_COS}
+    )
+    SELECT ev.eval_id,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(f.best_id, -1) AS BIGINT) AS best_match_id,
+           round(coalesce(f.best_s, 0e0), 6) + 0 AS best_cos
+    FROM ev LEFT JOIN (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n,
+             (min(struct_pack(ns := -s, vid := vec_id))).vid AS best_id,
+             max(s) AS best_s
+      FROM flagged GROUP BY eval_id
+    ) f ON f.eval_id = ev.eval_id
+    ORDER BY ev.eval_id
+    """,
+)
+def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the tier above decontam_ngram_overlap:
+    flag training vectors whose cosine to any held-out eval vector
+    clears the threshold, catching paraphrased / translated benchmark
+    leakage that shares no 8-gram with the original (the gap the
+    n-gram pass is blind to; cf. the contamination analyses in GPT-4
+    / Llama reports, which run exactly this embedding pass). Eval set
+    = the deterministic 1-in-{DECONTAM_EVAL_MOD} vector slice;
+    vectors are unit-norm so dot = cosine. Per eval item: how many
+    train vectors are contaminated, the worst offender (max sim, ties
+    to the smaller id), and its similarity.
+
+    Plan at 100 TB: eval sets are small and FIXED (a benchmark suite,
+    not a corpus) — broadcast the eval matrix and scan the train side
+    ONCE with a codegen'd dot fold; only above-threshold pairs leave
+    the scan, then one eval-keyed aggregate over a contamination-sized
+    frame. No shuffle touches the train corpus. The argmax is the
+    struct-min idiom (min over (-sim, id)) so the tie-break is exact;
+    best_cos rounds the same double both engines computed from the
+    same fold order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % DECONTAM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    tr = e.filter(F.col("vec_id") % DECONTAM_EVAL_MOD != 0)
+    flagged = (
+        F.broadcast(ev)
+        .crossJoin(tr)
+        .select(
+            "eval_id",
+            "vec_id",
+            _vdot("e_emb", "embedding").alias("s"),
+        )
+        .filter(F.col("s") >= DECONTAM_COS)
+    )
+    agg = flagged.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.struct(-F.col("s"), F.col("vec_id"))).alias("best"),
+        F.max("s").alias("best_s"),
+    )
+    return (
+        ev.select("eval_id")
+        .join(agg, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(F.col("best.vec_id"), F.lit(-1))
+            .cast("long")
+            .alias("best_match_id"),
+            (F.round(F.coalesce(F.col("best_s"), F.lit(0.0)), 6) + 0.0).alias(
+                "best_cos"
+            ),
+        )
+        .orderBy("eval_id")
+    )

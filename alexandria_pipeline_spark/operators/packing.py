@@ -867,3 +867,78 @@ def corpus_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_clusters", "n_leak_pairs")
         .orderBy("split")
     )
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, lang_tokens,
+             CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS tw
+      FROM per_lang
+    ),
+    tot AS (
+      SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(tw) AS BIGINT) AS total_tw
+      FROM w
+    )
+    SELECT lang, n_docs, lang_tokens,
+           CAST(lang_tokens * 1000000 // total_tokens AS BIGINT)
+             AS raw_share_ppm,
+           CAST(tw * 1000000 // total_tw AS BIGINT) AS temp_share_ppm,
+           CAST((tw * 1000000 // total_tw) * 1000
+                // (lang_tokens * 1000000 // total_tokens) AS BIGINT)
+             AS boost_e3
+    FROM w, tot
+    ORDER BY lang
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language sampling shares (the mT5 / XLM-R
+    scheme, Xue et al. 2021 §3.1 with alpha = 0.5): sampling weight
+    proportional to (lang_tokens)^alpha, i.e. an integer floor(sqrt),
+    so low-resource languages are upsampled relative to their raw
+    token share without letting the head language dominate — the knob
+    between corpus_mix_weights' uniform target (alpha = 0) and
+    natural sampling (alpha = 1). boost_e3 > 1000 marks languages the
+    temperature boosts. All shares are exact truncating ppm; sqrt runs
+    on an integer < 2^53 whose double image is exact, and floor(sqrt)
+    is then engine-identical.
+
+    Plan at 100 TB: identical to corpus_mix_weights — ONE token-count
+    aggregate keyed by lang (the only data-sized shuffle, map-side
+    combined), a 1-row totals aggregate broadcast back, map-only
+    arithmetic after that. Languages are the group key, so the output
+    is bounded by the language inventory at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tok("text")).alias("lang_tokens"),
+    )
+    w = per_lang.withColumn(
+        "tw", F.floor(F.sqrt(F.col("lang_tokens").cast("double"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.sum("tw").alias("total_tw"),
+    )
+    raw_share = int_div(F.col("lang_tokens") * 1_000_000, F.col("total_tokens"))
+    temp_share = int_div(F.col("tw") * 1_000_000, F.col("total_tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            raw_share.alias("raw_share_ppm"),
+            temp_share.alias("temp_share_ppm"),
+            int_div(temp_share * 1_000, raw_share).alias("boost_e3"),
+        )
+        .orderBy("lang")
+    )

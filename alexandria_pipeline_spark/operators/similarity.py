@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
 from alexandria_pipeline_spark.functions.exact import int_div
-from alexandria_pipeline_spark.functions.vectors import dot, duck_dot
+from alexandria_pipeline_spark.functions.vectors import (
+    cosine,
+    dot,
+    duck_cosine,
+    duck_dot,
+)
 from alexandria_pipeline_spark.operators.dedup import (
     _DUCK_PLANES_CTE,
     _duck_bucket,
@@ -1934,3 +1939,103 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rk int, vec_id long, rel_micro long, mmr_micro long"
     ).orderBy("rk")
+
+
+# Matryoshka truncation eval: how much retrieval quality survives when
+# vectors are cut to their first MAT_DIM dims (Kusupati et al. 2022 —
+# MRL trains prefixes to be usable embeddings; serving at half width
+# halves index memory and doubles scan throughput IF recall holds).
+MAT_DIM = 32
+
+
+@query(
+    "embedding_matryoshka_eval",
+    oracle=f"""
+    WITH gt AS ({{_BF}}),
+    q AS (
+      SELECT vec_id AS query_id, embedding[1:{MAT_DIM}] AS q_emb
+      FROM embeddings WHERE vec_id IN {{QIDS}}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {{COS}} AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+        FROM scored)
+      WHERE rk <= {{K}}
+    )
+    SELECT gt.query_id,
+           CAST(count(*) AS BIGINT)               AS k,
+           CAST(count(tr.neighbor_id) AS BIGINT)  AS n_matched,
+           CAST(count(tr.neighbor_id) * 100 // count(*) AS BIGINT)
+             AS recall_pct
+    FROM gt LEFT JOIN tr
+      ON gt.query_id = tr.query_id AND gt.neighbor_id = tr.neighbor_id
+    GROUP BY gt.query_id
+    """.format(
+        _BF=ORACLES["knn_brute_force"],
+        QIDS=QUERY_IDS,
+        K=TOP_K,
+        COS=duck_cosine("q.q_emb", f"e.embedding[1:{MAT_DIM}]"),
+    ),
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@k of a HALF-WIDTH prefix
+    search (first {MAT_DIM} of {EMBED_DIM} dims, re-normalized cosine
+    — truncation breaks unit norm, so the score is a full cosine, not
+    a dot) against the full-dimension exact top-k. This is the
+    go/no-go table for serving truncated embeddings (half the index
+    bytes, twice the scan rate): high recall says the prefix carries
+    the ranking signal; low recall says the model wasn't
+    Matryoshka-trained and truncation is not free.
+
+    Plan: both legs are the broadcast-query scan of knn_brute_force —
+    narrow stages scoring N·Q pairs with a codegen'd fold, only k·Q
+    rows surviving to the windowed rank; the eval join is k·Q rows.
+    Cross-engine floats: slice-then-fold in identical order on both
+    sides, one division by a product of two sqrts — bitwise-equal
+    doubles, so the rank (and therefore the integer recall) is
+    hash-stable."""
+    gt = QUERIES["knn_brute_force"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, MAT_DIM).alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.slice("embedding", 1, MAT_DIM)).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    tr = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid"))
+    )
+    j = gt.join(
+        tr,
+        (gt.query_id == tr.t_qid) & (gt.neighbor_id == tr.t_nid),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("t_nid").alias("n_matched"),
+        F.expr("count(t_nid) * 100 div count(1)").alias("recall_pct"),
+    )

@@ -1675,3 +1675,109 @@ def orders_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ewma").alias("ewma_cents"),
         (F.col("arev") > EWMA_SPIKE_MULT * F.col("ewma")).cast("int").alias("spike_flag"),
     ).orderBy("day")
+
+
+@query(
+    "orders_holt_linear_trend",
+    oracle="""
+    WITH RECURSIVE per_day AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT prio, d, rev,
+             row_number() OVER (PARTITION BY prio ORDER BY d) AS rn
+      FROM per_day
+    ),
+    rec AS (
+      SELECT prio, d, rev, rn, rev AS l, CAST(0 AS BIGINT) AS b,
+             CAST(NULL AS BIGINT) AS forecast_prior
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.prio, r.d, r.rev, r.rn,
+             (p.l + p.b + r.rev) // 2 AS l,
+             (((p.l + p.b + r.rev) // 2 - p.l) + p.b) // 2 AS b,
+             p.l + p.b
+      FROM ranked r JOIN rec p ON p.prio = r.prio AND r.rn = p.rn + 1
+    )
+    SELECT prio, d AS day, rev AS rev_cents,
+           coalesce(forecast_prior, -1) AS forecast_cents,
+           CAST(CASE WHEN forecast_prior IS NULL THEN 0
+                     ELSE CAST(rev > 2 * forecast_prior AS INT) END AS INT)
+             AS spike_flag
+    FROM rec ORDER BY prio, d
+    """,
+)
+def orders_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over daily
+    revenue per order priority — the BATCH twin of
+    stream_holt_trend_flags, completing the batch/stream pair the
+    coverage table tracks: same integer recurrence (alpha = beta =
+    1/2, truncating division toward zero — DuckDB's // truncates
+    while Python floors, and the trend term goes negative on
+    declining series), same prior-forecast spike flag.
+
+    Plan shape: the fact table collapses to <= span-days rows per
+    priority in ONE map-side-combined groupBy; the recurrence itself
+    is order-DEFINED, so it runs in applyInPandas over the collapsed
+    frame — sequential in t WITHIN a group (inherent to the
+    recurrence, bounded by calendar days not data volume) and
+    parallel ACROSS groups. That is the correct 100-TB decomposition:
+    the only data-sized work is the first aggregate; the Python stage
+    touches SF-invariant row counts. The oracle replays the identical
+    recurrence as an ordered recursive CTE."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    per_day = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("rev_cents")
+    )
+
+    def tdiv2(x: int) -> int:
+        return x // 2 if x >= 0 else -((-x) // 2)
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        # None sentinel, NOT -1: the Holt level itself goes negative
+        # on declining series, and a negative-value sentinel would
+        # silently restart the recurrence mid-series.
+        lvl, trend = None, 0
+        fc, fl = [], []
+        for rev in pdf["rev_cents"]:
+            rev = int(rev)
+            if lvl is None:
+                fc.append(-1)
+                fl.append(0)
+                lvl, trend = rev, 0
+            else:
+                f = lvl + trend
+                fc.append(f)
+                fl.append(int(rev > 2 * f))
+                new_l = tdiv2(f + rev)
+                trend = tdiv2((new_l - lvl) + trend)
+                lvl = new_l
+        pdf["forecast_cents"] = pd.Series(fc, dtype="int64")
+        pdf["spike_flag"] = pd.Series(fl, dtype="int32")
+        return pdf
+
+    return (
+        per_day.groupBy("prio")
+        .applyInPandas(
+            holt,
+            "prio string, day long, rev_cents long, "
+            "forecast_cents long, spike_flag int",
+        )
+        .orderBy("prio", "day")
+    )

@@ -881,7 +881,13 @@ def stream_holt_trend_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = counts[h]
             if h <= last_hour:
                 continue  # late hour: the recurrence is order-defined
-            if lvl < 0:
+            # init test is last_hour < 0 (hours are epoch seconds), NOT
+            # lvl < 0: the Holt LEVEL can legitimately go negative on a
+            # declining series, and a negative-level sentinel would
+            # silently restart the recurrence mid-stream (caught when
+            # the batch twin orders_holt_linear_trend hit real negative
+            # levels on declining revenue).
+            if last_hour < 0:
                 prior, lvl, trend = -1, n, 0
                 flag = 0
             else:

@@ -145,6 +145,10 @@ HEADLINE = [
     "agg_kmv_user_overlap",
     "similarity_mmr_rerank",
     "multimodal_audio_loudness",
+    "corpus_mix_temperature",
+    "orders_holt_linear_trend",
+    "embedding_matryoshka_eval",
+    "decontam_embedding_cosine",
 ]
 
 
