@@ -1220,3 +1220,130 @@ def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): documents are
+# split per language into head/middle/tail terciles of LM perplexity;
+# training mixes take head+middle and drop (or heavily subsample) the
+# tail. Surprisal bands for the two-phase rank: mbits div 500 keeps the
+# per-lang band inventory small at any corpus size.
+CCNET_BAND = 500
+
+
+@query(
+    "corpus_ccnet_perplexity_buckets",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf),
+    bits AS (
+      SELECT tok, CAST(length(bin(n // tf)) - 1 AS BIGINT) AS sbits
+      FROM tf CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT o.doc_id, any_value(o.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(b.sbits) AS BIGINT) AS sum_bits
+      FROM occ o JOIN bits b USING (tok)
+      GROUP BY o.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_toks,
+             sum_bits * 1000 // n_toks AS mbits
+      FROM per_doc
+    ),
+    ranked AS (
+      SELECT lang, n_toks, mbits,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY mbits, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nl
+      FROM scored
+    )
+    SELECT lang, CAST((rn - 1) * 3 // nl AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(min(mbits) AS BIGINT) AS min_mbits,
+           CAST(max(mbits) AS BIGINT) AS max_mbits
+    FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+)
+def corpus_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, rank documents by LM surprisal (the integer-exact
+    unigram proxy of text_unigram_surprisal — floor(log2(N/tf)) bits,
+    no float anywhere) and cut into terciles; bucket 0 (head) is the
+    fluent text a pretraining mix keeps outright, bucket 2 (tail) is
+    what it drops or heavily subsamples. The read-out is the decision
+    table: docs/tokens per (lang, bucket) plus the tercile's surprisal
+    range — the cut thresholds a production filter would then apply
+    map-only to new data.
+
+    The per-lang global rank does NOT sort a language's documents in
+    one partition (a 100-TB corpus can be 90% one language — the
+    skew hazard): surprisal bands (mbits div {B}, a bounded
+    inventory) carry exclusive count offsets through a band-only
+    window partitioned by lang, and the within-band row_number is
+    partitioned by (lang, band) — the same two-phase banded rewrite
+    as curation_quality_decile_budget, with the lang key carried
+    through. LM cost: one explode -> tf aggregate, vocab-keyed join
+    back, one doc aggregate — shared shape with the surprisal
+    query.""".replace("{B}", str(CCNET_BAND))
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    bits = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.expr("bin(n div tf)")) - 1).cast("long").alias("sbits"),
+    )
+    scored = (
+        occ.join(bits, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("sbits").cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.expr("sum_bits * 1000 div n_toks").alias("mbits"),
+        )
+    )
+    banded = scored.withColumn("band", F.expr(f"mbits div {CCNET_BAND}"))
+    band_cnt = banded.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_bands = (
+        Window.partitionBy("lang")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_cnt.select(
+        "lang",
+        "band",
+        F.coalesce(F.sum("bn").over(w_bands), F.lit(0)).alias("off"),
+    )
+    nl = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    w_in = Window.partitionBy("lang", "band").orderBy("mbits", "doc_id")
+    ranked = (
+        banded.join(F.broadcast(offsets), ["lang", "band"])
+        .withColumn("rn", F.col("off") + F.row_number().over(w_in))
+        .join(F.broadcast(nl), "lang")
+    )
+    return (
+        ranked.groupBy(
+            "lang", F.expr("CAST((rn - 1) * 3 div nl AS INT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("mbits").cast("long").alias("min_mbits"),
+            F.max("mbits").cast("long").alias("max_mbits"),
+        )
+        .orderBy("lang", "bucket")
+    )

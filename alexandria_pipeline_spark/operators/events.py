@@ -2550,3 +2550,127 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# Watermark tuning: candidate delays (seconds) for the lateness curve.
+# The testdata ships event TIME but no ingest/arrival sequence (the
+# file is perfectly time-ordered), so delivery jitter is synthesized
+# from a deterministic formula both engines replicate — the same
+# staged-fixture discipline as the BMP/WAV formula payloads: arrival =
+# event time + (LCG(event_id) mod WM_MAX_DELAY_S) seconds.
+WATERMARK_CANDIDATES_S = (0, 60, 300, 900, 3600)
+WM_MAX_DELAY_S = 600
+WM_LCG_A = 1_103_515_245
+WM_LCG_B = 12_345
+WM_LCG_M = 2_147_483_647
+WM_BAND_US = 3_600_000_000  # 1h arrival bands for the two-phase max
+
+
+@query(
+    "events_watermark_lateness_curve",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, epoch_us(ts) AS t_us,
+             epoch_us(ts)
+               + ((event_id * {WM_LCG_A} + {WM_LCG_B}) % {WM_LCG_M}
+                  % {WM_MAX_DELAY_S}) * 1000000 AS arr_us
+      FROM events
+    ),
+    seq AS (
+      SELECT t_us,
+             max(t_us) OVER (
+               ORDER BY arr_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm_us
+      FROM arr
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    curve AS (
+      SELECT CAST(w.w_s AS BIGINT) AS w_s,
+             CAST(sum(CASE WHEN s.hwm_us IS NOT NULL
+                            AND s.t_us < s.hwm_us - CAST(w.w_s AS BIGINT) * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      FROM seq s
+      CROSS JOIN (SELECT unnest({list(WATERMARK_CANDIDATES_S)}) AS w_s) w
+      GROUP BY 1
+    )
+    SELECT w_s, n_late,
+           CAST(n_late * 1000000 // n AS BIGINT) AS late_ppm
+    FROM curve, tot
+    ORDER BY w_s
+    """,
+)
+def events_watermark_lateness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark TUNING table the disorder audit motivates: for
+    each candidate delay W, exactly how many events would Structured
+    Streaming drop — an event is late at W iff its event time is older
+    than (high-water mark at its arrival) - W, where the high-water
+    mark is the max event time over all STRICTLY EARLIER arrivals,
+    Spark's own watermark semantics. Arrival order is event time plus
+    a deterministic per-event delivery delay (LCG mod {WM_MAX_DELAY_S}s
+    — the testdata is perfectly time-ordered, so jitter is staged by
+    formula, exactly like the multimodal payloads). Pick the knee of
+    this curve instead of guessing: W past the max delay must show 0,
+    and it does — the 900s/3600s rows are the proof.
+
+    The global running max is the single-partition-window hazard, so
+    it runs TWO-PHASE BANDED with TIME-bounded bands (the
+    events_peak_concurrency_daily discipline, not id-ranges): 1-hour
+    arrival bands get a band max; the exclusive band-prefix max runs
+    over band rows only (bounded by the corpus time span at any data
+    volume); the intra-band running max is a window PARTITIONED by
+    band. Nothing ever sorts the full stream in one task. The
+    candidate fan-out is a 5-element literal explode (map-only), then
+    one 5-group aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_micros(ts)").alias("t_us")
+    )
+    arr = e.withColumn(
+        "arr_us",
+        F.col("t_us")
+        + (
+            (F.col("event_id") * WM_LCG_A + WM_LCG_B)
+            % WM_LCG_M
+            % WM_MAX_DELAY_S
+        )
+        * 1_000_000,
+    ).withColumn("band", F.expr(f"arr_us div {WM_BAND_US}"))
+    band_max = arr.groupBy("band").agg(F.max("t_us").alias("bmax"))
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    prev = band_max.select(
+        "band", F.max("bmax").over(w_b).alias("prev_max")
+    )
+    w_i = (
+        Window.partitionBy("band")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = (
+        arr.join(F.broadcast(prev), "band")
+        .withColumn("run_max", F.max("t_us").over(w_i))
+        .withColumn("hwm_us", F.greatest("prev_max", "run_max"))
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    # long literals: w_s * 1e6 passes int32 at W=3600 (ANSI overflow)
+    cand = F.array(*[F.lit(w).cast("long") for w in WATERMARK_CANDIDATES_S])
+    curve = (
+        seq.select("t_us", "hwm_us", F.explode(cand).alias("w_s"))
+        .groupBy("w_s")
+        .agg(
+            F.sum(
+                (
+                    F.col("hwm_us").isNotNull()
+                    & (F.col("t_us") < F.col("hwm_us") - F.col("w_s") * 1_000_000)
+                ).cast("long")
+            ).alias("n_late")
+        )
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w_s").cast("long").alias("w_s"),
+            F.col("n_late").cast("long").alias("n_late"),
+            int_div(F.col("n_late") * 1_000_000, F.col("n")).alias("late_ppm"),
+        )
+        .orderBy("w_s")
+    )

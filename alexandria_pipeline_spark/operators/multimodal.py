@@ -1335,3 +1335,114 @@ def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "media_id long, n_samples int, rms_e3 long, gain_e6 long, n_clipped long",
     )
+
+
+# Letterbox target: every VLM preprocessor letterboxes to a fixed
+# square before patchification; 8x8 keeps the oracle's lateral
+# replication affordable while exercising the full integer geometry.
+LETTERBOX_T = 8
+LETTERBOX_PAD_GRAY = 128
+
+
+@query(
+    "multimodal_image_letterbox",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, doc_id % {AHASH_SEEDS} AS seed FROM documents
+    ),
+    dims AS (
+      SELECT media_id, seed,
+             CAST(seed % 13 + 4 AS BIGINT) AS w,
+             CAST(seed % 9 + 4 AS BIGINT)  AS h
+      FROM imgs
+    ),
+    geom AS (
+      SELECT media_id, seed, w, h,
+             greatest(CAST(1 AS BIGINT), w * {LETTERBOX_T} // greatest(w, h))
+               AS new_w,
+             greatest(CAST(1 AS BIGINT), h * {LETTERBOX_T} // greatest(w, h))
+               AS new_h
+      FROM dims
+    ),
+    cells AS (
+      SELECT media_id, w, h, new_w, new_h,
+             CASE WHEN tx >= ({LETTERBOX_T} - new_w) // 2
+                   AND tx <  ({LETTERBOX_T} - new_w) // 2 + new_w
+                   AND ty >= ({LETTERBOX_T} - new_h) // 2
+                   AND ty <  ({LETTERBOX_T} - new_h) // 2 + new_h
+                  THEN ((  (seed * 7
+                            + ((tx - ({LETTERBOX_T} - new_w) // 2) * w // new_w) * 3
+                            + ((ty - ({LETTERBOX_T} - new_h) // 2) * h // new_h) * 5) % 256
+                         + (seed * 11
+                            + ((tx - ({LETTERBOX_T} - new_w) // 2) * w // new_w)
+                            + ((ty - ({LETTERBOX_T} - new_h) // 2) * h // new_h) * 2) % 256
+                         + (seed * 13
+                            + ((tx - ({LETTERBOX_T} - new_w) // 2) * w // new_w) * 2
+                            + ((ty - ({LETTERBOX_T} - new_h) // 2) * h // new_h)) % 256
+                        ) // 3)
+                  ELSE {LETTERBOX_PAD_GRAY} END AS gray
+      FROM geom
+      CROSS JOIN LATERAL (SELECT unnest(range(0, {LETTERBOX_T})) AS tx)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, {LETTERBOX_T})) AS ty)
+    )
+    SELECT media_id, any_value(w) AS src_w, any_value(h) AS src_h,
+           any_value(new_w) AS content_w, any_value(new_h) AS content_h,
+           CAST((({LETTERBOX_T} * {LETTERBOX_T}) - any_value(new_w) * any_value(new_h))
+                * 1000000 // ({LETTERBOX_T} * {LETTERBOX_T}) AS BIGINT)
+             AS pad_ppm,
+           CAST(sum(gray) AS BIGINT) AS gray_sum
+    FROM cells GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving LETTERBOX resize over the REAL BMP decode —
+    the geometry pass every vision-language preprocessor runs before
+    patchification (resize the long side to the target, center, pad
+    with neutral gray): per image, the content box, the padding share,
+    and the gray-sum of the final 8x8 canvas. The gray_sum is the
+    proof column: it covers every target cell, so a hash match proves
+    byte-exact decode, the integer scale/offset geometry (floor
+    scaling, centered offsets — the exact arithmetic a serving
+    preprocessor must reproduce), nearest-neighbor sampling, AND the
+    pad fill in one number; the oracle recomputes it all from the
+    pixel FORMULA in SQL. Same payload family as the aHash query
+    (ids repeat mod {AHASH_SEEDS}), same map-only shape: payloads are
+    synthesized and decoded inside one mapInPandas stage, only the
+    7-column report row ever shuffles."""
+    T, PAD = LETTERBOX_T, LETTERBOX_PAD_GRAY
+
+    def letterbox(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "src_w", "src_h", "content_w", "content_h",
+                "pad_ppm", "gray_sum",
+            )}
+            for did in pdf["doc_id"]:
+                seed = int(did) % AHASH_SEEDS
+                px = decode_bmp24_pixels(bmp_formula_payload(seed))
+                h, w, _ = px.shape
+                gray = px.sum(axis=2) // 3
+                m = max(w, h)
+                nw, nh = max(1, w * T // m), max(1, h * T // m)
+                ox, oy = (T - nw) // 2, (T - nh) // 2
+                sx = (np.arange(nw, dtype=np.int64) * w) // nw
+                sy = (np.arange(nh, dtype=np.int64) * h) // nh
+                content = gray[np.ix_(sy, sx)]
+                total = int(content.sum()) + PAD * (T * T - nw * nh)
+                rows["media_id"].append(int(did))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["content_w"].append(nw)
+                rows["content_h"].append(nh)
+                rows["pad_ppm"].append((T * T - nw * nh) * 1_000_000 // (T * T))
+                rows["gray_sum"].append(total)
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        letterbox,
+        schema=(
+            "media_id long, src_w long, src_h long, content_w long, "
+            "content_h long, pad_ppm long, gray_sum long"
+        ),
+    ).orderBy("media_id")

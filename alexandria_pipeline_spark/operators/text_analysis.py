@@ -548,7 +548,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "code")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    per_doc = cnt.groupBy("doc_id").agg(F.sum("occ").alias("n_codes"))
+    # n_codes is just the shingle-array length — MAP-SIDE, not a
+    # second aggregation over the exploded stream (which would either
+    # re-run the explode or hope for ReusedExchange); cnt now has a
+    # single consumer.
+    per_doc = sh.select("doc_id", F.size("codes").cast("long").alias("n_codes"))
     firstseen = cnt.groupBy("lang", "code").agg(
         F.min(F.struct("doc_id", "occ")).alias("m")
     )
@@ -1507,3 +1511,86 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+# Tokenizer-design input: how much top-of-vocabulary is SHARED between
+# language pairs (shared subword inventory -> smaller joint vocab).
+VOCAB_OVERLAP_K = 200
+
+
+@query(
+    "tokenizer_vocab_overlap",
+    oracle=f"""
+    WITH occ AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM occ GROUP BY lang, w
+    ),
+    topk AS (
+      SELECT lang, w FROM (
+        SELECT lang, w,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, w) AS rk
+        FROM cnt)
+      WHERE rk <= {VOCAB_OVERLAP_K}
+    ),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM topk a JOIN topk b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b, n_shared,
+           CAST(n_shared * 1000000
+                // (2 * {VOCAB_OVERLAP_K} - n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs ORDER BY lang_a, lang_b
+    """,
+)
+def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language VOCABULARY overlap over each language's top-{K}
+    word list — the sizing input for a shared multilingual tokenizer
+    (high overlap between related languages means a joint vocabulary
+    costs fewer slots than the sum of monolingual ones; near-zero
+    overlap argues for script-partitioned vocab budgets, the analysis
+    behind XLM-R's 250k joint vocab). Jaccard is exact ppm over the
+    fixed-size top lists (|A|=|B|={K}, so the union is 2K - inter —
+    no second aggregate needed).
+
+    Plan: one (lang, word) count aggregate (map-side combined — the
+    only data-sized shuffle), a per-lang rank over VOCABULARY-sized
+    frames (bounded by distinct words per language, not corpus rows),
+    then a self-equi-join on word over two {K}-row-per-lang frames and
+    a lang-pair aggregate whose output is C(n_langs, 2) rows. Both
+    top-k legs broadcast in practice.""".replace("{K}", str(VOCAB_OVERLAP_K))
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("c"), "w")
+    topk = (
+        cnt.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= VOCAB_OVERLAP_K)
+        .select("lang", "w")
+    )
+    a = topk.select(F.col("lang").alias("lang_a"), "w")
+    b = topk.select(F.col("lang").alias("lang_b"), "w")
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        "n_shared",
+        int_div(
+            F.col("n_shared") * 1_000_000,
+            2 * VOCAB_OVERLAP_K - F.col("n_shared"),
+        ).alias("jaccard_ppm"),
+    ).orderBy("lang_a", "lang_b")

@@ -149,6 +149,10 @@ HEADLINE = [
     "orders_holt_linear_trend",
     "embedding_matryoshka_eval",
     "decontam_embedding_cosine",
+    "corpus_ccnet_perplexity_buckets",
+    "events_watermark_lateness_curve",
+    "multimodal_image_letterbox",
+    "tokenizer_vocab_overlap",
 ]
 
 

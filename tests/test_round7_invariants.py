@@ -438,3 +438,106 @@ def test_mix_temperature_compresses_shares(spark):
     assert lo["boost_e3"] >= 1000
     s = sum(r["temp_share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+def test_ccnet_terciles_are_balanced_and_ordered(spark):
+    """Per language: bucket sizes differ by at most 1 (exact integer
+    terciles), bucket surprisal ranges are non-overlapping up to ties,
+    and doc counts reconcile with the corpus."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["corpus_ccnet_perplexity_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r["bucket"])
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["min_mbits"] >= prev["max_mbits"] - 0, (
+                lang,
+                prev,
+                cur,
+            )
+
+
+def test_watermark_curve_is_monotone(spark):
+    """More watermark delay can only drop FEWER events; W spans the
+    candidate list; ppm is consistent with the raw count."""
+    from alexandria_pipeline_spark.operators.events import (
+        WATERMARK_CANDIDATES_S,
+    )
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = (
+        QUERIES["events_watermark_lateness_curve"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .orderBy("w_s")
+        .collect()
+    )
+    assert [r["w_s"] for r in rows] == sorted(WATERMARK_CANDIDATES_S)
+    lates = [r["n_late"] for r in rows]
+    assert lates == sorted(lates, reverse=True)
+    assert lates[0] > 0, "staged jitter must produce lateness at W=0"
+    # W past the max staged delay (600s) must drop nothing
+    from alexandria_pipeline_spark.operators.events import WM_MAX_DELAY_S
+
+    for r in rows:
+        if r["w_s"] >= WM_MAX_DELAY_S:
+            assert r["n_late"] == 0, r
+
+
+def test_letterbox_geometry_invariants(spark):
+    """Long side fills the target exactly, the short side never
+    exceeds it, pad share matches the content box, and the gray sum
+    sits inside the 8x8x255 envelope."""
+    from alexandria_pipeline_spark.operators.multimodal import (
+        LETTERBOX_PAD_GRAY,
+        LETTERBOX_T,
+    )
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["multimodal_image_letterbox"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    T = LETTERBOX_T
+    for r in rows:
+        assert max(r["content_w"], r["content_h"]) == T
+        assert 1 <= min(r["content_w"], r["content_h"]) <= T
+        # aspect ordering is preserved
+        assert (r["src_w"] >= r["src_h"]) == (r["content_w"] >= r["content_h"])
+        n_pad = T * T - r["content_w"] * r["content_h"]
+        assert r["pad_ppm"] == n_pad * 1_000_000 // (T * T)
+        assert (
+            LETTERBOX_PAD_GRAY * n_pad
+            <= r["gray_sum"]
+            <= LETTERBOX_PAD_GRAY * n_pad + 255 * (T * T - n_pad)
+        )
+
+
+def test_vocab_overlap_bounds(spark):
+    """Pairs are canonical (lang_a < lang_b), shared counts bounded by
+    the top-k size, Jaccard consistent with the fixed-size union."""
+    from alexandria_pipeline_spark.operators.text_analysis import (
+        VOCAB_OVERLAP_K,
+    )
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["tokenizer_vocab_overlap"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0 < r["n_shared"] <= VOCAB_OVERLAP_K
+        assert r["jaccard_ppm"] == r["n_shared"] * 1_000_000 // (
+            2 * VOCAB_OVERLAP_K - r["n_shared"]
+        )
