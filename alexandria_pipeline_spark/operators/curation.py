@@ -1347,3 +1347,104 @@ def corpus_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "curation_rule_ablation",
+    oracle="""
+    WITH f AS (
+      SELECT
+        (len(list_distinct(string_split(text, ' '))) * 2
+           >= len(string_split(text, ' ')))                       AS r1,
+        (len(string_split(text, ' ')) >= 32)                      AS r2,
+        (length(text) // len(string_split(text, ' ')) <= 12)      AS r3,
+        (length(regexp_replace(text, '[^0-9]', '', 'g')) * 5
+           <= length(text))                                       AS r4
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pass_all,
+             CAST(sum(CASE WHEN r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wo1,
+             CAST(sum(CASE WHEN r1 AND r3 AND r4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wo2,
+             CAST(sum(CASE WHEN r1 AND r2 AND r4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wo3,
+             CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wo4
+      FROM f
+    )
+    SELECT r.rule, n_total, pass_all AS n_pass_all,
+           CAST(CASE r.i WHEN 1 THEN wo1 WHEN 2 THEN wo2
+                         WHEN 3 THEN wo3 ELSE wo4 END AS BIGINT)
+             AS n_pass_without,
+           CAST(CASE r.i WHEN 1 THEN wo1 WHEN 2 THEN wo2
+                         WHEN 3 THEN wo3 ELSE wo4 END - pass_all AS BIGINT)
+             AS n_marginal_blocked
+    FROM a, (VALUES (1, 'lexical_diversity'), (2, 'min_length'),
+                    (3, 'mean_word_len'), (4, 'digit_ratio')) r(i, rule)
+    ORDER BY r.rule
+    """,
+)
+def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-rule ABLATION — the report a curation team reads before
+    tightening or dropping a rule: for each of four Gopher/C4-style
+    gates (lexical diversity >= 0.5, length >= 32 tokens, mean word
+    length <= 12 chars, digit share <= 20%), how many documents pass
+    the OTHER three but fail this one (its marginal block count — the
+    docs ONLY this rule removes). A rule with near-zero marginal
+    blocks is redundant with the rest of the set; one that blocks 30%
+    deserves human review before a 100-TB run deletes that much data.
+    Every rule is a map-only boolean over one scan; the whole report
+    is ONE wide conditional aggregate (no shuffle carries document
+    rows) unpivoted into four rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    r1 = F.size(F.array_distinct(toks)) * 2 >= n
+    r2 = n >= 32
+    r3 = F.expr("CAST(length(text) AS BIGINT) div size(split(text, ' ')) <= 12")
+    r4 = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")) * 5
+        <= F.length("text")
+    )
+    f = d.select(
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4")
+    )
+    c = lambda e: F.sum(e.cast("long"))  # noqa: E731
+    a = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        c(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")).alias("pass_all"),
+        c(F.col("r2") & F.col("r3") & F.col("r4")).alias("wo1"),
+        c(F.col("r1") & F.col("r3") & F.col("r4")).alias("wo2"),
+        c(F.col("r1") & F.col("r2") & F.col("r4")).alias("wo3"),
+        c(F.col("r1") & F.col("r2") & F.col("r3")).alias("wo4"),
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(col).alias("n_pass_without")
+            )
+            for name, col in (
+                ("lexical_diversity", "wo1"),
+                ("min_length", "wo2"),
+                ("mean_word_len", "wo3"),
+                ("digit_ratio", "wo4"),
+            )
+        ]
+    )
+    return (
+        a.select("n_total", "pass_all", F.explode(rules).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            "n_total",
+            F.col("pass_all").alias("n_pass_all"),
+            F.col("r.n_pass_without").alias("n_pass_without"),
+            (F.col("r.n_pass_without") - F.col("pass_all")).alias(
+                "n_marginal_blocked"
+            ),
+        )
+        .orderBy("rule")
+    )

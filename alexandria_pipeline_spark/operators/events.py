@@ -2674,3 +2674,75 @@ def events_watermark_lateness_curve(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("w_s")
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             CAST(min(year(o_orderdate) * 12 + month(o_orderdate))
+               AS BIGINT) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cm,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+               AS BIGINT) - f.cm AS age,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS r
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cs AS (SELECT cm, CAST(count(*) AS BIGINT) AS n FROM fo GROUP BY cm)
+    SELECT rev.cm AS cohort_month, rev.age AS age_months,
+           cs.n AS n_customers,
+           CAST(sum(rev.r) OVER (PARTITION BY rev.cm ORDER BY rev.age)
+             AS BIGINT) AS cum_rev_cents
+    FROM rev JOIN cs ON cs.cm = rev.cm
+    ORDER BY cohort_month, age_months
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics table every
+    subscription/commerce team tracks: customers cohorted by FIRST
+    purchase month, revenue accumulated by month-age, so column age=k
+    across rows reads 'how much has each cohort spent by month k' and
+    a flattening curve flags retention decay the weekly-retention
+    table (events_weekly_retention) shows only for activity, not
+    money. Exact cents end to end.
+
+    Plan shape: first-order month per customer is one map-side-
+    combined min aggregate; revenue lands on (cohort, age) — at most
+    span-months² cells — via a customer-keyed equi-join; the cumsum
+    window is PARTITIONED by cohort over calendar-BOUNDED rows (never
+    a data-sized partition). The fact table is touched twice
+    (min-aggregate + join), each time collapsing immediately."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(m).alias("cm"))
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy("cm", (m - F.col("cm")).alias("age"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("r")
+        )
+    )
+    cs = fo.groupBy("cm").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(cs), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("age").alias("age_months"),
+            F.col("n").alias("n_customers"),
+            F.sum("r").over(w).cast("long").alias("cum_rev_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

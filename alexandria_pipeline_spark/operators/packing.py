@@ -942,3 +942,94 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Data-constrained scaling plan: token budget as a multiple of the
+# corpus, per-source repeat cap of 4 epochs (Muennighoff et al. 2023:
+# up to ~4 epochs of repeated data is nearly as good as fresh).
+EPOCH_BUDGET_MULT = 2
+EPOCH_CAP_E3 = 4_000
+
+
+@query(
+    "corpus_epoch_repeat_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per_src
+    ),
+    plan AS (
+      SELECT source, n_docs, src_tokens,
+             total_tokens * {EPOCH_BUDGET_MULT} // n_sources AS target_tokens,
+             least(CAST({EPOCH_CAP_E3} AS BIGINT),
+                   (total_tokens * {EPOCH_BUDGET_MULT} // n_sources)
+                     * 1000 // src_tokens) AS epochs_e3
+      FROM per_src, tot
+    )
+    SELECT source, n_docs, src_tokens, target_tokens, epochs_e3,
+           CAST(src_tokens * epochs_e3 // 1000 AS BIGINT)
+             AS effective_tokens,
+           CAST(greatest(CAST(0 AS BIGINT),
+                target_tokens - src_tokens * epochs_e3 // 1000) AS BIGINT)
+             AS shortfall_tokens
+    FROM plan ORDER BY source
+    """,
+)
+def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED training plan (Muennighoff et al. 2023): given
+    a token budget of {M}x the corpus split uniformly across sources,
+    how many EPOCHS of each source fill its allocation — capped at 4
+    (epochs_e3 <= {C}: past ~4 repeats, repeated tokens stop buying
+    loss). shortfall_tokens > 0 names the sources that cannot fill
+    their share even at the cap — the scaling-plan gap you must cover
+    with new collection or by re-weighting toward data-rich sources
+    (the knob corpus_mix_temperature tunes). All exact truncating
+    integer arithmetic in milli-epochs.
+
+    Plan: one source-keyed token aggregate (the only data-sized
+    shuffle, map-side combined), a 1-row totals broadcast, map-only
+    arithmetic — output bounded by the source inventory at any
+    scale.""".replace("{M}", str(EPOCH_BUDGET_MULT)).replace(
+        "{C}", str(EPOCH_CAP_E3)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_n_tok("text")).cast("long").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = int_div(
+        F.col("total_tokens") * EPOCH_BUDGET_MULT, F.col("n_sources")
+    )
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(EPOCH_CAP_E3).cast("long"),
+            int_div(target * 1_000, F.col("src_tokens")),
+        ).alias("epochs_e3"),
+    )
+    eff = int_div(F.col("src_tokens") * F.col("epochs_e3"), F.lit(1_000))
+    return plan.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        "target_tokens",
+        "epochs_e3",
+        eff.alias("effective_tokens"),
+        F.greatest(F.lit(0).cast("long"), F.col("target_tokens") - eff).alias(
+            "shortfall_tokens"
+        ),
+    ).orderBy("source")

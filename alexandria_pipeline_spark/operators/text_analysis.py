@@ -1594,3 +1594,77 @@ def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * VOCAB_OVERLAP_K - F.col("n_shared"),
         ).alias("jaccard_ppm"),
     ).orderBy("lang_a", "lang_b")
+
+
+# Chunk-stitch artifact detection: window width for the suffix/prefix
+# fingerprints (a crawler or splitter that cuts one document into two
+# leaves B starting exactly where A stopped).
+STITCH_W = 4
+
+
+@query(
+    "text_chunk_stitch_join",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {2 * STITCH_W}
+    ),
+    sfx AS (
+      SELECT doc_id AS doc_a,
+             {duck_rolling_fingerprint(f"w[-{STITCH_W}:]")} AS fp,
+             array_to_string(w[-{STITCH_W}:], ' ') AS s
+      FROM t
+    ),
+    pfx AS (
+      SELECT doc_id AS doc_b,
+             {duck_rolling_fingerprint(f"w[1:{STITCH_W}]")} AS fp,
+             array_to_string(w[1:{STITCH_W}], ' ') AS s
+      FROM t
+    )
+    SELECT doc_a, doc_b, sfx.s AS overlap_text
+    FROM sfx JOIN pfx
+      ON sfx.fp = pfx.fp AND sfx.s = pfx.s AND doc_a <> doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_chunk_stitch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-STITCH detection: pairs (A, B) where A's last {W} words
+    are exactly B's first {W} — the signature a document splitter or
+    crawler pagination leaves when one source document lands in the
+    corpus as two halves (the continuation's opening repeats the
+    cut-point window). Whole-doc dedup can't see these (the halves
+    share no full-document hash) and containment only catches them if
+    one half swallows the other; this is the join that finds
+    re-stitchable fragments so a curation pass can merge instead of
+    double-count them.
+
+    Plan: one scan builds constant-width suffix/prefix windows (the
+    full text never leaves the scan — only {W}-word strings plus a
+    64-bit rolling fingerprint), then ONE fingerprint equi-join (the
+    banded-candidate discipline: hash keys first, verify the actual
+    window string on the joined pairs to kill collisions). Join sides
+    are corpus-row-sized but constant-WIDTH; output is
+    artifact-sized.""".replace("{W}", str(STITCH_W))
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.filter(F.size(toks) >= 2 * STITCH_W).select(
+        "doc_id",
+        F.slice(toks, 1, STITCH_W).alias("pre"),
+        F.slice(toks, -STITCH_W, STITCH_W).alias("suf"),
+    )
+    sfx = t.select(
+        F.col("doc_id").alias("doc_a"),
+        rolling_fingerprint(F.col("suf")).alias("fp"),
+        F.array_join("suf", " ").alias("s_a"),
+    )
+    pfx = t.select(
+        F.col("doc_id").alias("doc_b"),
+        rolling_fingerprint(F.col("pre")).alias("fp"),
+        F.array_join("pre", " ").alias("s_b"),
+    )
+    return (
+        sfx.join(pfx, "fp")
+        .filter((F.col("doc_a") != F.col("doc_b")) & (F.col("s_a") == F.col("s_b")))
+        .select("doc_a", "doc_b", F.col("s_a").alias("overlap_text"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -153,6 +153,10 @@ HEADLINE = [
     "events_watermark_lateness_curve",
     "multimodal_image_letterbox",
     "tokenizer_vocab_overlap",
+    "text_chunk_stitch_join",
+    "curation_rule_ablation",
+    "corpus_epoch_repeat_plan",
+    "orders_cohort_ltv_curve",
 ]
 
 

@@ -541,3 +541,109 @@ def test_vocab_overlap_bounds(spark):
         assert r["jaccard_ppm"] == r["n_shared"] * 1_000_000 // (
             2 * VOCAB_OVERLAP_K - r["n_shared"]
         )
+
+
+def test_stitch_join_matches_bruteforce(spark):
+    """Every stitch pair the query reports must be a TRUE suffix ==
+    prefix match recomputed from the raw parquet, and brute force must
+    find no pair the query missed (fingerprint blocking is lossless +
+    collision-verified)."""
+    import pyarrow.parquet as pq
+
+    from alexandria_pipeline_spark.operators.text_analysis import STITCH_W
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["overlap_text"]
+        for r in QUERIES["text_chunk_stitch_join"](spark, sf).collect()
+    }
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pylist()
+    toks = {
+        d["doc_id"]: d["text"].split(" ")
+        for d in docs
+        if len(d["text"].split(" ")) >= 2 * STITCH_W
+    }
+    want = {}
+    sfx = {}
+    for did, w in toks.items():
+        sfx.setdefault(" ".join(w[-STITCH_W:]), []).append(did)
+    for did, w in toks.items():
+        key = " ".join(w[:STITCH_W])
+        for a in sfx.get(key, []):
+            if a != did:
+                want[(a, did)] = key
+    assert got == want
+
+
+def test_rule_ablation_arithmetic(spark):
+    """Dropping a rule can only let MORE docs through; marginal
+    blocked is exactly the difference; all four rules present."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["curation_rule_ablation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r["rule"] for r in rows} == {
+        "lexical_diversity",
+        "min_length",
+        "mean_word_len",
+        "digit_ratio",
+    }
+    for r in rows:
+        assert r["n_pass_without"] >= r["n_pass_all"]
+        assert r["n_marginal_blocked"] == r["n_pass_without"] - r["n_pass_all"]
+        assert r["n_pass_without"] <= r["n_total"]
+
+
+def test_epoch_plan_cap_and_shortfall(spark):
+    """epochs respect the 4-epoch cap; shortfall is positive only at
+    the cap (an uncapped source fills its target up to milli-epoch
+    truncation)."""
+    from alexandria_pipeline_spark.operators.packing import EPOCH_CAP_E3
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["corpus_epoch_repeat_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["epochs_e3"] <= EPOCH_CAP_E3
+        assert r["effective_tokens"] == r["src_tokens"] * r["epochs_e3"] // 1000
+        if r["epochs_e3"] < EPOCH_CAP_E3:
+            # truncation slack only: < 1 milli-epoch of this source
+            assert r["shortfall_tokens"] <= r["src_tokens"] // 1000 + 1
+        assert r["shortfall_tokens"] == max(
+            0, r["target_tokens"] - r["effective_tokens"]
+        )
+
+
+def test_cohort_ltv_reconciles_to_total_revenue(spark):
+    """Within a cohort the curve is non-decreasing, and the last point
+    of every cohort sums to the corpus's total order revenue."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        QUERIES["orders_cohort_ltv_curve"](spark, sf)
+        .orderBy("cohort_month", "age_months")
+        .collect()
+    )
+    last = {}
+    prev = {}
+    for r in rows:
+        cm = r["cohort_month"]
+        assert r["cum_rev_cents"] >= prev.get(cm, 0)
+        prev[cm] = r["cum_rev_cents"]
+        last[cm] = r["cum_rev_cents"]
+    total = duckdb.sql(
+        "SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        f" FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(last.values()) == total
