@@ -306,8 +306,13 @@ def test_no_python_eval_outside_declared_seams(spark):
     )
     allowed_prefixes = ("multimodal_",)
     # text_compression_ratio: zlib is a C codec with no SQL/codegen
-    # twin — the declared Arrow-seam case, same class as the decoders
-    allowed = {"text_compression_ratio"}
+    # twin — the declared Arrow-seam case, same class as the decoders.
+    # orders_holt_linear_trend: the Holt recurrence is order-DEFINED
+    # (no window/aggregate form exists); its applyInPandas stage runs
+    # AFTER the day-level aggregate, so the Python side only ever sees
+    # SF-invariant calendar-bounded rows per group — the declared
+    # grouped-recurrence seam (stream twin holds the same state logic).
+    allowed = {"text_compression_ratio", "orders_holt_linear_trend"}
     skip = {"sharded_sink_roundtrip", "knn_ivf_kmeans"}  # side-effecting / ML-fit
     offenders = []
     for name, fn in sorted(QUERIES.items()):
@@ -351,3 +356,35 @@ def test_peak_concurrency_windows_are_bounded(spark):
                 or spec_head.lstrip().startswith(("day_i ASC", "day_i DESC"))
                 or "t ASC" not in spec_head
             ), ln
+
+
+def test_round7_banded_windows_are_bounded(spark):
+    """Round-7 window discipline locks: the watermark curve's only
+    unpartitioned window must range over arrival BANDS (time-bounded
+    rows), never the event stream itself; the CCNet tercile rank and
+    the cohort LTV cumsum must carry their partition keys on every
+    window spec."""
+    plan = formatted_plan(
+        QUERIES["events_watermark_lateness_curve"](spark, SF_SMOKE)
+    )
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            head = (
+                ln.split("windowspecdefinition(", 1)[1]
+                .split("specifiedwindowframe")[0]
+                .lstrip()
+            )
+            assert head.startswith("band"), f"event-stream window: {ln}"
+    for name, part_col in (
+        ("corpus_ccnet_perplexity_buckets", "lang"),
+        ("orders_cohort_ltv_curve", "cm"),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_SMOKE))
+        for ln in plan.splitlines():
+            if "windowspecdefinition(" in ln:
+                head = (
+                    ln.split("windowspecdefinition(", 1)[1]
+                    .split("specifiedwindowframe")[0]
+                    .lstrip()
+                )
+                assert head.startswith(part_col), f"{name}: {ln}"
