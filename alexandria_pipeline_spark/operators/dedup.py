@@ -2184,3 +2184,96 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _register_transitivity_audit() -> None:
+    cc_oracle = ORACLES["dedup_connected_components"]
+    pair_oracle = ORACLES["dedup_minhash_lsh"]
+
+    @query(
+        "dedup_transitivity_audit",
+        oracle=f"""
+        WITH RECURSIVE cc AS ({cc_oracle}),
+        p AS ({pair_oracle}),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY component
+        ),
+        direct AS (
+          SELECT c.component, CAST(count(*) AS BIGINT) AS n_direct
+          FROM p JOIN cc c ON c.doc_id = p.doc_a
+          GROUP BY c.component
+        )
+        SELECT s.cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(d.n_direct) AS BIGINT) AS n_direct_pairs,
+               CAST(sum(s.cluster_size * (s.cluster_size - 1) // 2
+                        - d.n_direct) AS BIGINT) AS n_transitive_pairs,
+               CAST(sum(s.cluster_size * (s.cluster_size - 1) // 2
+                        - d.n_direct) * 1000000
+                    // sum(s.cluster_size * (s.cluster_size - 1) // 2)
+                 AS BIGINT) AS transitive_ppm
+        FROM sizes s JOIN direct d ON d.component = s.component
+        GROUP BY s.cluster_size
+        ORDER BY s.cluster_size
+        """,
+    )
+    def dedup_transitivity_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """FALSE-MERGE audit of transitive-closure dedup — the known
+        hazard of clustering near-dup pairs into components: A~B and
+        B~C chain A and C into one cluster even when A and C are NOT
+        similar, and a keep-one policy then deletes documents that
+        never matched anything kept. Per cluster size: how many of the
+        cluster's implied pairs are DIRECT (verified >= tau by the
+        pair stage) vs TRANSITIVE (merged only by chaining). A
+        transitive share near zero says clusters are cliques (safe to
+        keep-one); a high share at large sizes is the signature of
+        chain-merged super-clusters that need a stricter tau or
+        per-cluster re-verification before deletion (the audit
+        SemDeDup-style pipelines run before committing removals).
+
+        No quadratic work anywhere: implied pairs are s(s-1)/2
+        ARITHMETIC on the size column, direct pairs are one count of
+        the existing pair graph keyed by component (both endpoints
+        share the component by construction, so one endpoint join
+        suffices). Composes the registered CC plan; the oracle nests
+        the recursive-CTE closure AND the pair SQL, hash-checking
+        pair gen -> clustering -> audit end to end."""
+        cc = QUERIES["dedup_connected_components"](spark, sf_dir)
+        pairs = _minhash_pairs(spark, sf_dir)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size")
+        )
+        direct = (
+            pairs.join(
+                cc.select(
+                    F.col("doc_id").alias("doc_a"), F.col("component")
+                ),
+                "doc_a",
+            )
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+        )
+        implied = F.expr("cluster_size * (cluster_size - 1) div 2")
+        return (
+            sizes.join(direct, "component")
+            .select("cluster_size", implied.alias("n_implied"), "n_direct")
+            .groupBy("cluster_size")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                F.sum("n_direct").cast("long").alias("n_direct_pairs"),
+                F.sum(F.col("n_implied") - F.col("n_direct"))
+                .cast("long")
+                .alias("n_transitive_pairs"),
+                F.expr(
+                    "CAST(sum(n_implied - n_direct) * 1000000"
+                    " div sum(n_implied) AS BIGINT)"
+                ).alias("transitive_ppm"),
+            )
+            .orderBy("cluster_size")
+        )
+
+
+_register_transitivity_audit()

@@ -74,6 +74,10 @@ def register_all() -> None:
         stats,
         skew,
     )
+    from alexandria_pipeline_spark.sources.text_formats import (
+        register_text_format_queries,
+    )
     from alexandria_pipeline_spark.streaming import stream_events  # noqa: F401
 
+    register_text_format_queries()
     _REGISTERED = True

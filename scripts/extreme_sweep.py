@@ -31,7 +31,7 @@ SCALED_COLS = {
     "lineitem": "l_extendedprice",
     "events": "value",
 }
-SKIP = {"sharded_sink_roundtrip"}
+SKIP = {"sharded_sink_roundtrip", "source_text_formats_roundtrip"}
 
 
 def main() -> int:

@@ -313,7 +313,11 @@ def test_no_python_eval_outside_declared_seams(spark):
     # SF-invariant calendar-bounded rows per group — the declared
     # grouped-recurrence seam (stream twin holds the same state logic).
     allowed = {"text_compression_ratio", "orders_holt_linear_trend"}
-    skip = {"sharded_sink_roundtrip", "knn_ivf_kmeans"}  # side-effecting / ML-fit
+    skip = {
+        "sharded_sink_roundtrip",
+        "source_text_formats_roundtrip",
+        "knn_ivf_kmeans",
+    }  # side-effecting / ML-fit
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_") or name in skip:

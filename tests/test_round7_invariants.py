@@ -647,3 +647,62 @@ def test_cohort_ltv_reconciles_to_total_revenue(spark):
         f" FROM read_parquet('{sf}/orders.parquet')"
     ).fetchone()[0]
     assert sum(last.values()) == total
+
+
+def test_text_formats_roundtrip_lossless(spark):
+    """JSONL and CSV round-trips must be LOSSLESS on the real
+    documents table (free text with punctuation/unicode) — the
+    in-plan digest must match for both formats — and a malformed line
+    must land in the dead-letter column, not kill the read."""
+    import json as _json
+    import tempfile
+
+    from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+    from alexandria_pipeline_spark.sources.text_formats import (
+        CORRUPT_COL,
+        read_jsonl,
+    )
+
+    register_all()
+    rows = QUERIES["source_text_formats_roundtrip"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r["format"] for r in rows} == {"jsonl", "csv"}
+    for r in rows:
+        assert r["digest_matches"] == 1, r
+
+    # dead-letter path: one good line, one broken line
+    tmp = tempfile.mkdtemp(prefix="apspark_badjsonl_")
+    with open(f"{tmp}/part-0000.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "ok"}) + "\n")
+        f.write('{"doc_id": 2, "text": BROKEN\n')
+    schema = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).schema
+    got = read_jsonl(spark, tmp, schema).collect()
+    good = [r for r in got if r[CORRUPT_COL] is None]
+    bad = [r for r in got if r[CORRUPT_COL] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 1
+    assert len(bad) == 1 and "BROKEN" in bad[0][CORRUPT_COL]
+
+
+def test_transitivity_audit_reconciles_with_histogram(spark):
+    """Direct + transitive pairs must equal s(s-1)/2 per size row, and
+    the size histogram must agree with dedup_cluster_size_histogram."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    audit = QUERIES["dedup_transitivity_audit"](spark, sf).collect()
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in QUERIES["dedup_cluster_size_histogram"](spark, sf).collect()
+    }
+    assert audit
+    for r in audit:
+        s = r["cluster_size"]
+        implied = r["n_clusters"] * (s * (s - 1) // 2)
+        assert r["n_direct_pairs"] + r["n_transitive_pairs"] == implied
+        assert r["n_direct_pairs"] >= r["n_clusters"] * (s - 1)  # spanning
+        assert hist[s] == r["n_clusters"]
