@@ -876,12 +876,16 @@ def connected_components_from_pairs(
 @query(
     "dedup_edit_distance",
     oracle="""
-    WITH v AS (
-      SELECT c_custkey, c_name,
+    WITH reps AS (
+      SELECT c_name, CAST(min(c_custkey) AS BIGINT) AS c_custkey
+      FROM customer GROUP BY c_name
+    ),
+    v AS (
+      SELECT DISTINCT c_custkey, c_name,
              CASE WHEN k = 0 THEN c_name
                   ELSE substr(c_name, 1, k - 1) || substr(c_name, k + 1)
              END AS variant
-      FROM customer
+      FROM reps
       CROSS JOIN LATERAL (SELECT unnest(range(0, length(c_name) + 1)) AS k)
     )
     SELECT DISTINCT
@@ -898,30 +902,48 @@ def connected_components_from_pairs(
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-≤1 similarity join via the FastSS deletion index
     (Bocek et al. 2007): every string contributes itself (k=0) plus its
-    length single-char-deletion variants; two strings within one edit
-    ALWAYS share at least one variant (A=B's deletion, B=A's deletion,
-    or both delete the substituted position), so the candidate set from
-    a variant equi-join is complete and each candidate is verified with
-    an exact levenshtein — never an all-pairs scan.
+    length single-char-deletion variants; two strings within one
+    insert/delete/substitute ALWAYS share at least one variant, so the
+    candidate set from a variant equi-join is complete and each
+    candidate is verified with an exact levenshtein — never an
+    all-pairs scan.
 
-    Scale shape: the corpus expands ~(len+1)× into (variant, id, name)
-    rows, one equi-join on the variant string, exact verify on the
-    (tiny) candidate set, distinct pair output. Candidate group size is
-    bounded by how many strings share a variant — the same Σdf² hazard
-    as dedup_ngram_jaccard, with the same remedy (cap or salt the
-    hottest variant groups; df-cap valve pattern at dedup.py df_cap).
-    ~19 index rows per name here vs an O(N²) levenshtein cross join —
-    at 150k names that is 2.9M index rows against 22B brute pairs."""
+    Two linear pre-collapses keep the join linear in DISTINCT names
+    (both found when the r7 sf1 stress hung this query 15+ min on one
+    core; the retrieval-module FastSS op had them, this one predated
+    them):
+      - exact-duplicate names collapse to a min-key representative
+        FIRST: a replicated corpus otherwise SQUARES inside the k=0
+        variant group (m copies -> m(m-1)/2 output pairs per name,
+        each matched on every shared variant);
+      - each name's variant list is array_distinct'ed: deleting any
+        char of a repeated run (the 6-zero run in Customer#000...)
+        yields the same variant, inflating matched candidate pairs by
+        the product of run lengths.
+    The rep groupBy also lands the index on shuffle-width partitions,
+    so the probe parallelizes instead of inheriting the single-file
+    scan's one partition. Output semantics under duplication are
+    entity-resolution semantics (pairs over distinct names, min-key
+    representative) — the oracle encodes the same collapse.
+
+    Scale shape: ~(len+1) DISTINCT variants per distinct name, one
+    equi-join on the variant string, exact verify on the candidate
+    set, distinct pair output — the same Σdf² envelope as
+    dedup_ngram_jaccard, with the df-cap valve as the remedy for
+    adversarial variant groups."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    variants = c.select(
+    reps = c.groupBy("c_name").agg(F.min("c_custkey").alias("c_custkey"))
+    variants = reps.select(
         "c_custkey",
         "c_name",
         F.explode(
-            F.expr(
-                "transform(sequence(0, length(c_name)), k -> "
-                "CASE WHEN k = 0 THEN c_name "
-                "ELSE concat(substring(c_name, 1, k - 1), "
-                "substring(c_name, k + 1, length(c_name))) END)"
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(c_name)), k -> "
+                    "CASE WHEN k = 0 THEN c_name "
+                    "ELSE concat(substring(c_name, 1, k - 1), "
+                    "substring(c_name, k + 1, length(c_name))) END)"
+                )
             )
         ).alias("variant"),
     )

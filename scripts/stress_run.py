@@ -80,11 +80,13 @@ def main() -> int:
             # storage thrash (measured: graph_triangle_count sf3 went
             # 39.6s solo -> 143.8s ninth-in-session)
             spark.catalog.clearCache()
-    # merge per-SF rows: a later partial re-run (one SF) must not drop
-    # a query's previously recorded scale points
-    for name, sfs in out.items():
-        recorded["timings"].setdefault(name, {}).update(sfs)
-    STRESS_JSON.write_text(json.dumps(recorded, indent=1))
+            # persist INCREMENTALLY: a hung query (or a killed run)
+            # must not lose every prior timing — the r7 sf1 sweep lost
+            # 324 measurements to a write-at-exit design when
+            # dedup_edit_distance hung. Merge per-SF rows so a partial
+            # re-run never drops previously recorded scale points.
+            recorded["timings"].setdefault(name, {})[sf_label] = dt
+            STRESS_JSON.write_text(json.dumps(recorded, indent=1))
     print(f"recorded {len(out)} queries into {STRESS_JSON.name}")
     return 0
 
