@@ -921,3 +921,116 @@ def stream_holt_trend_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update").orderBy("event_type", "hour_s")
+
+
+# Closed-session assembly gap (seconds) — matches the batch session
+# queries' 30-minute rule.
+SESSION_GAP_S = 1800
+
+
+@query(
+    "stream_closed_sessions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS t_s,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, t_s,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t_s
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(min(t_s) AS BIGINT) AS session_start_s,
+             CAST(max(t_s) AS BIGINT) AS session_end_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM isl GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_s, session_end_s, n_events
+    FROM sess WHERE sid < last_sid
+    ORDER BY user_id, session_start_s
+    """,
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-session emission — the output contract of a real
+    streaming sessionizer: a session is emitted exactly once, when a
+    gap > {SESSION_GAP_S}s proves it over; each user's trailing
+    still-open session stays IN STATE (constant per key: start,
+    last-seen, count) and is never emitted — which is also why the
+    oracle excludes each user's final island. This is the
+    applyInPandasWithState face of what F.session_window does
+    engine-side (stream_session_window): custom state buys the
+    open/closed distinction and per-session immediate emission, the
+    piece window aggregation in complete/update mode can't express.
+    Late events (event time <= state's last-seen) are dropped, same
+    order-defined contract as the Holt monitor; in-batch events are
+    processed in event-time order so the recurrence is deterministic
+    under any in-order batch split (two-batch test)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = -1, -1, 0
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf["ts"].astype("int64") // 10**9)
+        rows = []
+        for t in sorted(ts):
+            if t <= last and last >= 0:
+                # duplicate-or-late second: counts once per distinct
+                # second would need dedup state; keep the simple
+                # order-defined contract (count every in-order event,
+                # drop regressions)
+                if t == last:
+                    n += 1
+                continue
+            if start < 0:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_S:
+                rows.append(
+                    {
+                        "user_id": key[0],
+                        "session_start_s": start,
+                        "session_end_s": last,
+                        "n_events": n,
+                    }
+                )
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((int(start), int(last), int(n)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "session_start_s",
+                "session_end_s",
+                "n_events",
+            ],
+        )
+
+    out = events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start_s long, session_end_s long, "
+            "n_events long"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append").orderBy("user_id", "session_start_s")

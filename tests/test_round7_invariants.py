@@ -706,3 +706,39 @@ def test_transitivity_audit_reconciles_with_histogram(spark):
         assert r["n_direct_pairs"] + r["n_transitive_pairs"] == implied
         assert r["n_direct_pairs"] >= r["n_clusters"] * (s - 1)  # spanning
         assert hist[s] == r["n_clusters"]
+
+
+def test_stream_closed_sessions_across_batches(spark):
+    """Closed-session emission must be identical whether the stream
+    arrives as one batch or split at an hour boundary — the trailing
+    open session stays in state across the boundary and sessions
+    spanning the split must NOT be cut in two."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ts_sorted = sorted(src.column("ts").to_pylist())
+    cut_wall = ts_sorted[len(ts_sorted) // 2].replace(
+        minute=0, second=0, microsecond=0
+    )
+    sf2 = _staged_two_batch_sf(
+        lambda t: pc.less(t.column("ts"), cut_wall),
+        lambda t: pc.greater_equal(t.column("ts"), cut_wall),
+        "sess",
+    )
+    key = lambda r: (r["user_id"], r["session_start_s"])  # noqa: E731
+    got = {
+        key(r): (r["session_end_s"], r["n_events"])
+        for r in QUERIES["stream_closed_sessions"](spark, sf2).collect()
+    }
+    want = {
+        key(r): (r["session_end_s"], r["n_events"])
+        for r in QUERIES["stream_closed_sessions"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no closed sessions"
