@@ -2746,3 +2746,81 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, CAST(i AS INTEGER) AS off,
+             d + CAST(i AS INTEGER) AS win_end
+      FROM user_days, range(0, 30) t(i)
+    ),
+    bounds AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                      max(CAST(ts AS DATE)) AS hi FROM events)
+    SELECT CAST(win_end AS VARCHAR) AS day,
+           CAST(count(DISTINCT CASE WHEN off < 1 THEN user_id END)
+             AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN off < 7 THEN user_id END)
+             AS BIGINT) AS wau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           CAST(count(DISTINCT CASE WHEN off < 1 THEN user_id END) * 1000000
+                // count(DISTINCT user_id) AS BIGINT) AS stickiness_ppm
+    FROM contrib, bounds
+    WHERE win_end >= lo AND win_end <= hi
+    GROUP BY win_end
+    ORDER BY win_end
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per day — THE product
+    engagement dashboard. Sliding DISTINCT windows don't decompose
+    into window frames, so all three horizons ride ONE
+    contribute-and-count pass (the events_rolling_7d_distinct
+    rewrite, generalized): distinct (user, day) pairs explode into
+    the 30 window-end days they serve tagged with the offset, and
+    each horizon is a conditional count-distinct over the SAME
+    shuffled frame (off<1 → DAU, off<7 → WAU, all → MAU) — one
+    user_days aggregate + one win_end aggregate total, never three
+    passes. Stickiness is exact truncating ppm; the bounds filter
+    trims partial windows identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.posexplode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 29))
+        ).alias("off", "win_end"),
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("win_end") >= F.col("lo")) & (F.col("win_end") <= F.col("hi"))
+        )
+        .groupBy(F.col("win_end").cast("string").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN off < 1 THEN user_id END)"
+                " AS BIGINT)"
+            ).alias("dau"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN off < 7 THEN user_id END)"
+                " AS BIGINT)"
+            ).alias("wau"),
+            F.expr("CAST(count(DISTINCT user_id) AS BIGINT)").alias("mau"),
+            F.expr(
+                "CAST(count(DISTINCT CASE WHEN off < 1 THEN user_id END)"
+                " * 1000000 div count(DISTINCT user_id) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )

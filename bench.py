@@ -157,6 +157,8 @@ HEADLINE = [
     "curation_rule_ablation",
     "corpus_epoch_repeat_plan",
     "orders_cohort_ltv_curve",
+    "events_dau_stickiness",
+    "dedup_edit_distance",
 ]
 
 

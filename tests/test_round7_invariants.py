@@ -742,3 +742,23 @@ def test_stream_closed_sessions_across_batches(spark):
     }
     assert got == want
     assert want, "fixture produced no closed sessions"
+
+
+def test_dau_stickiness_ordering_invariants(spark):
+    """DAU <= WAU <= MAU on every day; stickiness consistent; the
+    7-day horizon agrees with events_rolling_7d_distinct."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_dau_stickiness"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert r["stickiness_ppm"] == r["dau"] * 1_000_000 // r["mau"]
+    sevens = {
+        r["day"]: r["active_7d"]
+        for r in QUERIES["events_rolling_7d_distinct"](spark, sf).collect()
+    }
+    for r in rows:
+        assert sevens[r["day"]] == r["wau"], r["day"]
