@@ -2299,3 +2299,71 @@ def _register_transitivity_audit() -> None:
 
 
 _register_transitivity_audit()
+
+
+def _register_lexical_semantic_agreement() -> None:
+    mh_oracle = ORACLES["dedup_minhash_lsh"]
+    cos_oracle = ORACLES["dedup_embedding_cosine"]
+
+    @query(
+        "dedup_lexical_semantic_agreement",
+        oracle=f"""
+        WITH mh AS ({mh_oracle}),
+        cs AS ({cos_oracle}),
+        lex AS (SELECT doc_a AS a, doc_b AS b FROM mh),
+        sem AS (SELECT vec_a AS a, vec_b AS b FROM cs),
+        u AS (
+          SELECT coalesce(l.a, s.a) AS a, coalesce(l.b, s.b) AS b,
+                 (l.a IS NOT NULL) AS in_lex, (s.a IS NOT NULL) AS in_sem
+          FROM lex l FULL OUTER JOIN sem s ON l.a = s.a AND l.b = s.b
+        )
+        SELECT CASE WHEN in_lex AND in_sem THEN 'both'
+                    WHEN in_lex THEN 'lexical_only'
+                    ELSE 'semantic_only' END AS agreement,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM u GROUP BY 1 ORDER BY agreement
+        """,
+    )
+    def dedup_lexical_semantic_agreement(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Cross-FAMILY dedup validation: do the lexical tier (MinHash
+        Jaccard over shingles) and the semantic tier (embedding cosine
+        over LSH buckets) flag the same near-dup pairs? The 3-row
+        agreement table is the calibration read-out a two-tier dedup
+        pipeline watches: a large lexical_only bucket is boilerplate
+        with divergent meaning (templates), a large semantic_only
+        bucket is paraphrase duplication the shingle tier misses (the
+        SemDeDup motivation), and 'both' measures where one tier could
+        be skipped. Ids are comparable because the embeddings table is
+        keyed by the document id (the cross-modal join contract used
+        by corpus_quality_vs_embedding_outlier).
+
+        Cost IS the two registered pair generators (both banded/
+        bucketed equi-joins, never all-pairs); the agreement itself is
+        one full-outer join over two contamination-sized pair lists +
+        a 3-group aggregate. The oracle nests both pair oracles, so
+        the whole comparison is hash-checked end to end."""
+        lex = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).withColumn("in_lex", F.lit(True))
+        sem = QUERIES["dedup_embedding_cosine"](spark, sf_dir).select(
+            F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+        ).withColumn("in_sem", F.lit(True))
+        u = lex.join(sem, ["a", "b"], "full_outer")
+        agreement = (
+            F.when(
+                F.col("in_lex").isNotNull() & F.col("in_sem").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("in_lex").isNotNull(), F.lit("lexical_only"))
+            .otherwise(F.lit("semantic_only"))
+        )
+        return (
+            u.groupBy(agreement.alias("agreement"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .orderBy("agreement")
+        )
+
+
+_register_lexical_semantic_agreement()

@@ -762,3 +762,24 @@ def test_dau_stickiness_ordering_invariants(spark):
     }
     for r in rows:
         assert sevens[r["day"]] == r["wau"], r["day"]
+
+
+def test_lexical_semantic_agreement_reconciles(spark):
+    """The agreement buckets must partition the union of the two pair
+    sets: both + lexical_only = |minhash pairs|, both + semantic_only
+    = |cosine pairs|."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    agg = {
+        r["agreement"]: r["n_pairs"]
+        for r in QUERIES["dedup_lexical_semantic_agreement"](
+            spark, sf
+        ).collect()
+    }
+    n_lex = QUERIES["dedup_minhash_lsh"](spark, sf).count()
+    n_sem = QUERIES["dedup_embedding_cosine"](spark, sf).count()
+    both = agg.get("both", 0)
+    assert both + agg.get("lexical_only", 0) == n_lex
+    assert both + agg.get("semantic_only", 0) == n_sem
