@@ -2824,3 +2824,98 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# SLO: 99% of events non-error (budget 1% = 10000 ppm); page on the
+# SRE-workbook multiwindow policy (1h burn > 14.4x AND 6h burn > 6x).
+SLO_BUDGET_PPM = 10_000
+BURN_1H_E3 = 14_400
+BURN_6H_E3 = 6_000
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS h,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS errs,
+             CAST(count(*) AS BIGINT) AS total
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT a.h, a.errs AS errors_1h, a.total AS total_1h,
+             CAST(sum(b.errs) AS BIGINT) AS errs_6h,
+             CAST(sum(b.total) AS BIGINT) AS total_6h
+      FROM hourly a JOIN hourly b
+        ON b.h > a.h - 6 * 3600 AND b.h <= a.h
+      GROUP BY a.h, a.errs, a.total
+    )
+    SELECT CAST(h AS BIGINT) AS hour_s, errors_1h, total_1h,
+           CAST(errors_1h * 1000000 // total_1h * 1000
+                // {SLO_BUDGET_PPM} AS BIGINT) AS burn_1h_e3,
+           CAST(errs_6h * 1000000 // total_6h * 1000
+                // {SLO_BUDGET_PPM} AS BIGINT) AS burn_6h_e3,
+           CAST((errors_1h * 1000000 // total_1h * 1000
+                 // {SLO_BUDGET_PPM} > {BURN_1H_E3})
+            AND (errs_6h * 1000000 // total_6h * 1000
+                 // {SLO_BUDGET_PPM} > {BURN_6H_E3}) AS INT) AS page_flag
+    FROM win ORDER BY hour_s
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO BURN-RATE alerting (Google SRE workbook ch.5):
+    against a 99% non-error SLO, the burn rate is error_share /
+    error_budget per window; a page fires only when BOTH the fast 1h
+    window (> 14.4x — budget gone in ~2 days) and the slow 6h window
+    (> 6x) burn hot, which suppresses both short blips and stale
+    alerts. All integer: shares in exact truncating ppm, burn in e3.
+
+    Plan: the event stream collapses to one row per HOUR in a single
+    map-side-combined aggregate (the only data-sized shuffle); the 6h
+    trailing window is a calendar-BOUNDED self-join (<= 6 partners
+    per hour over SF-invariant hourly rows — the orders_ewma_daily
+    discipline, never a data-sized window); everything after is
+    map-only arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.expr("(unix_micros(ts) div 1000000 div 3600) * 3600").alias("h")
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    a = hourly.select(
+        F.col("h").alias("ah"),
+        F.col("errs").alias("errors_1h"),
+        F.col("total").alias("total_1h"),
+    )
+    b = hourly.select(
+        F.col("h").alias("bh"),
+        F.col("errs").alias("be"),
+        F.col("total").alias("bt"),
+    )
+    win = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bh") > F.col("ah") - 6 * 3600) & (F.col("bh") <= F.col("ah")),
+        )
+        .groupBy("ah", "errors_1h", "total_1h")
+        .agg(
+            F.sum("be").cast("long").alias("errs_6h"),
+            F.sum("bt").cast("long").alias("total_6h"),
+        )
+    )
+    burn1 = F.expr(
+        f"errors_1h * 1000000 div total_1h * 1000 div {SLO_BUDGET_PPM}"
+    )
+    burn6 = F.expr(
+        f"errs_6h * 1000000 div total_6h * 1000 div {SLO_BUDGET_PPM}"
+    )
+    return win.select(
+        F.col("ah").cast("long").alias("hour_s"),
+        "errors_1h",
+        "total_1h",
+        burn1.cast("long").alias("burn_1h_e3"),
+        burn6.cast("long").alias("burn_6h_e3"),
+        ((burn1 > BURN_1H_E3) & (burn6 > BURN_6H_E3)).cast("int").alias("page_flag"),
+    ).orderBy("hour_s")

@@ -159,6 +159,7 @@ HEADLINE = [
     "orders_cohort_ltv_curve",
     "events_dau_stickiness",
     "dedup_edit_distance",
+    "events_slo_burn_rate",
 ]
 
 

@@ -783,3 +783,24 @@ def test_lexical_semantic_agreement_reconciles(spark):
     both = agg.get("both", 0)
     assert both + agg.get("lexical_only", 0) == n_lex
     assert both + agg.get("semantic_only", 0) == n_sem
+
+
+def test_slo_burn_page_policy(spark):
+    """page_flag must equal the conjunction of both window thresholds
+    and the 6h totals must cover at least the 1h totals."""
+    from alexandria_pipeline_spark.operators.events import (
+        BURN_1H_E3,
+        BURN_6H_E3,
+    )
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["events_slo_burn_rate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["page_flag"] == int(
+            r["burn_1h_e3"] > BURN_1H_E3 and r["burn_6h_e3"] > BURN_6H_E3
+        )
+        assert r["errors_1h"] <= r["total_1h"]
