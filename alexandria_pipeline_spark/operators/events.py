@@ -2919,3 +2919,110 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn6.cast("long").alias("burn_6h_e3"),
         ((burn1 > BURN_1H_E3) & (burn6 > BURN_6H_E3)).cast("int").alias("page_flag"),
     ).orderBy("hour_s")
+
+
+MARKOV_POWER_STEPS = 3
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS cur, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT cur, nxt,
+             CAST(n * 1000000 // sum(n) OVER (PARTITION BY cur)
+               AS BIGINT) AS p_ppm
+      FROM trans
+    ),
+    types AS (SELECT DISTINCT cur AS t FROM trans),
+    ntypes AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+    pi0 AS (
+      SELECT t, CAST(1000000 // k AS BIGINT) AS pi FROM types, ntypes
+    ),
+    pi1 AS (
+      SELECT p.nxt AS t, CAST(sum(pi0.pi * p.p_ppm // 1000000) AS BIGINT)
+        AS pi
+      FROM pi0 JOIN p ON p.cur = pi0.t GROUP BY p.nxt
+    ),
+    pi2 AS (
+      SELECT p.nxt AS t, CAST(sum(pi1.pi * p.p_ppm // 1000000) AS BIGINT)
+        AS pi
+      FROM pi1 JOIN p ON p.cur = pi1.t GROUP BY p.nxt
+    ),
+    pi3 AS (
+      SELECT p.nxt AS t, CAST(sum(pi2.pi * p.p_ppm // 1000000) AS BIGINT)
+        AS pi
+      FROM pi2 JOIN p ON p.cur = pi2.t GROUP BY p.nxt
+    )
+    SELECT pi0.t AS event_type, pi0.pi AS pi0_ppm, pi3.pi AS pi3_ppm
+    FROM pi0 JOIN pi3 ON pi3.t = pi0.t
+    ORDER BY event_type
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate STATIONARY distribution of the event-type Markov
+    chain by {K} unrolled power-iteration steps from uniform, in exact
+    truncating ppm (each term pi_i * p_ij // 1e6 truncates BEFORE the
+    sum, identically in both engines — so the iteration is
+    hash-checkable with no float anywhere). The stationary mix is
+    the long-run traffic composition the transition table implies;
+    comparing it to the OBSERVED type mix flags a chain whose
+    short-term dynamics and steady state disagree (e.g. an error
+    state that absorbs).
+
+    Scale shape: the data-sized work is ONE per-user lead window (the
+    standard sessionization exchange) collapsing to a types² transition
+    matrix; each power step is a join-aggregate over <= types² rows —
+    bounded by the type inventory, not the corpus — so unrolling K
+    steps costs K tiny stages. The same unrolled-stage pattern at
+    larger K is exactly how pagerank_ranks runs its iterations."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    p = trans.select(
+        "cur",
+        "nxt",
+        F.expr("CAST(n * 1000000 div sum(n) OVER (PARTITION BY cur) AS BIGINT)")
+        .alias("p_ppm"),
+    )
+    types = trans.select(F.col("cur").alias("t")).distinct()
+    k = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "t", F.expr("CAST(1000000 div k AS BIGINT)").alias("pi")
+    )
+    pi0 = pi
+    for _ in range(MARKOV_POWER_STEPS):
+        pi = (
+            pi.join(p, pi.t == p.cur)
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(
+                F.sum(F.expr("pi * p_ppm div 1000000")).cast("long").alias("pi")
+            )
+            .select(F.col("t2").alias("t"), "pi")
+        )
+    return (
+        pi0.select(F.col("t").alias("event_type"), F.col("pi").alias("pi0_ppm"))
+        .join(
+            pi.select(F.col("t").alias("event_type"), F.col("pi").alias("pi3_ppm")),
+            "event_type",
+        )
+        .orderBy("event_type")
+    )

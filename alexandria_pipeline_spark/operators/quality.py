@@ -198,3 +198,53 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div mean_chars_old"
         ).alias("mean_chars_drift_ppm"),
     )
+
+
+# Freshness SLA: a feed whose latest event lags the corpus high-water
+# mark by more than this is stale (its producer stopped or stalled).
+FRESHNESS_SLA_S = 6 * 3600
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS latest_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    hwm AS (SELECT CAST(max(latest_us) AS BIGINT) AS global_us FROM per_type)
+    SELECT event_type, n_events,
+           CAST((global_us - latest_us) // 1000000 AS BIGINT) AS lag_s,
+           CAST((global_us - latest_us) // 1000000 > {FRESHNESS_SLA_S}
+             AS INT) AS stale_flag
+    FROM per_type, hwm
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed FRESHNESS monitoring — the first page of every data-ops
+    dashboard: how far does each event type's latest event lag the
+    corpus high-water mark, and which feeds violate the {H}h SLA (a
+    stale feed means its producer died, and every downstream join
+    silently loses that type's rows). One map-side-combined max/count
+    aggregate per type plus a 1-row broadcast high-water mark; exact
+    integer seconds.""".replace("{H}", str(FRESHNESS_SLA_S // 3600))
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("CAST(max(unix_micros(ts)) AS BIGINT)").alias("latest_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    hwm = per_type.agg(F.max("latest_us").alias("global_us"))
+    lag_s = F.expr("(global_us - latest_us) div 1000000")
+    return (
+        per_type.crossJoin(F.broadcast(hwm))
+        .select(
+            "event_type",
+            "n_events",
+            lag_s.cast("long").alias("lag_s"),
+            (lag_s > FRESHNESS_SLA_S).cast("int").alias("stale_flag"),
+        )
+        .orderBy("event_type")
+    )

@@ -160,6 +160,8 @@ HEADLINE = [
     "events_dau_stickiness",
     "dedup_edit_distance",
     "events_slo_burn_rate",
+    "dq_freshness_lag",
+    "events_markov_stationary",
 ]
 
 

@@ -804,3 +804,25 @@ def test_slo_burn_page_policy(spark):
             r["burn_1h_e3"] > BURN_1H_E3 and r["burn_6h_e3"] > BURN_6H_E3
         )
         assert r["errors_1h"] <= r["total_1h"]
+
+
+def test_markov_stationary_mass_and_freshness(spark):
+    """pi3 mass must stay within truncation slack of 1e6 (each of the
+    3 steps loses < types ppm), and freshness lags must include a
+    zero-lag leader."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_markov_stationary"](spark, sf).collect()
+    k = len(rows)
+    assert k >= 2
+    m3 = sum(r["pi3_ppm"] for r in rows)
+    assert 1_000_000 - 4 * k * (k + 1) <= m3 <= 1_000_000
+    m0 = sum(r["pi0_ppm"] for r in rows)
+    assert 1_000_000 - k <= m0 <= 1_000_000
+
+    lags = QUERIES["dq_freshness_lag"](spark, sf).collect()
+    assert min(r["lag_s"] for r in lags) == 0
+    for r in lags:
+        assert r["stale_flag"] == int(r["lag_s"] > 6 * 3600)
