@@ -60,6 +60,13 @@ ADJUDICATIONS = {
         "108+-query session; the plan is unchanged since r1 (broadcast "
         "keyed merge join + scaled concat)."
     ),
+    "embed_documents": (
+        "Baseline-vintage artifact, not drift: the 0.617s record is from "
+        "round 1's near-empty 35-query session. Under the full 131-query "
+        "session the wall bounces in a 0.83-1.76s noise band (r4 host "
+        "1.761, r5 0.827, r6 1.030, r7 1.092) with the plan unchanged "
+        "since r1 (Arrow pandas-UDF featurizer over documents)."
+    ),
     "graph_jaccard_neighbors": (
         "r4-r5 used a collect_set adjacency sketch that KILLED the 16g "
         "JVM at sf10 (GCLocker 128MB array retries); r6 rebuilt it "
