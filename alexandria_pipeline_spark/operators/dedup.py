@@ -900,73 +900,112 @@ def connected_components_from_pairs(
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance-≤1 similarity join via the FastSS deletion index
-    (Bocek et al. 2007): every string contributes itself (k=0) plus its
-    length single-char-deletion variants; two strings within one
-    insert/delete/substitute ALWAYS share at least one variant, so the
-    candidate set from a variant equi-join is complete and each
-    candidate is verified with an exact levenshtein — never an
-    all-pairs scan.
+    """Edit-distance-≤1 similarity join via a POSITION-TAGGED FastSS
+    deletion index (Bocek et al. 2007), verification-free.
 
-    Two linear pre-collapses keep the join linear in DISTINCT names
-    (both found when the r7 sf1 stress hung this query 15+ min on one
-    core; the retrieval-module FastSS op had them, this one predated
-    them):
-      - exact-duplicate names collapse to a min-key representative
-        FIRST: a replicated corpus otherwise SQUARES inside the k=0
-        variant group (m copies -> m(m-1)/2 output pairs per name,
-        each matched on every shared variant);
-      - each name's variant list is array_distinct'ed: deleting any
-        char of a repeated run (the 6-zero run in Customer#000...)
-        yields the same variant, inflating matched candidate pairs by
-        the product of run lengths.
-    The rep groupBy also lands the index on shuffle-width partitions,
-    so the probe parallelizes instead of inheriting the single-file
-    scan's one partition. Output semantics under duplication are
-    entity-resolution semantics (pairs over distinct names, min-key
-    representative) — the oracle encodes the same collapse.
+    The classic FastSS join on bare variant strings over-generates
+    (any two strings whose one-char deletions collide are candidates,
+    which includes distance-2 pairs like transpositions) and then pays
+    an exact levenshtein over every candidate occurrence — profiled at
+    ~4µs/pair × ~1M occurrences = the whole 8-10s wall of the r1-r7
+    implementation, plus a 1M-row distinct to collapse multiplicity.
 
-    Scale shape: ~(len+1) DISTINCT variants per distinct name, one
-    equi-join on the variant string, exact verify on the candidate
-    set, distinct pair output — the same Σdf² envelope as
-    dedup_ngram_jaccard, with the df-cap valve as the remedy for
-    adversarial variant groups."""
+    Tagging each variant with its deletion position k makes the index
+    EXACT for distinct names, so both the verify and the distinct
+    disappear:
+      - substitution (equal lengths): a,b differ at exactly position i
+        ⟺ deleting i from both yields the same string ⟺ they share
+        (variant, k=i). They share it for NO other k (deleting j≠i
+        leaves the position-i difference in place), so the (variant,k)
+        equi-join emits each substitution pair exactly once.
+      - insert/delete (lengths differ by 1): the shorter name IS a
+        deletion variant of the longer ⟺ the shorter's k=0 row equals
+        one of the longer's array_distinct'ed variants (distinct'ing
+        collapses repeated-run deletions — 'Customer#000...' yields the
+        same variant for every zero in the run — so this branch too is
+        multiplicity-1).
+    The two branches are disjoint (equal vs unequal lengths) and
+    exhaustive for lev ≤ 1, so their union is the answer with no
+    post-processing. Every surviving pair has distinct names within
+    one edit, hence dist ≡ 1 — emitted as a literal the oracle's
+    levenshtein necessarily agrees with.
+
+    Exact-duplicate names still collapse to a min-key representative
+    FIRST (a replicated corpus otherwise squares inside each variant
+    group), and that groupBy lands the index on shuffle-width
+    partitions so the probe parallelizes. Scale shape: ~(len+1)
+    variants per distinct name, two equi-joins keyed on (variant,
+    position) / variant strings, zero re-verification — group sizes
+    are bounded by the alphabet (≤|Σ| names can pairwise differ at one
+    position), so output is linear in matches, never Σdf²."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     reps = c.groupBy("c_name").agg(F.min("c_custkey").alias("c_custkey"))
-    variants = reps.select(
+    # (variant, k) for k >= 1: one row per deletion POSITION (runs kept
+    # — equal variants at different k are different join keys, so runs
+    # don't inflate the substitution branch).
+    deletions = reps.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(c_name)), k -> "
+                "struct(concat(substring(c_name, 1, k - 1), "
+                "substring(c_name, k + 1, length(c_name))) AS v, "
+                "k AS k))"
+            )
+        ).alias("d"),
+    ).select("c_custkey", "c_name", F.col("d.v").alias("variant"), F.col("d.k").alias("k"))
+    # run-collapsed variant strings for the indel branch (k irrelevant)
+    del_distinct = reps.select(
         "c_custkey",
         "c_name",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, length(c_name)), k -> "
-                    "CASE WHEN k = 0 THEN c_name "
-                    "ELSE concat(substring(c_name, 1, k - 1), "
-                    "substring(c_name, k + 1, length(c_name))) END)"
+                    "transform(sequence(1, length(c_name)), k -> "
+                    "concat(substring(c_name, 1, k - 1), "
+                    "substring(c_name, k + 1, length(c_name))))"
                 )
             )
         ).alias("variant"),
     )
-    a = variants.alias("a")
-    b = variants.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-        .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            .cast("int")
-            .alias("dist"),
-        )
-        .distinct()
+
+    a, b = deletions.alias("a"), deletions.alias("b")
+    substitutions = a.join(
+        b,
+        (F.col("a.variant") == F.col("b.variant"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("custkey_a"),
+        F.col("b.c_custkey").alias("custkey_b"),
+        F.col("a.c_name").alias("name_a"),
+        F.col("b.c_name").alias("name_b"),
     )
+
+    s, l = reps.alias("s"), del_distinct.alias("l")
+    indels = (
+        s.join(l, F.col("s.c_name") == F.col("l.variant"))
+        .select(
+            F.least(F.col("s.c_custkey"), F.col("l.c_custkey")).alias("key_lo"),
+            F.greatest(F.col("s.c_custkey"), F.col("l.c_custkey")).alias("key_hi"),
+            F.col("s.c_custkey").alias("sk"),
+            F.col("s.c_name").alias("sn"),
+            F.col("l.c_name").alias("ln"),
+        )
+        .select(
+            F.col("key_lo").alias("custkey_a"),
+            F.col("key_hi").alias("custkey_b"),
+            F.when(F.col("key_lo") == F.col("sk"), F.col("sn"))
+            .otherwise(F.col("ln"))
+            .alias("name_a"),
+            F.when(F.col("key_lo") == F.col("sk"), F.col("ln"))
+            .otherwise(F.col("sn"))
+            .alias("name_b"),
+        )
+    )
+
+    return substitutions.unionByName(indels).withColumn("dist", F.lit(1).cast("int"))
 
 
 # --------------------------------------------------------------------------

@@ -826,3 +826,38 @@ def test_markov_stationary_mass_and_freshness(spark):
     assert min(r["lag_s"] for r in lags) == 0
     for r in lags:
         assert r["stale_flag"] == int(r["lag_s"] > 6 * 3600)
+
+
+def test_edit_distance_position_tagged_index_exact(spark, tmp_path):
+    """The position-tagged FastSS rewrite must be exact WITHOUT a
+    levenshtein verify or a final distinct: substitutions join on
+    (variant, k), indels on name == run-collapsed variant. TPC-H names
+    are all equal-length, so this synthetic corpus covers what the
+    oracle can't: insert/delete pairs, a transposition (lev=2, shares
+    bare variants both ways — the classic FastSS over-generation) that
+    must be EXCLUDED, repeated-run names (multiplicity-1 claim), and a
+    duplicate name collapsing to its min-key representative."""
+    from alexandria_pipeline_spark.operators.dedup import dedup_edit_distance
+
+    rows = [
+        (1, "abc"),
+        (2, "abd"),
+        (3, "ab"),
+        (4, "ba"),   # lev("ab","ba")=2: transposition, must not pair
+        (5, "abc"),  # duplicate name: collapses into custkey 1
+        (6, "aab"),  # run: del pos1/pos2 both yield "ab"
+        (7, "abb"),
+    ]
+    spark.createDataFrame(rows, "c_custkey long, c_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+
+    out = dedup_edit_distance(spark, str(tmp_path)).collect()
+    pairs = sorted((r["custkey_a"], r["custkey_b"]) for r in out)
+    expected = sorted(
+        [(1, 2), (1, 3), (2, 3), (3, 6), (3, 7), (6, 7), (1, 7), (2, 7)]
+    )
+    assert pairs == expected, pairs  # == also proves multiplicity 1
+    assert all(r["dist"] == 1 for r in out)
+    by_key = {(r["custkey_a"], r["custkey_b"]): r for r in out}
+    assert by_key[(3, 6)]["name_a"] == "ab" and by_key[(3, 6)]["name_b"] == "aab"
