@@ -210,20 +210,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_fuzzy_deletion_neighborhood(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Fuzzy self-join at edit distance ≤ 1 via the deletion
-    neighborhood (SymSpell blocking): every name emits itself plus its
-    |s| single-character deletions; two names within one
-    insert/delete/substitute necessarily share a variant, so the
-    candidate set is an EQUI-join on the variant string — never an
-    all-pairs cross product. Candidates are then verified with exact
-    levenshtein. Exact-duplicate names are collapsed to a min-custkey
-    representative FIRST (a linear groupBy), both because that is what
-    an entity-resolution pass does and because replicated fixtures
-    would otherwise square inside the i=0 variant group. Scale shape:
-    |s|+1 variant rows per distinct name (~19 here) → one equi-join
-    whose per-variant groups are edit-neighborhood-sized, a distinct,
-    and a verify filter — linear in names, vs the O(n²) naive fuzzy
-    join. Output: per-mktsegment verified pair counts."""
+    """Fuzzy self-join at edit distance ≤ 1 via the POSITION-TAGGED
+    deletion neighborhood (SymSpell blocking made exact — same rewrite
+    as dedup_edit_distance, see the proof in its docstring): for
+    distinct names, substitution pairs share a deletion variant at the
+    SAME position k (and at no other), and indel pairs match the
+    shorter name itself against the longer's run-collapsed deletion
+    variants — so the (variant, k) / (name = variant) equi-joins emit
+    exactly the lev≤1 pairs with multiplicity 1, and the classic
+    pipeline's levenshtein verify over every candidate occurrence plus
+    the candidate-distinct both disappear. The oracle intentionally
+    keeps the naive generate-verify formulation: two independent
+    derivations of the same semantics. Exact-duplicate names still
+    collapse to a min-custkey representative FIRST (a linear groupBy)
+    — entity-resolution semantics, and replicated fixtures would
+    otherwise square inside a variant group. Scale shape: ~|s| variant
+    rows per distinct name (~19 here), two equi-joins whose group
+    sizes are alphabet-bounded, then one per-segment aggregate —
+    linear in names, vs the O(n²) naive fuzzy join. Output:
+    per-mktsegment verified pair counts."""
     c = load_table(spark, sf_dir, "customer")
     reps = c.groupBy("c_name").agg(
         F.min("c_custkey").alias("rep_key"),
@@ -233,35 +238,42 @@ def join_fuzzy_deletion_neighborhood(
         c.select(F.col("c_custkey").alias("rep_key"), "c_mktsegment"),
         "rep_key",
     )
-    variants = seg.select(
+    deletions = seg.select(
         "rep_key",
-        "c_name",
-        F.posexplode(F.expr("sequence(0, length(c_name))")).alias("_p", "i"),
-    ).select(
-        "rep_key",
-        "c_name",
-        F.when(F.col("i") == 0, F.col("c_name"))
-        .otherwise(
-            F.concat(
-                F.expr("substring(c_name, 1, i - 1)"),
-                F.expr("substring(c_name, i + 1)"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(c_name)), k -> "
+                "struct(concat(substring(c_name, 1, k - 1), "
+                "substring(c_name, k + 1, length(c_name))) AS v, k AS k))"
             )
-        )
-        .alias("v"),
-    )
-    a = variants.select(
-        F.col("rep_key").alias("k1"), F.col("c_name").alias("n1"), "v"
-    )
-    b = variants.select(
-        F.col("rep_key").alias("k2"), F.col("c_name").alias("n2"), "v"
-    )
-    cand = (
-        a.join(b, "v")
+        ).alias("d"),
+    ).select("rep_key", F.col("d.v").alias("v"), F.col("d.k").alias("k"))
+    substitutions = (
+        deletions.select(F.col("rep_key").alias("k1"), "v", "k")
+        .join(deletions.select(F.col("rep_key").alias("k2"), "v", "k"), ["v", "k"])
         .filter(F.col("k1") < F.col("k2"))
-        .select("k1", "k2", "n1", "n2")
-        .distinct()
+        .select("k1", "k2")
     )
-    pairs = cand.filter(F.levenshtein("n1", "n2") <= 1).select("k1", "k2")
+    del_distinct = seg.select(
+        "rep_key",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(c_name)), k -> "
+                    "concat(substring(c_name, 1, k - 1), "
+                    "substring(c_name, k + 1, length(c_name))))"
+                )
+            )
+        ).alias("v"),
+    )
+    indels = (
+        seg.select(F.col("rep_key").alias("ks"), F.col("c_name").alias("v"))
+        .join(del_distinct.select(F.col("rep_key").alias("kl"), "v"), "v")
+        .select(
+            F.least("ks", "kl").alias("k1"), F.greatest("ks", "kl").alias("k2")
+        )
+    )
+    pairs = substitutions.unionByName(indels)
     return (
         pairs.join(
             seg.select(F.col("rep_key").alias("k1"), "c_mktsegment"), "k1"
