@@ -3026,3 +3026,86 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_transition_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, next_type
+    ),
+    terms AS (
+      SELECT from_type, c,
+             CAST(sum(c) OVER (PARTITION BY from_type) AS BIGINT) AS n,
+             CAST(round(-(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY from_type))
+                        * log2(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY from_type))
+                        * 1000000) AS BIGINT) AS term_micro
+      FROM trans
+    )
+    SELECT from_type,
+           CAST(max(n) AS BIGINT)   AS n_transitions,
+           CAST(count(*) AS BIGINT) AS k_next,
+           CAST(sum(term_micro) AS BIGINT) AS entropy_micro_bits,
+           CAST(round(log2(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT)
+             AS max_entropy_micro_bits
+    FROM terms
+    GROUP BY from_type
+    ORDER BY from_type
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each event type's NEXT-event
+    distribution — the information-theoretic readout on top of the
+    first-order transition matrix: entropy near zero means the type
+    deterministically funnels into one successor (a rigid flow), near
+    log2(k) means the successor is unpredictable (k_next and the
+    ceiling are reported alongside). Successor pairs ride one user_id
+    window ordered by (ts, event_id) — the events_markov2_transitions
+    shuffle and tie-break discipline. Determinism contract: each
+    -(p)·log2(p) term is rounded to integer MICRO per (from, to) CELL
+    before summing (cells are identical exact integers c/n in both
+    engines, and the transition table is |types|² rows at any SF), so
+    the entropy aggregate is an exact integer sum of at most k
+    per-cell roundings — no float accumulation order anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("from_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_from = Window.partitionBy("from_type")
+    p = F.col("c").cast("double") / F.sum("c").over(w_from).cast("double")
+    terms = trans.select(
+        "from_type",
+        "c",
+        F.sum("c").over(w_from).cast("long").alias("n"),
+        F.round(-p * F.log2(p) * 1_000_000).cast("long").alias("term_micro"),
+    )
+    return (
+        terms.groupBy("from_type")
+        .agg(
+            F.max("n").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("k_next"),
+            F.sum("term_micro").cast("long").alias("entropy_micro_bits"),
+        )
+        .withColumn(
+            "max_entropy_micro_bits",
+            F.round(F.log2(F.col("k_next").cast("double")) * 1_000_000).cast(
+                "long"
+            ),
+        )
+        .orderBy("from_type")
+    )

@@ -1781,3 +1781,314 @@ def orders_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "day")
     )
+
+
+@query(
+    "lineitem_price_elasticity_by_brand",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1000000)
+                  AS BIGINT) AS x,
+             CAST(round(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+      SELECT brand,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT)  AS sx,
+             CAST(sum(y) AS HUGEINT)  AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)  AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)  AS sxx
+      FROM pts GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(sx // n AS BIGINT) AS mean_ln_price_micro,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS elasticity_micro
+    FROM s
+    WHERE n * sxx - sx * sx > 0
+    ORDER BY brand
+    """,
+)
+def lineitem_price_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) — the log-log regression whose
+    coefficient IS the elasticity (a -1.2 means a 1% price increase
+    drops quantity ~1.2%). Grouped regression, one slope per brand —
+    the per-group generalization of orders_linreg_trend's single
+    global fit. Determinism contract: both log terms are rounded to
+    integer MICRO per row before any aggregation (the
+    curation_dsir_importance precedent), so every moment (sx, sy, sxy,
+    sxx) is an exact integer sum — widened to decimal(38,0)/HUGEINT
+    because micro-scaled cross-products overflow int64 — and the slope
+    is one exact truncating div. Shape: broadcast the part dim into
+    the fact scan, one partial-aggregated shuffle on the ~|brands|
+    key, a 25-row closed-form read-out. No windows, no float sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1_000_000
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("l_quantity").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum("y").cast(_DEC).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+    )
+    return (
+        s.filter(F.expr("n * sxx - sx * sx > 0"))
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_items"),
+            F.expr("CAST(sx div n AS BIGINT)").alias("mean_ln_price_micro"),
+            F.expr(
+                "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+                "AS BIGINT)"
+            ).alias("elasticity_micro"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH per_day AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+      FROM per_day
+    ),
+    pre AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS k,
+             CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS HUGEINT) AS a
+      FROM per_day
+    ),
+    scored AS (
+      SELECT d, k, a, n, s, sq,
+             (a * a * (n - k) + (s - a) * (s - a) * k) * 1000000
+               // (k * (n - k)) AS gain_key
+      FROM pre, tot
+      WHERE k < n AND n * sq - s * s > 0
+    )
+    SELECT
+      strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS split_date,
+      CAST(k AS BIGINT)                     AS split_index,
+      CAST(n AS BIGINT)                     AS n_days,
+      CAST(a * 1000 // k AS BIGINT)         AS mean_before_milli,
+      CAST((s - a) * 1000 // (n - k) AS BIGINT) AS mean_after_milli,
+      CAST((n * (a * a * (n - k) + (s - a) * (s - a) * k)
+            - s * s * k * (n - k)) * 1000000
+           // (k * (n - k) * (n * sq - s * s)) AS BIGINT) AS var_explained_ppm
+    FROM scored
+    ORDER BY gain_key DESC, d ASC
+    LIMIT 1
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint on the daily event-count series by binary
+    segmentation: the split k minimizing SSE_left + SSE_right, i.e.
+    maximizing the between-segment gain A_k²/k + B_k²/(n−k) — the
+    first step of the classic binseg recursion (Scott & Knott '74) and
+    the variance-based complement of orders_cusum_changepoint's
+    mean-shift statistic. All arithmetic exact: the argmax key is the
+    gain cross-multiplied onto the common denominator k(n−k) as ONE
+    truncating integer div (decimal(38,0)/HUGEINT; no float ordering
+    anywhere, date tiebreak), and the reported effect sizes are exact
+    milli-means plus the fraction of total variance the split explains
+    in truncating ppm. Shape: one fact shuffle to per-day counts, then
+    every window/join runs on the CALENDAR-SPAN frame (~2.5k rows at
+    any SF — the orders_cusum_changepoint discipline) with the 1-row
+    totals broadcast; the answer is a 1-row TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = per_day.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("c").cast(_DEC).alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c")).alias("sq"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_day.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast(_DEC).alias("k"),
+        F.sum("c").over(w_cum).cast(_DEC).alias("a"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.expr("k < n AND n * sq - s * s > 0"))
+        .withColumn(
+            "gain_key",
+            F.expr(
+                "(a * a * (n - k) + (s - a) * (s - a) * k) * 1000000 "
+                "div (k * (n - k))"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("gain_key"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.date_format(
+                F.expr("date_add(DATE '1970-01-01', CAST(d AS INT))"),
+                "yyyy-MM-dd",
+            ).alias("split_date"),
+            F.col("k").cast("long").alias("split_index"),
+            F.col("n").cast("long").alias("n_days"),
+            F.expr("CAST(a * 1000 div k AS BIGINT)").alias("mean_before_milli"),
+            F.expr("CAST((s - a) * 1000 div (n - k) AS BIGINT)").alias(
+                "mean_after_milli"
+            ),
+            F.expr(
+                "CAST((n * (a * a * (n - k) + (s - a) * (s - a) * k) "
+                "- s * s * k * (n - k)) * 1000000 "
+                "div (k * (n - k) * (n * sq - s * s)) AS BIGINT)"
+            ).alias("var_explained_ppm"),
+        )
+    )
+
+
+KM_CENSOR_GAP_HOURS = 12  # users silent this close to the horizon are censored
+
+
+@query(
+    "events_user_survival_km",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS fd,
+             max(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    h AS (SELECT max(ld) AS horizon FROM u),
+    lives AS (
+      SELECT ld - fd AS t,
+             CAST(ld < horizon - {KM_CENSOR_GAP_HOURS} AS BIGINT) AS ev
+      FROM u, h
+    ),
+    durs AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS m, CAST(sum(ev) AS BIGINT) AS d
+      FROM lives GROUP BY t
+    ),
+    risk AS (
+      SELECT t, m, d,
+             CAST(sum(m) OVER () - sum(m) OVER (ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) + m AS BIGINT) AS n_risk
+      FROM durs
+    ),
+    ev_times AS (
+      SELECT t, n_risk, d,
+             CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1000000)
+                  AS BIGINT) AS l_micro
+      FROM risk WHERE d > 0 AND n_risk > d
+    )
+    SELECT t AS t_hours, n_risk, d AS n_churned,
+           CAST(round(exp(CAST(sum(l_micro) OVER (ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000) * 1000000)
+                AS BIGINT) AS survival_ppm
+    FROM ev_times
+    ORDER BY t
+    """,
+)
+def events_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (hours from first
+    to last event), right-censored: users whose last event falls
+    within KM_CENSOR_GAP_HOURS of the data horizon are censored (still
+    alive for all we know), everyone else contributes a churn event —
+    the estimator that makes retention curves honest when the
+    observation window cuts cohorts short (naive survival counts all
+    short-tenured new users as churned). S(t) = prod over event times
+    u<=t of (n_u - d_u)/n_u, with n_u the at-risk count. Determinism
+    contract: every per-time hazard log is rounded to integer MICRO
+    before the cumulative sum (the dsir/pareto precedent), so the
+    window accumulates exact integers and the single exp at read-out
+    consumes identical inputs in both engines. Shape: ONE data-sized
+    shuffle (the user_id min/max aggregate, map-side combinable);
+    everything after runs on the duration frame, whose cardinality is
+    the CALENDAR SPAN in hours (~720 rows at any SF), where
+    single-partition windows are safe by design."""
+    e = load_table(spark, sf_dir, "events")
+    hourn = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.min(hourn).alias("fd"), F.max(hourn).alias("ld")
+    )
+    h = u.agg(F.max("ld").alias("horizon"))
+    lives = u.crossJoin(F.broadcast(h)).select(
+        (F.col("ld") - F.col("fd")).alias("t"),
+        (F.col("ld") < F.col("horizon") - KM_CENSOR_GAP_HOURS)
+        .cast("long")
+        .alias("ev"),
+    )
+    durs = lives.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = durs.select(
+        "t",
+        "m",
+        "d",
+        (F.sum("m").over(w_all) - F.sum("m").over(w_cum) + F.col("m"))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    ev_times = risk.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("l_micro"),
+    )
+    return ev_times.select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.round(
+            F.exp(
+                F.sum("l_micro").over(Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )).cast("double")
+                / 1_000_000
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("survival_ppm"),
+    ).orderBy("t_hours")

@@ -1668,3 +1668,115 @@ def text_chunk_stitch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("s_a").alias("overlap_text"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+PARETO_XMIN = 200  # tail threshold (chars); the fit is over docs >= xmin
+
+
+@query(
+    "text_token_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+               AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS chars_total,
+           CAST(sum(toks) AS BIGINT)  AS tokens_total,
+           CAST(sum(chars) * 1000 // sum(toks) AS BIGINT) AS fertility_milli
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (characters per token, exact milli) by
+    language — the standard diagnostic for how expensively a tokenizer
+    encodes each language slice of a corpus (high fertility = more
+    tokens per unit text = that language pays more compute per char).
+    Uses the same BPE-ish TOKEN_RE as text_token_counts so the two
+    read-outs reconcile. Shape: map-only per-doc counting in codegen,
+    one partial-aggregated shuffle on the ~|langs| key, exact integer
+    milli via truncating div — no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("toks"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("chars_total"),
+            F.sum("toks").cast("long").alias("tokens_total"),
+            (F.expr("sum(chars) * 1000 div sum(toks)"))
+            .cast("long")
+            .alias("fertility_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "corpus_length_pareto_alpha",
+    oracle=f"""
+    WITH tail AS (
+      SELECT source,
+             CAST(round(ln(CAST(n_chars AS DOUBLE) / {PARETO_XMIN})
+                        * 1000000) AS BIGINT) AS l_micro
+      FROM documents WHERE n_chars >= {PARETO_XMIN}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           CAST(sum(l_micro) AS BIGINT) AS sum_ln_micro,
+           CAST(1000000 + count(*) * 1000000000000 // sum(l_micro)
+                AS BIGINT) AS alpha_micro
+    FROM tail
+    GROUP BY source
+    HAVING sum(l_micro) > 0
+    ORDER BY source
+    """,
+)
+def corpus_length_pareto_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail fit of the document-length distribution, per
+    source: the Hill / maximum-likelihood estimator
+    alpha = 1 + n / sum(ln(x/xmin)) over docs with n_chars >= xmin
+    (Clauset-Shalizi-Newman's discrete-tail workhorse). A corpus whose
+    alpha drifts down is growing a heavy tail of very long documents —
+    the thing length-capped training pipelines need to see coming.
+    Determinism contract: ln is rounded to integer MICRO per document
+    BEFORE summing (the curation_dsir_importance precedent), so the
+    aggregate is an exact integer in both engines and no float sum
+    order can flip the hash; the final alpha is a truncating integer
+    div widened against overflow. Shape: map-only filter+project, one
+    shuffle on the ~|sources| key."""
+    d = load_table(spark, sf_dir, "documents")
+    tail = d.filter(F.col("n_chars") >= PARETO_XMIN).select(
+        "source",
+        F.round(
+            F.log(F.col("n_chars").cast("double") / F.lit(float(PARETO_XMIN)))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("l_micro"),
+    )
+    return (
+        tail.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum("l_micro").cast("long").alias("sum_ln_micro"),
+            F.expr(
+                "CAST(1000000 + CAST(count(*) AS decimal(38,0)) * 1000000000000 "
+                "div sum(l_micro) AS BIGINT)"
+            ).alias("alpha_micro"),
+        )
+        .filter(F.col("sum_ln_micro") > 0)
+        .orderBy("source")
+    )

@@ -861,3 +861,127 @@ def test_edit_distance_position_tagged_index_exact(spark, tmp_path):
     assert all(r["dist"] == 1 for r in out)
     by_key = {(r["custkey_a"], r["custkey_b"]): r for r in out}
     assert by_key[(3, 6)]["name_a"] == "ab" and by_key[(3, 6)]["name_b"] == "aab"
+
+
+def test_km_survival_curve_invariants(spark):
+    """Kaplan-Meier: at-risk counts and survival are non-increasing in
+    t, survival stays in (0, 1e6], and the first event time's survival
+    equals (n-d)/n to within the micro-log rounding."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["events_user_survival_km"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty survival curve"
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["t_hours"] > prev["t_hours"]
+        assert cur["n_risk"] < prev["n_risk"] + prev["n_churned"] + 1
+        assert cur["survival_ppm"] <= prev["survival_ppm"]
+    for r in rows:
+        assert 0 < r["survival_ppm"] <= 1_000_000
+        assert 0 < r["n_churned"] < r["n_risk"]
+    first = rows[0]
+    expect = round(
+        (first["n_risk"] - first["n_churned"]) / first["n_risk"] * 1_000_000
+    )
+    assert abs(first["survival_ppm"] - expect) <= 2
+
+
+def test_transition_entropy_bounds(spark):
+    """Per-type next-event entropy obeys 0 <= H <= log2(k) (+- the
+    per-cell micro rounding slack) and the k=1 rows are exactly 0."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["events_transition_entropy"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        slack = r["k_next"]  # one half-micro per rounded cell, doubled
+        assert -slack <= r["entropy_micro_bits"] <= r["max_entropy_micro_bits"] + slack
+        if r["k_next"] == 1:
+            assert r["entropy_micro_bits"] == 0
+
+
+def test_binseg_changepoint_is_argmax(spark):
+    """The reported split must beat every other split on the exact
+    integer gain (brute-force recheck over the per-day frame) and the
+    variance-explained read-out must land in [0, 1e6]."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+    from alexandria_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["events_changepoint_binseg"](spark, sf).collect()[0]
+    assert 1 <= row["split_index"] < row["n_days"]
+    assert 0 <= row["var_explained_ppm"] <= 1_000_000
+
+    e = load_table(spark, sf, "events")
+    per_day = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    cs = [r["c"] for r in per_day]
+    n, s = len(cs), sum(cs)
+    best_k, best_gain = None, None
+    a = 0
+    for k in range(1, n):
+        a += cs[k - 1]
+        b = s - a
+        gain = (a * a * (n - k) + b * b * k) * 1_000_000 // (k * (n - k))
+        if best_gain is None or gain > best_gain:
+            best_gain, best_k = gain, k
+    assert row["split_index"] == best_k
+    assert row["n_days"] == n
+
+
+def test_elasticity_covers_all_brands_and_reconciles(spark):
+    """Every brand with >= 2 distinct prices gets a slope, and the
+    per-brand n_items sum reconciles with the filtered fact count."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+    from alexandria_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["lineitem_price_elasticity_by_brand"](spark, sf).collect()
+    assert rows
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    assert sum(r["n_items"] for r in rows) == li.count()
+
+
+def test_fertility_reconciles_with_token_counts(spark):
+    """Fertility totals must equal the text_token_counts re-aggregation
+    (same TOKEN_RE, same corpus) and chars/token >= 1."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    fert = QUERIES["text_token_fertility_by_lang"](spark, sf).collect()
+    tc = QUERIES["text_token_counts"](spark, sf).collect()
+    assert sum(r["chars_total"] for r in fert) == sum(r["n_chars"] for r in tc)
+    assert sum(r["tokens_total"] for r in fert) == sum(r["re_tokens"] for r in tc)
+    for r in fert:
+        assert r["fertility_milli"] >= 1000
+
+
+def test_pareto_alpha_is_a_tail_exponent(spark):
+    """alpha > 1 by construction (MLE adds n/sum-ln to 1) and the tail
+    count is bounded by the corpus size."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+    from alexandria_pipeline_spark.catalog import load_table
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["corpus_length_pareto_alpha"](spark, sf).collect()
+    assert rows
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_tail"] for r in rows) <= n_docs
+    for r in rows:
+        assert r["alpha_micro"] > 1_000_000
+        assert r["sum_ln_micro"] > 0
