@@ -1465,3 +1465,214 @@ def curation_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# Score-rank banding for the AUC / KS global cumulative sums: a
+# monotone truncating div of the e6 score by this width gives a
+# value-range-bounded band key (the scorer's reachable domain is a few
+# e6 units wide, so a few hundred bands at any SF) — the same
+# two-phase rewrite doc_length_gini and orders_pareto_8020 use, so no
+# single-partition window ever sees the distinct-score frame.
+QL_RANK_BAND_E6 = 10_000
+
+_DEC38 = "decimal(38,0)"
+
+
+@query(
+    "curation_quality_auc",
+    oracle=f"""
+    WITH feats AS ({_QL_FEATS_SQL}),
+    scored AS (
+      SELECT lang, {_QL_Z_SQL} AS z FROM feats WHERE n_toks > 0
+    ),
+    per_z AS (
+      SELECT z,
+             CAST(count(*) AS HUGEINT) AS m,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS HUGEINT) AS p
+      FROM scored GROUP BY z
+    ),
+    ranked AS (
+      SELECT m, p,
+             CAST(sum(m) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) - m
+                  AS HUGEINT) AS c_below
+      FROM per_z
+    ),
+    agg AS (
+      SELECT CAST(sum(p * (2 * c_below + m + 1)) AS HUGEINT) AS s2,
+             CAST(sum(p) AS HUGEINT) AS np,
+             CAST(sum(m) AS HUGEINT) AS n
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT)      AS n_docs,
+           CAST(np AS BIGINT)     AS n_pos,
+           CAST(n - np AS BIGINT) AS n_neg,
+           CAST((s2 - np * (np + 1)) * 1000000 // (2 * np * (n - np))
+                AS BIGINT)        AS auc_ppm
+    FROM agg
+    """,
+)
+def curation_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the linear quality classifier against the
+    reference indicator (lang='en', the same stand-in 'good' label the
+    calibration diagram uses) via the Mann-Whitney rank-sum identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) — the ONE number
+    a curation team quotes for a quality filter, where the reliability
+    diagram (curation_quality_calibration) shows the shape. Ties are
+    exact: ranks are computed per DISTINCT score with doubled midranks
+    (2*c_below + m + 1), so everything stays integer and both engines
+    agree bit-for-bit — no float rank averaging. Shares the scorer
+    fragments with the calibration/histogram queries (one definition
+    per engine). Plan: map-only feature fold, ONE groupBy(z) with
+    map-side combine onto the bounded score domain, then the two-phase
+    banded cumulative count (band offsets over a few hundred rows,
+    within-band windows PARTITIONED by band — the doc_length_gini
+    discipline), one final 1-row moment aggregate. The rank-weighted
+    sum runs in decimal(38,0)/HUGEINT because S2 is O(n²)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_feats(d).select("lang", _ql_z_e6().alias("z"))
+    per_z = scored.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("p"),
+    )
+    banded = per_z.withColumn("band", F.expr(f"z div {QL_RANK_BAND_E6}"))
+    band_cnt = banded.groupBy("band").agg(F.sum("m").alias("bm"))
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_cnt.select(
+        "band", F.coalesce(F.sum("bm").over(w_bands), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("band").orderBy("z").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        banded.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "c_below", F.col("off") + F.sum("m").over(w_in) - F.col("m")
+        )
+        .select("m", "p", "c_below")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("p").cast(_DEC38)
+            * (F.lit(2).cast(_DEC38) * F.col("c_below") + F.col("m") + 1)
+        )
+        .cast(_DEC38)
+        .alias("s2"),
+        F.sum("p").cast(_DEC38).alias("np"),
+        F.sum("m").cast(_DEC38).alias("n"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("np").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((s2 - np * (np + 1)) * 1000000 div (2 * np * (n - np)) "
+            "AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@query(
+    "corpus_score_ks_drift",
+    oracle=f"""
+    WITH feats AS ({_QL_FEATS_SQL}),
+    scored AS (
+      SELECT doc_id % 2 AS snap, {_QL_Z_SQL} AS z
+      FROM feats WHERE n_toks > 0
+    ),
+    per_z AS (
+      SELECT z,
+             CAST(count(*) FILTER (WHERE snap = 0) AS HUGEINT) AS ma,
+             CAST(count(*) FILTER (WHERE snap = 1) AS HUGEINT) AS mb
+      FROM scored GROUP BY z
+    ),
+    tot AS (
+      SELECT CAST(sum(ma) AS HUGEINT) AS na,
+             CAST(sum(mb) AS HUGEINT) AS nb
+      FROM per_z
+    ),
+    cum AS (
+      SELECT z,
+             CAST(sum(ma) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING)
+                  AS HUGEINT) AS ca,
+             CAST(sum(mb) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING)
+                  AS HUGEINT) AS cb
+      FROM per_z
+    ),
+    gaps AS (
+      SELECT z, abs(ca * nb - cb * na) AS g FROM cum, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(g * 1000000 // (na * nb) AS BIGINT) AS ks_gap_ppm,
+           CAST(z AS BIGINT) AS at_score_e6
+    FROM gaps, tot
+    ORDER BY g DESC, z ASC LIMIT 1
+    """,
+)
+def corpus_score_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    quality-score distributions of two corpus snapshots (doc_id parity
+    split, the corpus_lang_drift convention): D = max |ECDF_a - ECDF_b|
+    plus the score where the gap peaks — the distribution-level drift
+    monitor that catches a quality shift even when per-language shares
+    (TV distance) stay flat. Integer-exact: the gap is maximized as
+    |ca*nb - cb*na| (the common denominator na*nb is constant, so the
+    argmax is unchanged) and divided ONCE into ppm at read-out; the
+    earliest score wins ties via a struct-max over (gap, -z). Same
+    100-TB shape as the AUC: one groupBy(z), two-phase banded
+    cumulative counts for both snapshots in one pass, 1-row read-out.
+    Cross products run in decimal(38,0)/HUGEINT (ca*nb is O(n²))."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = _ql_feats(d).select(
+        (F.col("doc_id") % 2).alias("snap"), _ql_z_e6().alias("z")
+    )
+    per_z = scored.groupBy("z").agg(
+        F.sum((F.col("snap") == 0).cast("long")).cast("long").alias("ma"),
+        F.sum((F.col("snap") == 1).cast("long")).cast("long").alias("mb"),
+    )
+    banded = per_z.withColumn("band", F.expr(f"z div {QL_RANK_BAND_E6}"))
+    band_cnt = banded.groupBy("band").agg(
+        F.sum("ma").alias("bma"), F.sum("mb").alias("bmb")
+    )
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = band_cnt.select(
+        "band",
+        F.coalesce(F.sum("bma").over(w_bands), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("bmb").over(w_bands), F.lit(0)).alias("offb"),
+    )
+    w_in = Window.partitionBy("band").orderBy("z").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_z.agg(
+        F.sum("ma").cast(_DEC38).alias("na"), F.sum("mb").cast(_DEC38).alias("nb")
+    )
+    gaps = (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "z",
+            (F.col("offa") + F.sum("ma").over(w_in)).cast(_DEC38).alias("ca"),
+            (F.col("offb") + F.sum("mb").over(w_in)).cast(_DEC38).alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "z",
+            "na",
+            "nb",
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias(
+                "g"
+            ),
+        )
+    )
+    best = gaps.agg(
+        F.max(F.struct(F.col("g"), (-F.col("z")).alias("negz"))).alias("top"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return best.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(top.g * 1000000 div (na * nb) AS BIGINT)").alias(
+            "ks_gap_ppm"
+        ),
+        (-F.col("top.negz")).cast("long").alias("at_score_e6"),
+    )

@@ -168,6 +168,8 @@ HEADLINE = [
     "lineitem_price_elasticity_by_brand",
     "events_changepoint_binseg",
     "events_user_survival_km",
+    "curation_quality_auc",
+    "corpus_score_ks_drift",
 ]
 
 
