@@ -1676,3 +1676,104 @@ def corpus_score_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (-F.col("top.negz")).cast("long").alias("at_score_e6"),
     )
+
+
+@query(
+    "curation_threshold_sweep",
+    oracle=f"""
+    WITH feats AS ({_QL_FEATS_SQL}),
+    scored AS (
+      SELECT lang, {_QL_Z_SQL} AS z_e6 FROM feats WHERE n_toks > 0
+    ),
+    banded AS (
+      SELECT lang, {_QL_BAND_SQL} AS band FROM scored
+    ),
+    per_band AS (
+      SELECT band,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS p
+      FROM banded GROUP BY band
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS np FROM per_band),
+    cum AS (
+      SELECT band,
+             CAST(sum(m) OVER (ORDER BY band DESC ROWS UNBOUNDED
+                  PRECEDING) AS BIGINT) AS pred_pos,
+             CAST(sum(p) OVER (ORDER BY band DESC ROWS UNBOUNDED
+                  PRECEDING) AS BIGINT) AS tp
+      FROM per_band
+    )
+    SELECT CAST(band AS INT) AS band,
+           CAST({QL_HIST_LO_E6} + band * {QL_HIST_WIDTH_E6}
+                // {QL_HIST_BANDS} AS BIGINT) AS threshold_e6,
+           pred_pos, tp,
+           CAST(tp * 1000000 // pred_pos AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // np AS BIGINT) AS recall_ppm,
+           CAST(2 * tp * 1000000 // (pred_pos + np) AS BIGINT) AS f1_ppm
+    FROM cum, tot
+    ORDER BY band
+    """,
+)
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the linear quality classifier at
+    every candidate cut — the operating-point table a curation team
+    reads NEXT TO the AUC (which says whether any threshold is good)
+    and the calibration diagram (which says whether the scores mean
+    anything): 'keep documents scoring in band >= b' becomes one row
+    with its exact trade-off. All integer: TP and predicted-positive
+    counts are cumulative sums from the TOP band down, and F1 uses the
+    division-light identity F1 = 2TP / (pred_pos + actual_pos) — one
+    truncating ppm division per cell, no float P*R products. Shares
+    the scorer + band fragments with the histogram/calibration/AUC
+    queries (one definition per engine). Plan: map-only feature fold,
+    ONE 10-group aggregate, a 1-row positives total broadcast, and the
+    cumulative window runs over <= QL_HIST_BANDS rows — band-bounded
+    by construction, never data-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    banded = (
+        _ql_feats(d)
+        .select("lang", _ql_z_e6().alias("z_e6"))
+        .withColumn("band", _ql_band())
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("p"),
+    )
+    tot = per_band.agg(F.sum("p").cast("long").alias("np"))
+    w_top = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_band.select(
+        "band",
+        F.sum("m").over(w_top).cast("long").alias("pred_pos"),
+        F.sum("p").over(w_top).cast("long").alias("tp"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            (
+                F.lit(QL_HIST_LO_E6)
+                + int_div(
+                    F.col("band") * QL_HIST_WIDTH_E6, F.lit(QL_HIST_BANDS)
+                )
+            )
+            .cast("long")
+            .alias("threshold_e6"),
+            "pred_pos",
+            "tp",
+            int_div(F.col("tp") * 1_000_000, F.col("pred_pos"))
+            .cast("long")
+            .alias("precision_ppm"),
+            int_div(F.col("tp") * 1_000_000, F.col("np"))
+            .cast("long")
+            .alias("recall_ppm"),
+            int_div(
+                F.lit(2) * F.col("tp") * 1_000_000,
+                F.col("pred_pos") + F.col("np"),
+            )
+            .cast("long")
+            .alias("f1_ppm"),
+        )
+        .orderBy("band")
+    )

@@ -170,6 +170,7 @@ HEADLINE = [
     "events_user_survival_km",
     "curation_quality_auc",
     "corpus_score_ks_drift",
+    "curation_threshold_sweep",
 ]
 
 

@@ -1080,3 +1080,30 @@ def test_bench_gate_parser_survives_gate_artifacts():
     real = json.loads((pathlib.Path(REPO) / "BENCH_HOST_r7.json").read_text())
     q = gate._per_query(real)
     assert len(q) >= 137 and all(isinstance(v, float) for v in q.values())
+
+
+def test_threshold_sweep_reconciles_with_auc_inputs(spark):
+    """The threshold table's bottom row must cover the whole corpus
+    (recall exactly 1e6, pred_pos = n_docs from the AUC query), recall
+    must be non-increasing in band, precision in (0, 1e6], and every
+    row's f1 must satisfy the 2TP/(pred+actual) identity recomputed in
+    Python."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["curation_threshold_sweep"](spark, sf).collect()
+    # the LOWEST PRESENT band (0 may be empty at tiny SF) covers everything
+    assert rows
+    auc = QUERIES["curation_quality_auc"](spark, sf).collect()[0]
+    np_total = auc["n_pos"]
+    assert rows[0]["pred_pos"] == auc["n_docs"]
+    assert rows[0]["tp"] == np_total
+    assert rows[0]["recall_ppm"] == 1_000_000
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["band"] > prev["band"]
+        assert cur["recall_ppm"] <= prev["recall_ppm"]
+        assert cur["pred_pos"] <= prev["pred_pos"]
+    for r in rows:
+        assert 0 < r["precision_ppm"] <= 1_000_000
+        assert r["f1_ppm"] == 2 * r["tp"] * 1_000_000 // (r["pred_pos"] + np_total)
