@@ -1780,3 +1780,103 @@ def corpus_length_pareto_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_ln_micro") > 0)
         .orderBy("source")
     )
+
+
+@query(
+    "text_bigram_cond_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    cells AS (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT lang, unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1]))
+                 AS bigram
+        FROM toks
+      )
+      GROUP BY lang, bigram
+    ),
+    ctx AS (
+      SELECT lang, string_split(bigram, ' ')[1] AS w1, c,
+             CAST(sum(c) OVER (PARTITION BY lang, string_split(bigram, ' ')[1])
+                  AS BIGINT) AS c1
+      FROM cells
+    ),
+    terms AS (
+      SELECT lang, w1, c,
+             CAST(round(CAST(c AS DOUBLE)
+                        * log2(CAST(c1 AS DOUBLE) / c) * 1000000)
+                  AS BIGINT) AS term
+      FROM ctx
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT w1) AS BIGINT) AS n_contexts,
+           CAST(CAST(sum(CAST(term AS HUGEINT)) AS HUGEINT)
+                // sum(c) AS BIGINT) AS cond_entropy_micro_bits
+    FROM terms
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram conditional entropy H(next word | word) in
+    micro-bits — the classic LM-difficulty proxy (Shannon's estimate of
+    printed-language entropy): low means the corpus is template/
+    boilerplate-predictable, high means diverse combinable vocabulary;
+    compared ACROSS languages it flags which slices will dominate
+    perplexity during training. N·H decomposes as Σ_cells c·log2(c1/c)
+    (c = bigram count, c1 = its first-word context total), so the
+    determinism contract is the events_transition_entropy one: each
+    cell's term is rounded to integer MICRO on exact integer inputs
+    identical in both engines, summed exactly (decimal(38,0)/HUGEINT —
+    the sum is O(N·log V)·1e6), and divided ONCE per language. Word
+    and bigram formation reuse the text_pmi_bigrams conventions
+    verbatim. Shape: one (lang, bigram) groupBy with map-side combine
+    (vocabulary-bounded output), a (lang, w1)-partitioned window sum
+    (never single-partition), one bounded-key read-out."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    cells = (
+        d.filter(n >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w1 = F.split("bigram", " ").getItem(0)
+    w_ctx = Window.partitionBy("lang", "w1")
+    ctx = cells.withColumn("w1", w1).withColumn(
+        "c1", F.sum("c").over(w_ctx).cast("long")
+    )
+    terms = ctx.select(
+        "lang",
+        "w1",
+        "c",
+        F.round(
+            F.col("c").cast("double")
+            * F.log2(F.col("c1").cast("double") / F.col("c"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.countDistinct("w1").cast("long").alias("n_contexts"),
+            F.expr(
+                "CAST(sum(CAST(term AS decimal(38,0))) div sum(c) AS BIGINT)"
+            ).alias("cond_entropy_micro_bits"),
+        )
+        .orderBy("lang")
+    )

@@ -171,6 +171,7 @@ HEADLINE = [
     "curation_quality_auc",
     "corpus_score_ks_drift",
     "curation_threshold_sweep",
+    "text_bigram_cond_entropy",
 ]
 
 

@@ -1107,3 +1107,48 @@ def test_threshold_sweep_reconciles_with_auc_inputs(spark):
     for r in rows:
         assert 0 < r["precision_ppm"] <= 1_000_000
         assert r["f1_ppm"] == 2 * r["tp"] * 1_000_000 // (r["pred_pos"] + np_total)
+
+
+def test_bigram_cond_entropy_matches_bruteforce(spark):
+    """Recompute H(next|word) per language in pure Python from the raw
+    bigram counts (HALF_UP per-cell micro rounding, exact integer sum,
+    one truncating division) and demand bit-equality with the query."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, string_split(text, ' ') FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    cells = Counter()
+    for lang, t in docs:
+        for a, b in zip(t, t[1:]):
+            cells[(lang, a, b)] += 1
+    ctx = defaultdict(int)
+    for (lang, a, _), c in cells.items():
+        ctx[(lang, a)] += c
+    sums, ns, contexts = defaultdict(int), defaultdict(int), defaultdict(set)
+    for (lang, a, _), c in cells.items():
+        c1 = ctx[(lang, a)]
+        term = int(c * math.log2(c1 / c) * 1_000_000 + 0.5)  # HALF_UP, >=0
+        sums[lang] += term
+        ns[lang] += c
+        contexts[lang].add(a)
+
+    rows = QUERIES["text_bigram_cond_entropy"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        lang = r["lang"]
+        assert r["n_bigrams"] == ns[lang]
+        assert r["n_contexts"] == len(contexts[lang])
+        assert r["cond_entropy_micro_bits"] == sums[lang] // ns[lang], (
+            lang, r["cond_entropy_micro_bits"], sums[lang] // ns[lang],
+        )
+        assert r["cond_entropy_micro_bits"] >= 0
