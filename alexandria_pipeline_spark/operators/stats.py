@@ -2092,3 +2092,102 @@ def events_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("survival_ppm"),
     ).orderBy("t_hours")
+
+
+@query(
+    "events_seasonality_strength",
+    oracle="""
+    WITH per_hour AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    slotted AS (
+      SELECT event_type, ((h // 24) % 7) * 24 + (h % 24) AS slot, h, x
+      FROM per_hour
+    ),
+    per_slot AS (
+      SELECT event_type, slot,
+             CAST(count(*) AS HUGEINT) AS ns,
+             CAST(sum(x) AS HUGEINT) AS ss,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qs
+      FROM slotted GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT event_type, ns, ss, qs,
+             CAST(ss * ss * 1000000 // ns AS HUGEINT) AS term_micro
+      FROM per_slot
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(ns) AS HUGEINT) AS n,
+             CAST(sum(ss) AS HUGEINT) AS s,
+             CAST(sum(qs) AS HUGEINT) AS q,
+             CAST(sum(term_micro) AS HUGEINT) AS t
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s AS BIGINT) AS n_events,
+           CAST((n * t - s * s * 1000000) * 1000000
+                // (n * q * 1000000 - s * s * 1000000) AS BIGINT)
+             AS seasonal_strength_ppm
+    FROM agg
+    WHERE n * q > s * s
+    ORDER BY event_type
+    """,
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength per event stream as eta-squared —
+    the share of hourly-volume variance explained by the (day-of-week,
+    hour-of-day) slot means: R^2 of the slot-mean model, the number
+    that decides seasonal-naive vs plain-naive in the forecast
+    backtest (events_dau_naive_forecast_backtest) and whether the
+    seasonal-residual anomaly screen is even applicable. Identity:
+    SS_between/SS_total = (n*Sum_s S_s^2/n_s - S^2)/(n*Q - S^2) with
+    Q = Sum x^2. The one rational term Sum_s S_s^2/n_s becomes exact
+    cross-engine by the per-cell contract: each slot's S_s^2*1e6 div
+    n_s is ONE truncating division on exact integers (slots are <=168
+    cells per type), summed exactly; everything else is integer
+    moments in decimal(38,0)/HUGEINT. Slot identity is pure integer
+    arithmetic on the epoch hour (((h div 24) mod 7)*24 + h mod 24) so
+    no engine calendar/locale convention can disagree. Shape: one
+    (type, hour) groupBy with map-side combine (time-span-bounded),
+    one 168-key slot aggregate, a bounded-key read-out. Observed hours
+    only, like events_burstiness_fano."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    per_slot = per_hour.groupBy(
+        "event_type",
+        F.expr("((h div 24) % 7) * 24 + (h % 24)").alias("slot"),
+    ).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("ns"),
+        F.sum("x").cast(_DEC).alias("ss"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).cast(_DEC).alias("qs"),
+    )
+    terms = per_slot.withColumn(
+        "term_micro", F.expr("CAST(ss * ss * 1000000 div ns AS decimal(38,0))")
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("ns").cast(_DEC).alias("n"),
+        F.sum("ss").cast(_DEC).alias("s"),
+        F.sum("qs").cast(_DEC).alias("q"),
+        F.sum("term_micro").cast(_DEC).alias("t"),
+    )
+    return (
+        agg.filter(F.expr("n * q > s * s"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("s").cast("long").alias("n_events"),
+            F.expr(
+                "CAST((n * t - s * s * 1000000) * 1000000 "
+                "div (n * q * 1000000 - s * s * 1000000) AS BIGINT)"
+            ).alias("seasonal_strength_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_score_ks_drift",
     "curation_threshold_sweep",
     "text_bigram_cond_entropy",
+    "events_seasonality_strength",
 ]
 
 

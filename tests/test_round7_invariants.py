@@ -1152,3 +1152,23 @@ def test_bigram_cond_entropy_matches_bruteforce(spark):
             lang, r["cond_entropy_micro_bits"], sums[lang] // ns[lang],
         )
         assert r["cond_entropy_micro_bits"] >= 0
+
+
+def test_seasonality_strength_is_a_variance_share(spark):
+    """Eta-squared lives in [0, 1e6] ppm (up to the per-slot truncation,
+    which only ever shrinks the between-slot sum), and the per-type
+    event totals reconcile with the Fano query's independent count."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_seasonality_strength"](spark, sf).collect()
+    assert rows
+    fano = {
+        r["event_type"]: r["n_events"]
+        for r in QUERIES["events_burstiness_fano"](spark, sf).collect()
+    }
+    for r in rows:
+        assert 0 <= r["seasonal_strength_ppm"] <= 1_000_000
+        assert r["n_hours"] <= 30 * 24 * 7  # observed hours, span-bounded
+        assert r["n_events"] == fano[r["event_type"]]
