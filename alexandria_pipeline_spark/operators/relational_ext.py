@@ -2470,3 +2470,103 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("decile")
     )
 
+
+
+# Spend-tier migration: the pivot date splits the order history into
+# an early and a late period; tiers are the BINARY DIGIT COUNT of the
+# period spend in $1000 units (the events_interarrival_log2_histogram
+# no-float-log2 discipline), so tier k covers [2^(k-1), 2^k) thousand
+# dollars and both engines band identically. -1 = absent that period.
+MIGRATION_PIVOT_DATE = "1998-01-01"
+
+
+@query(
+    "orders_spend_tier_migration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(o_orderdate < DATE '{MIGRATION_PIVOT_DATE}' AS INT)
+               AS early,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    tiers AS (
+      SELECT o_custkey, early,
+             CASE WHEN cents // 100000 = 0 THEN 0
+                  ELSE CAST(length(bin(cents // 100000)) AS BIGINT)
+             END AS tier,
+             cents
+      FROM spend
+    ),
+    a AS (SELECT o_custkey, tier, cents FROM tiers WHERE early = 1),
+    b AS (SELECT o_custkey, tier, cents FROM tiers WHERE early = 0)
+    SELECT coalesce(a.tier, -1) AS tier_early,
+           coalesce(b.tier, -1) AS tier_late,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(coalesce(sum(b.cents), 0) AS BIGINT) AS late_cents
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_spend_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier MIGRATION matrix across the 1998-01-01
+    pivot — the upgrade/downgrade/churn/acquisition
+    table a revenue team reads next to the RFM segmentation
+    (customer_rfm_segments gives the snapshot; this gives the flow):
+    tier_early=-1 rows are acquisitions, tier_late=-1 rows are churn,
+    off-diagonal cells are movement. Tiers are the binary digit count
+    of period spend in $1000 units (Spark conv-length, DuckDB
+    bin-length — the interarrival-histogram no-float-log2 discipline),
+    so banding is pure integer arithmetic in both engines. Plan: one
+    (custkey, period) groupBy with map-side combine, then a FULL OUTER
+    fact-fact join of the two period frames on the SAME custkey —
+    Spark co-partitions both sides in one exchange each — and a
+    tier²-bounded matrix aggregate. No windows, no sort wider than the
+    ~2·40² output."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        (
+            F.col("o_orderdate").cast("date")
+            < F.lit(MIGRATION_PIVOT_DATE).cast("date")
+        )
+        .cast("int")
+        .alias("early"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    units = F.expr("cents div 100000")
+    tier = (
+        F.when(units == 0, F.lit(0))
+        .otherwise(F.length(F.conv(units.cast("string"), 10, 2)))
+        .cast("long")
+        .alias("tier")
+    )
+    tiers = spend.select("o_custkey", "early", tier, "cents")
+    a = tiers.filter(F.col("early") == 1).select(
+        F.col("o_custkey").alias("ck_a"),
+        F.col("tier").alias("ta"),
+    )
+    b = tiers.filter(F.col("early") == 0).select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("tier").alias("tb"),
+        F.col("cents").alias("cents_b"),
+    )
+    return (
+        a.join(b, a["ck_a"] == b["ck_b"], "full_outer")
+        .groupBy(
+            F.coalesce(F.col("ta"), F.lit(-1)).alias("tier_early"),
+            F.coalesce(F.col("tb"), F.lit(-1)).alias("tier_late"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.coalesce(F.sum("cents_b"), F.lit(0))
+            .cast("long")
+            .alias("late_cents"),
+        )
+        .orderBy("tier_early", "tier_late")
+    )

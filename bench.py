@@ -173,6 +173,7 @@ HEADLINE = [
     "curation_threshold_sweep",
     "text_bigram_cond_entropy",
     "events_seasonality_strength",
+    "orders_spend_tier_migration",
 ]
 
 

@@ -1172,3 +1172,33 @@ def test_seasonality_strength_is_a_variance_share(spark):
         assert 0 <= r["seasonal_strength_ppm"] <= 1_000_000
         assert r["n_hours"] <= 30 * 24 * 7  # observed hours, span-bounded
         assert r["n_events"] == fano[r["event_type"]]
+
+
+def test_spend_tier_migration_reconciles(spark):
+    """The migration matrix must partition the customer base: cell
+    counts sum to the number of distinct ordering customers, late_cents
+    sums to the late-period revenue, and the -1/-1 cell cannot exist."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["orders_spend_tier_migration"](spark, sf).collect()
+    assert rows
+    con = duckdb.connect()
+    n_cust, late_rev = con.execute(
+        f"""
+        SELECT count(DISTINCT o_custkey),
+               coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderdate >= DATE '1998-01-01'), 0)
+        FROM read_parquet('{sf}/orders.parquet')
+        """
+    ).fetchone()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["late_cents"] for r in rows) == late_rev
+    for r in rows:
+        assert (r["tier_early"], r["tier_late"]) != (-1, -1)
+        assert r["tier_early"] >= -1 and r["tier_late"] >= -1
+        if r["tier_late"] == -1:
+            assert r["late_cents"] == 0
