@@ -3109,3 +3109,85 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@query(
+    "events_anomaly_run_lengths",
+    oracle="""
+    WITH per_hour AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM per_hour GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT p.event_type, p.h
+      FROM per_hour p JOIN m USING (event_type)
+      WHERE (n * p.x - s) * (n * p.x - s) > 4 * n * (n * q - s * s)
+    ),
+    runs AS (
+      SELECT event_type,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS grp
+      FROM flagged
+    ),
+    lens AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY event_type, grp
+    )
+    SELECT event_type, run_len,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM lens
+    GROUP BY event_type, run_len
+    ORDER BY event_type, run_len
+    """,
+)
+def events_anomaly_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length histogram of CONSECUTIVE anomalous hours per event
+    stream — the blip-vs-outage discriminator the standalone z-score
+    screen can't express: one 6-hour run is an incident, six scattered
+    hours are noise, and alerting policy (page vs ticket) keys off
+    exactly this table. Flags reuse the integer z-test discipline
+    (|x - mu| > 2 sigma as (n*x - s)^2 > 4*n*(n*q - s^2) — no sqrt, no
+    float, squares in decimal(38,0)/HUGEINT), runs are gaps-and-
+    islands on the hour number (h - row_number, the
+    events_active_streaks idiom) with the window PARTITIONED by type
+    over the flagged-hour frame — bounded by the calendar span, never
+    data-sized. Shape: one (type, hour) groupBy with map-side combine,
+    a bounded moment aggregate broadcast back, two span-bounded
+    aggregates to the histogram."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    dec = "decimal(38,0)"
+    m = per_hour.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("q"),
+    )
+    flagged = (
+        per_hour.join(F.broadcast(m), "event_type")
+        .filter(
+            F.expr("(n * x - s) * (n * x - s) > 4 * n * (n * q - s * s)")
+        )
+        .select("event_type", "h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    runs = flagged.withColumn("grp", F.col("h") - F.row_number().over(w))
+    lens = runs.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        lens.groupBy("event_type", "run_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )

@@ -174,6 +174,7 @@ HEADLINE = [
     "text_bigram_cond_entropy",
     "events_seasonality_strength",
     "orders_spend_tier_migration",
+    "events_anomaly_run_lengths",
 ]
 
 

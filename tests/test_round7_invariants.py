@@ -1202,3 +1202,38 @@ def test_spend_tier_migration_reconciles(spark):
         assert r["tier_early"] >= -1 and r["tier_late"] >= -1
         if r["tier_late"] == -1:
             assert r["late_cents"] == 0
+
+
+def test_anomaly_run_lengths_reconcile_with_flag_count(spark):
+    """sum(run_len * n_runs) must equal the number of flagged hours
+    recomputed directly with the same integer z-test, and every run
+    length is positive and span-bounded."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_anomaly_run_lengths"](spark, sf).collect()
+    con = duckdb.connect()
+    flagged = con.execute(
+        f"""
+        WITH per_hour AS (
+          SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) h,
+                 CAST(count(*) AS BIGINT) x
+          FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) n,
+                 CAST(sum(x) AS HUGEINT) s,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) q
+          FROM per_hour GROUP BY 1
+        )
+        SELECT count(*) FROM per_hour p JOIN m USING (event_type)
+        WHERE (n * p.x - s) * (n * p.x - s) > 4 * n * (n * q - s * s)
+        """
+    ).fetchone()[0]
+    assert sum(r["run_len"] * r["n_runs"] for r in rows) == flagged
+    for r in rows:
+        assert r["run_len"] >= 1 and r["n_runs"] >= 1
+        assert r["run_len"] <= 30 * 24
