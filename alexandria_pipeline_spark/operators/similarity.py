@@ -2039,3 +2039,123 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_nid").alias("n_matched"),
         F.expr("count(t_nid) * 100 div count(1)").alias("recall_pct"),
     )
+
+
+@query(
+    "knn_mrr_eval",
+    oracle=f"""
+    WITH np AS ({_DUCK_PLANES_CTE}),
+    gate AS (
+      SELECT count(*) <= {KNN_MUTUAL_EXACT_LIMIT} AS is_exact FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, label, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings, np
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, a.label AS true_label, b.label AS nb_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {duck_dot('a.embedding', 'b.embedding')} DESC, b.vec_id
+             ) AS rk
+      FROM bucketed a JOIN bucketed b
+        ON a.vec_id <> b.vec_id
+       AND ((SELECT is_exact FROM gate) OR a.bucket = b.bucket)
+    ),
+    first_hit AS (
+      SELECT src, true_label, CAST(min(rk) AS BIGINT) AS frk
+      FROM scored WHERE nb_label = true_label
+      GROUP BY src, true_label
+    ),
+    per_label AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_queries
+      FROM embeddings GROUP BY label
+    )
+    SELECT p.label,
+           p.n_queries,
+           CAST(count(f.src) AS BIGINT) AS n_found,
+           CAST(coalesce(sum(1000000 // f.frk), 0) // p.n_queries
+                AS BIGINT) AS mrr_ppm
+    FROM per_label p
+    LEFT JOIN first_hit f ON f.true_label = p.label
+    GROUP BY p.label, p.n_queries
+    ORDER BY p.label
+    """,
+)
+def knn_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first SAME-LABEL neighbor, per label
+    — the retrieval-eval complement to recall@k (ann_eval_recall) and
+    label-recovery accuracy (knn_label_eval): MRR rewards putting a
+    relevant item FIRST, so it catches an embedding model whose top-5
+    contains the class but never leads with it. Candidate generation,
+    gate, and tie-breaks are byte-identical to knn_label_eval (exact
+    all-pairs under {KNN_MUTUAL_EXACT_LIMIT} vectors, LSH buckets with
+    the auto-scaled plane table above it; the oracle encodes the SAME
+    gate). Determinism: each query's reciprocal rank is ONE truncating
+    division 1e6 div first_rank, summed exactly and divided once per
+    label; vectors with no same-label candidate contribute zero (and
+    are visible via n_found < n_queries). Shape: the label_eval
+    candidate plan + one (src) min-aggregate + a label-bounded join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("emb_b"),
+    )
+    if n <= KNN_MUTUAL_EXACT_LIMIT:
+        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
+            F.col("src") != F.col("dst")
+        )
+    else:
+        planes = lsh_planes_for(n)
+        ab = e.select(
+            F.col("vec_id").alias("src"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("emb_a"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        bb = e.select(
+            F.col("vec_id").alias("dst"),
+            F.col("label").alias("nb_label"),
+            F.col("embedding").alias("emb_b"),
+            lsh_bucket("embedding", planes).alias("bucket"),
+        )
+        cand = spread_to_cores(ab).join(bb, "bucket").filter(
+            F.col("src") != F.col("dst")
+        )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    scored = cand.select(
+        "src",
+        "true_label",
+        "dst",
+        "nb_label",
+        dot("emb_a", "emb_b").alias("score"),
+    ).withColumn("rk", F.row_number().over(w))
+    first_hit = (
+        scored.filter(F.col("nb_label") == F.col("true_label"))
+        .groupBy("src", "true_label")
+        .agg(F.min("rk").cast("long").alias("frk"))
+    )
+    per_label = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return (
+        per_label.join(
+            first_hit, first_hit["true_label"] == per_label["label"], "left"
+        )
+        .groupBy("label", "n_queries")
+        .agg(
+            F.count("src").cast("long").alias("n_found"),
+            F.expr(
+                "CAST(coalesce(sum(1000000 div frk), 0) div n_queries "
+                "AS BIGINT)"
+            ).alias("mrr_ppm"),
+        )
+        .orderBy("label")
+    )

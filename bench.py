@@ -175,6 +175,7 @@ HEADLINE = [
     "events_seasonality_strength",
     "orders_spend_tier_migration",
     "events_anomaly_run_lengths",
+    "knn_mrr_eval",
 ]
 
 

@@ -1237,3 +1237,31 @@ def test_anomaly_run_lengths_reconcile_with_flag_count(spark):
     for r in rows:
         assert r["run_len"] >= 1 and r["n_runs"] >= 1
         assert r["run_len"] <= 30 * 24
+
+
+def test_mrr_eval_bounds_and_exact_path(spark):
+    """MRR lives in [0, 1e6], is bounded by the found-fraction, and on
+    the exact all-pairs path every vector whose label has >= 2 members
+    finds a same-label neighbor (n_found == n_queries there)."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["knn_mrr_eval"](spark, sf).collect()
+    assert rows
+    con = duckdb.connect()
+    sizes = dict(
+        con.execute(
+            f"SELECT label, count(*) FROM "
+            f"read_parquet('{sf}/embeddings.parquet') GROUP BY label"
+        ).fetchall()
+    )
+    n_vecs = sum(sizes.values())
+    for r in rows:
+        assert 0 <= r["mrr_ppm"] <= 1_000_000
+        assert r["mrr_ppm"] <= r["n_found"] * 1_000_000 // r["n_queries"]
+        assert r["n_queries"] == sizes[r["label"]]
+        if n_vecs <= 1000 and sizes[r["label"]] >= 2:
+            assert r["n_found"] == r["n_queries"]
