@@ -2113,6 +2113,11 @@ def knn_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src") != F.col("dst")
         )
     else:
+        from alexandria_pipeline_spark.operators.dedup import (
+            lsh_bucket,
+            lsh_planes_for,
+        )
+
         planes = lsh_planes_for(n)
         ab = e.select(
             F.col("vec_id").alias("src"),
