@@ -1033,3 +1033,106 @@ def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shortfall_tokens"
         ),
     ).orderBy("source")
+
+
+# Candidate capacities for the max_len tuning curve; the fixture's
+# docs run 10-99 tokens, so the grid brackets the interesting regime
+# (docs-per-bin from ~2 to ~40) the way a real 512-8192 grid would.
+PACK_CAPACITY_GRID = (128, 256, 512, 1024, 2048)
+
+
+@query(
+    "pack_capacity_curve",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, doc_id % {PACK_BUCKETS} AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    pfx AS (
+      SELECT lang, bucket, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM docs
+    ),
+    caps AS (SELECT unnest(ARRAY{list(PACK_CAPACITY_GRID)}) AS cap),
+    placed AS (
+      SELECT cap, lang, bucket, pre // cap AS bin_id,
+             CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      FROM pfx CROSS JOIN caps
+      GROUP BY cap, lang, bucket, pre // cap
+    )
+    SELECT CAST(cap AS BIGINT) AS capacity,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN bin_tokens < cap THEN cap - bin_tokens
+                         ELSE 0 END) * 1000000
+                // (count(*) * cap) AS BIGINT) AS waste_ppm,
+           CAST(sum(CASE WHEN bin_tokens > cap THEN bin_tokens - cap
+                         ELSE 0 END) * 1000000
+                // sum(bin_tokens) AS BIGINT) AS overflow_ppm
+    FROM placed
+    GROUP BY cap
+    ORDER BY capacity
+    """,
+)
+def pack_capacity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_len TUNING CURVE for sequence packing: for each
+    candidate capacity, how much of the padded batch is waste (short
+    bins padded up) and how much of the corpus overflows its bin (long
+    tails the contiguous packer accepts rather than splitting) — the
+    two costs a training team trades when picking sequence length.
+    pack_sequences_contiguous is this table's single-capacity slice;
+    the prefix sums are computed ONCE (they don't depend on capacity)
+    and the 5-candidate grid rides a literal cross join — 5x map-side
+    rows into one partially-aggregated (cap, lang, bucket, bin)
+    shuffle, never 5 window passes. All arithmetic is exact integers;
+    the two ppm read-outs are one truncating division each. Window
+    partitions stay (lang, bucket)-bounded (the PACK_BUCKETS
+    discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        _n_tok("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx = docs.select(
+        "lang",
+        "bucket",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("pre"),
+    )
+    caps = spark.createDataFrame(
+        [(c,) for c in PACK_CAPACITY_GRID], "cap long"
+    )
+    placed = (
+        pfx.crossJoin(F.broadcast(caps))
+        .groupBy("cap", "lang", "bucket", F.expr("pre div cap").alias("bin_id"))
+        .agg(F.sum("n_tok").cast("long").alias("bin_tokens"))
+    )
+    return (
+        placed.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN bin_tokens < cap "
+                "THEN cap - bin_tokens ELSE 0 END) * 1000000 "
+                "div (count(1) * cap) AS BIGINT)"
+            ).alias("waste_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN bin_tokens > cap "
+                "THEN bin_tokens - cap ELSE 0 END) * 1000000 "
+                "div sum(bin_tokens) AS BIGINT)"
+            ).alias("overflow_ppm"),
+        )
+        .withColumnRenamed("cap", "capacity")
+        .orderBy("capacity")
+    )

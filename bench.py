@@ -176,6 +176,7 @@ HEADLINE = [
     "orders_spend_tier_migration",
     "events_anomaly_run_lengths",
     "knn_mrr_eval",
+    "pack_capacity_curve",
 ]
 
 

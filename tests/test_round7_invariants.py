@@ -1301,3 +1301,27 @@ def test_knn_family_above_gate_lsh_branch_executes(spark, tmp_path):
     assert acc and all(0 <= r["acc_ppm"] <= 1_000_000 for r in acc)
     mut = QUERIES["knn_mutual_topk"](spark, str(tmp_path)).collect()
     assert isinstance(mut, list)  # executes; may legitimately be sparse
+
+
+def test_pack_capacity_curve_reconciles_with_single_capacity(spark):
+    """The curve's capacity-512 row must agree with the standalone
+    pack_sequences_contiguous output (same bins, same token total),
+    total_tokens is capacity-invariant, and waste falls monotonically
+    as docs-per-bin rises only in the regime where every doc fits."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    curve = {
+        r["capacity"]: r
+        for r in QUERIES["pack_capacity_curve"](spark, sf).collect()
+    }
+    assert set(curve) == {128, 256, 512, 1024, 2048}
+    single = QUERIES["pack_sequences_contiguous"](spark, sf).collect()
+    assert curve[512]["n_bins"] == len(single)
+    assert curve[512]["total_tokens"] == sum(r["bin_tokens"] for r in single)
+    totals = {r["total_tokens"] for r in curve.values()}
+    assert len(totals) == 1  # packing never drops or duplicates tokens
+    for r in curve.values():
+        assert 0 <= r["waste_ppm"] <= 1_000_000
+        assert 0 <= r["overflow_ppm"] <= 1_000_000
