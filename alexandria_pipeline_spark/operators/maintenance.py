@@ -679,3 +679,76 @@ def diagnose_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("table_name")
+
+
+@query(
+    "maintenance_partition_skew_report",
+    oracle="""
+    WITH per_day AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(n AS BIGINT) AS median_n
+      FROM (
+        SELECT n, row_number() OVER (ORDER BY n, day) AS rk,
+               count(*) OVER () AS tot
+        FROM per_day
+      ) WHERE rk = (tot + 1) // 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(max(median_n) AS BIGINT) AS median_rows,
+           CAST(max(n) * 1000000 // max(median_n) AS BIGINT)
+             AS max_over_median_ppm,
+           CAST(count(*) FILTER (WHERE n > 2 * median_n) AS BIGINT)
+             AS n_hot_partitions
+    FROM per_day, med
+    """,
+)
+def maintenance_partition_skew_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-size skew report over the table's natural date
+    partitioning — the input to every repartition/salting decision:
+    max/median row ratio (a healthy layout sits near 1e6 ppm; 3e6+
+    means one straggler partition gates every downstream stage) and
+    the count of hot partitions above 2x the median (lower-median
+    convention on even counts — identical rank arithmetic in both
+    engines). The per-day frame is CALENDAR-bounded, so the exact
+    median rides one tiny ordered window, never a data-sized sort;
+    the fact table contributes exactly one map-side-combined groupBy.
+    At 100 TB this is the report you run BEFORE choosing
+    spark.sql.files.maxPartitionBytes / AQE skew thresholds."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_rk = Window.orderBy("n", "day")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        per_day.select(
+            "n",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("tot"),
+        )
+        .filter(F.expr("rk = (tot + 1) div 2"))
+        .select(F.col("n").alias("median_n"))
+    )
+    return per_day.crossJoin(F.broadcast(med)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.max("median_n").cast("long").alias("median_rows"),
+        F.expr(
+            "CAST(max(n) * 1000000 div max(median_n) AS BIGINT)"
+        ).alias("max_over_median_ppm"),
+        F.sum((F.col("n") > 2 * F.col("median_n")).cast("long"))
+        .cast("long")
+        .alias("n_hot_partitions"),
+    )

@@ -177,6 +177,7 @@ HEADLINE = [
     "events_anomaly_run_lengths",
     "knn_mrr_eval",
     "pack_capacity_curve",
+    "maintenance_partition_skew_report",
 ]
 
 

@@ -1325,3 +1325,23 @@ def test_pack_capacity_curve_reconciles_with_single_capacity(spark):
     for r in curve.values():
         assert 0 <= r["waste_ppm"] <= 1_000_000
         assert 0 <= r["overflow_ppm"] <= 1_000_000
+
+
+def test_partition_skew_report_invariants(spark):
+    """min <= median <= max, the ratio is >= 1e6 by construction, hot
+    partitions can never exceed the partition count, and total_rows
+    equals the raw table count."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    r = QUERIES["maintenance_partition_skew_report"](spark, sf).collect()[0]
+    total = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert r["total_rows"] == total
+    assert r["min_rows"] <= r["median_rows"] <= r["max_rows"]
+    assert r["max_over_median_ppm"] >= 1_000_000
+    assert 0 <= r["n_hot_partitions"] <= r["n_partitions"]
