@@ -1034,3 +1034,128 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "append").orderBy("user_id", "session_start_s")
+
+
+@query(
+    "stream_anomaly_run_monitor",
+    oracle="""
+    WITH RECURSIVE per_hour AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hour_s, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_s) AS rn
+      FROM per_hour
+    ),
+    rec AS (
+      SELECT event_type, hour_s, n, rn,
+             n AS ewma, CAST(NULL AS BIGINT) AS ewma_prior
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.hour_s, r.n, r.rn,
+             (p.ewma + r.n) // 2 AS ewma, p.ewma
+      FROM ranked r JOIN rec p
+        ON p.event_type = r.event_type AND r.rn = p.rn + 1
+    ),
+    flags AS (
+      SELECT event_type, hour_s FROM rec
+      WHERE ewma_prior IS NOT NULL AND n > 2 * ewma_prior
+    ),
+    maxp AS (
+      SELECT event_type, max(hour_s) AS mx FROM per_hour GROUP BY 1
+    ),
+    isl AS (
+      SELECT event_type, hour_s,
+             hour_s // 3600
+               - row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hour_s) AS grp
+      FROM flags
+    ),
+    runs AS (
+      SELECT event_type,
+             CAST(min(hour_s) AS BIGINT) AS run_start_s,
+             CAST(count(*) AS BIGINT) AS run_len,
+             max(hour_s) AS run_end
+      FROM isl GROUP BY event_type, grp
+    )
+    SELECT r.event_type, r.run_start_s, r.run_len
+    FROM runs r JOIN maxp m ON m.event_type = r.event_type
+    WHERE r.run_end < m.mx
+    ORDER BY r.event_type, r.run_start_s
+    """,
+)
+def stream_anomaly_run_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly_run_lengths' idea, emitted
+    EXACTLY ONCE per incident: consecutive spike-flagged hours (the
+    stream_ewma_spike_flags detector — n > 2x the EWMA of prior hours)
+    are tracked as custom state and each run is emitted ONLY when a
+    later in-order hour closes it (an unflagged hour, or a flagged
+    hour that isn't start-of-run-adjacent). A run still extending at
+    the data's edge stays open — unemitted — which is precisely what
+    an always-on pager wants (you page on the CLOSED duration, you
+    hold the open one); the oracle encodes the same semantics by
+    dropping islands whose end is the type's max processed hour.
+    State is four integers per event type (ewma, last_hour, run_start,
+    run_len) — constant bytes per key at any scale. Late hours are
+    dropped, matching the EWMA recurrence's ordered-fold contract."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, last_hour, run_start, run_len = state.get
+        else:
+            ewma, last_hour, run_start, run_len = -1, -1, -1, 0
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            hours = (pdf["ts"].astype("int64") // 10**9 // 3600) * 3600
+            for h, c in hours.value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+        rows = []
+        for h in sorted(counts):
+            n = counts[h]
+            if h <= last_hour:
+                continue  # late hour: outside the ordered recurrence
+            prior = ewma if ewma >= 0 else -1
+            flagged = prior >= 0 and n > 2 * prior
+            if run_len > 0:
+                extends = flagged and h == last_hour + 3600
+                if not extends:
+                    rows.append(
+                        {
+                            "event_type": key[0],
+                            "run_start_s": run_start,
+                            "run_len": run_len,
+                        }
+                    )
+                    run_start, run_len = -1, 0
+            if flagged:
+                if run_len == 0:
+                    run_start = h
+                    run_len = 1
+                else:
+                    run_len += 1
+            ewma = n if prior < 0 else (ewma + n) // 2
+            last_hour = h
+        state.update((int(ewma), int(last_hour), int(run_start), int(run_len)))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "run_start_s", "run_len"]
+        )
+
+    out = events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, run_start_s long, run_len long",
+        stateStructType=(
+            "ewma long, last_hour long, run_start long, run_len long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append").orderBy("event_type", "run_start_s")
