@@ -248,3 +248,71 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_FK_EDGES = (
+    # (edge label, child table, fk col, parent table, pk col)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS fk_edge,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{fk} IS NULL OR NOT EXISTS
+                   (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+                AS BIGINT) AS n_orphans
+        """
+        for label, child, fk, parent, pk in _FK_EDGES
+    )
+    + "\nORDER BY fk_edge",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity matrix over every FK edge of the schema —
+    the one-screen answer to 'can I trust my joins': per edge, child
+    row count and orphans (NULL or dangling FK). dq_constraint_check
+    spot-checks one edge as a rule; this is the exhaustive version a
+    lakehouse runs after every backfill, because a single orphaned
+    partition silently turns inner joins into row loss downstream.
+    Shape per edge: ONE LEFT join against the distinct parent keys
+    yields child count and orphan count in the same aggregate (no
+    separate driver-side count action) — dimension parents broadcast,
+    fact parents (orders, customer) co-partition with the child in a
+    shuffle join AQE sizes at runtime; the seven 1-row aggregates
+    union into a bounded read-out. Counts are exact integers; no
+    windows anywhere."""
+    out = None
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("__pk"))
+            .distinct()
+        )
+        edge = (
+            c.select(F.col(fk).alias("__fk"))
+            .join(p, F.col("__fk") == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+                F.count(F.when(F.col("__pk").isNull(), 1))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(label).alias("fk_edge"), "n_child_rows", "n_orphans"
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("fk_edge")

@@ -178,6 +178,7 @@ HEADLINE = [
     "knn_mrr_eval",
     "pack_capacity_curve",
     "maintenance_partition_skew_report",
+    "dq_referential_integrity",
 ]
 
 

@@ -1345,3 +1345,49 @@ def test_partition_skew_report_invariants(spark):
     assert r["min_rows"] <= r["median_rows"] <= r["max_rows"]
     assert r["max_over_median_ppm"] >= 1_000_000
     assert 0 <= r["n_hot_partitions"] <= r["n_partitions"]
+
+
+def test_referential_integrity_finds_planted_orphans(spark, tmp_path):
+    """On a fixture with two dangling customer FKs and one NULL, the
+    report must count exactly 3 orphans on that edge and 0 elsewhere
+    (single-edge slice: nation->region stays clean)."""
+    import shutil
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN o_orderkey % 100 = 1 THEN 999999999
+                 WHEN o_orderkey % 100 = 2 THEN NULL
+                 ELSE o_custkey END AS o_custkey)
+          FROM read_parquet('{src}/orders.parquet')
+        ) TO '{tmp_path}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    n_bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/orders.parquet') "
+        f"WHERE o_custkey IS NULL OR o_custkey = 999999999"
+    ).fetchone()[0]
+    rows = {
+        r["fk_edge"]: r
+        for r in QUERIES["dq_referential_integrity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows["orders.o_custkey->customer"]["n_orphans"] == n_bad
+    assert rows["nation.n_regionkey->region"]["n_orphans"] == 0
+    assert all(
+        r["n_orphans"] <= r["n_child_rows"] for r in rows.values()
+    )
