@@ -2570,3 +2570,92 @@ def orders_spend_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier_early", "tier_late")
     )
+
+
+@query(
+    "lineitem_unit_value_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT p.p_type AS ptype,
+             CAST(year(l.l_shipdate) >= 1998 AS INT) AS late,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS ext_cents,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    sides AS (
+      SELECT ptype,
+             max(CASE WHEN late = 0 THEN ext_cents END) AS e0,
+             max(CASE WHEN late = 0 THEN qty END) AS q0,
+             max(CASE WHEN late = 1 THEN ext_cents END) AS e1,
+             max(CASE WHEN late = 1 THEN qty END) AS q1
+      FROM base GROUP BY ptype
+    )
+    SELECT ptype,
+           CAST(e0 AS BIGINT) AS early_cents,
+           CAST(q0 AS BIGINT) AS early_qty,
+           CAST(e1 AS BIGINT) AS late_cents,
+           CAST(q1 AS BIGINT) AS late_qty,
+           CAST(e1 * q0 * 1000000 // (q1 * e0) AS BIGINT) AS uvi_ppm
+    FROM sides
+    WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND q0 > 0 AND q1 > 0
+      AND e0 > 0
+    ORDER BY ptype
+    """,
+)
+def lineitem_unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-value price index per product type across the 1998 pivot —
+    the index-number workhorse of warehouse economics: UVI =
+    (late revenue / late quantity) / (early revenue / early quantity),
+    i.e. how the average realized price per unit moved, volume-mix
+    included (the pragmatic cousin of Laspeyres/Paasche when per-item
+    base prices aren't tracked). Exact: the two rational unit values
+    never materialize — the ratio algebraically rearranges to
+    e1*q0*1e6 div (q1*e0), one truncating division on integer cents x
+    quantities widened to decimal(38,0)/HUGEINT (the cross product is
+    O(revenue*quantity)). Shape: broadcast the part dim into the fact
+    scan, ONE (type, period) groupBy with map-side combine (12 cells),
+    a 6-row pivot read-out. Same pivot convention as
+    orders_spend_tier_migration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_type").alias("ptype"),
+            (F.year("l_shipdate") >= 1998).cast("int").alias("late"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+                "AS decimal(38,0))"
+            ).alias("ext_cents"),
+            F.expr(
+                "CAST(sum(CAST(l_quantity AS BIGINT)) AS decimal(38,0))"
+            ).alias("qty"),
+        )
+    )
+    sides = base.groupBy("ptype").agg(
+        F.max(F.when(F.col("late") == 0, F.col("ext_cents"))).alias("e0"),
+        F.max(F.when(F.col("late") == 0, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("late") == 1, F.col("ext_cents"))).alias("e1"),
+        F.max(F.when(F.col("late") == 1, F.col("qty"))).alias("q1"),
+    )
+    return (
+        sides.filter(
+            "e0 IS NOT NULL AND e1 IS NOT NULL AND q0 > 0 AND q1 > 0 "
+            "AND e0 > 0"
+        )
+        .select(
+            "ptype",
+            F.col("e0").cast("long").alias("early_cents"),
+            F.col("q0").cast("long").alias("early_qty"),
+            F.col("e1").cast("long").alias("late_cents"),
+            F.col("q1").cast("long").alias("late_qty"),
+            F.expr(
+                "CAST(e1 * q0 * 1000000 div (q1 * e0) AS BIGINT)"
+            ).alias("uvi_ppm"),
+        )
+        .orderBy("ptype")
+    )

@@ -179,6 +179,7 @@ HEADLINE = [
     "pack_capacity_curve",
     "maintenance_partition_skew_report",
     "dq_referential_integrity",
+    "lineitem_unit_value_index",
 ]
 
 

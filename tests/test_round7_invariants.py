@@ -1391,3 +1391,42 @@ def test_referential_integrity_finds_planted_orphans(spark, tmp_path):
     assert all(
         r["n_orphans"] <= r["n_child_rows"] for r in rows.values()
     )
+
+
+def test_unit_value_index_identity_and_reconciliation(spark):
+    """UVI recomputed from the row's own four moments must equal the
+    reported ppm (the algebraic rearrangement is what the query claims
+    is exact), and the per-type revenue/quantity totals reconcile with
+    a direct DuckDB aggregation."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["lineitem_unit_value_index"](spark, sf).collect()
+    assert rows
+    con = duckdb.connect()
+    totals = {
+        (t, late): (e, q)
+        for t, late, e, q in con.execute(
+            f"""
+            SELECT p.p_type, CAST(year(l.l_shipdate) >= 1998 AS INT),
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+                   sum(CAST(l.l_quantity AS BIGINT))
+            FROM read_parquet('{sf}/lineitem.parquet') l
+            JOIN read_parquet('{sf}/part.parquet') p
+              ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        assert (r["early_cents"], r["early_qty"]) == totals[(r["ptype"], 0)]
+        assert (r["late_cents"], r["late_qty"]) == totals[(r["ptype"], 1)]
+        expect = (
+            r["late_cents"] * r["early_qty"] * 1_000_000
+            // (r["late_qty"] * r["early_cents"])
+        )
+        assert r["uvi_ppm"] == expect
+        assert r["uvi_ppm"] > 0
