@@ -3191,3 +3191,119 @@ def events_anomaly_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
         .orderBy("event_type", "run_len")
     )
+
+
+@query(
+    "events_attribution_position_compare",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch,
+             first_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS first_touch
+      FROM events
+    ),
+    purch AS (
+      SELECT * FROM tagged
+      WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    ),
+    lt AS (
+      SELECT last_touch AS channel,
+             CAST(count(*) AS BIGINT) AS n_last,
+             CAST(sum(cents) AS BIGINT) AS cents_last
+      FROM purch GROUP BY 1
+    ),
+    ft AS (
+      SELECT first_touch AS channel,
+             CAST(count(*) AS BIGINT) AS n_first,
+             CAST(sum(cents) AS BIGINT) AS cents_first
+      FROM purch GROUP BY 1
+    )
+    SELECT coalesce(lt.channel, ft.channel) AS channel,
+           coalesce(n_last, 0) AS n_last,
+           coalesce(cents_last, 0) AS cents_last,
+           coalesce(n_first, 0) AS n_first,
+           coalesce(cents_first, 0) AS cents_first,
+           CASE WHEN coalesce(cents_first, 0) > 0
+                THEN CAST(coalesce(cents_last, 0) * 1000000
+                          // cents_first AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS last_over_first_ppm
+    FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+    ORDER BY channel
+    """,
+)
+def events_attribution_position_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch revenue attribution side by side, per
+    channel — the bias table a marketing team reads before trusting
+    either model: a channel whose last_over_first_ppm is far above 1e6
+    closes deals others opened (credited only by last-touch); far
+    below, it opens journeys others close. Both touch carries ride the
+    SAME single user_id window pass (two ignore-nulls expressions over
+    one frame — no second shuffle), purchases filter once, and the two
+    channel rollups full-outer-join on the bounded channel key. The
+    same-purchase population is used for both models, so the two cents
+    columns sum identically — the reconciliation the test locks.
+    Revenue in integer cents; the bias ratio is one truncating ppm
+    division (-1 sentinel when a channel never appears first)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    tagged = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.last(non_purchase, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(non_purchase, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    purch = tagged.filter(
+        (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+    )
+    lt = purch.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last"),
+        F.sum("cents").cast("long").alias("cents_last"),
+    )
+    ft = purch.groupBy(F.col("first_touch").alias("ch_f")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first"),
+        F.sum("cents").cast("long").alias("cents_first"),
+    )
+    return (
+        lt.join(ft, lt["channel"] == ft["ch_f"], "full_outer")
+        .select(
+            F.coalesce(F.col("channel"), F.col("ch_f")).alias("channel"),
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("long").alias("n_last"),
+            F.coalesce(F.col("cents_last"), F.lit(0))
+            .cast("long")
+            .alias("cents_last"),
+            F.coalesce(F.col("n_first"), F.lit(0))
+            .cast("long")
+            .alias("n_first"),
+            F.coalesce(F.col("cents_first"), F.lit(0))
+            .cast("long")
+            .alias("cents_first"),
+            F.expr(
+                "CASE WHEN coalesce(cents_first, 0) > 0 "
+                "THEN CAST(coalesce(cents_last, 0) * 1000000 "
+                "div cents_first AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+            ).alias("last_over_first_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -180,6 +180,7 @@ HEADLINE = [
     "maintenance_partition_skew_report",
     "dq_referential_integrity",
     "lineitem_unit_value_index",
+    "events_attribution_position_compare",
 ]
 
 

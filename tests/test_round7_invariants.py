@@ -1430,3 +1430,26 @@ def test_unit_value_index_identity_and_reconciliation(spark):
         )
         assert r["uvi_ppm"] == expect
         assert r["uvi_ppm"] > 0
+
+
+def test_attribution_position_compare_reconciles(spark):
+    """Both attribution models run over the SAME purchase population,
+    so total cents and counts must match across the two columns AND
+    match the standalone last-touch query exactly."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_attribution_position_compare"](spark, sf).collect()
+    assert rows
+    assert sum(r["cents_last"] for r in rows) == sum(
+        r["cents_first"] for r in rows
+    )
+    assert sum(r["n_last"] for r in rows) == sum(r["n_first"] for r in rows)
+    last = {
+        r["channel"]: (r["n_purchases"], r["attributed_cents"])
+        for r in QUERIES["events_attribution_last_touch"](spark, sf).collect()
+    }
+    for r in rows:
+        if r["n_last"] > 0:
+            assert last[r["channel"]] == (r["n_last"], r["cents_last"])
