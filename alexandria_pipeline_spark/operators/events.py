@@ -3307,3 +3307,127 @@ def events_attribution_position_compare(
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_retention_half_life",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 1000000 // 604800 AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n0
+      FROM cohorts GROUP BY cohort
+    ),
+    ages AS (
+      SELECT c.cohort, u.week - c.cohort AS k,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM uw u JOIN cohorts c ON c.user_id = u.user_id
+      GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT a.cohort, CAST(a.k AS BIGINT) AS x,
+             CAST(round(ln(CAST(a.nk AS DOUBLE) / s.n0) * 1000000)
+                  AS BIGINT) AS y
+      FROM ages a JOIN sizes s ON s.cohort = a.cohort
+      WHERE a.k >= 1
+    ),
+    m AS (
+      SELECT cohort,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM pts GROUP BY cohort
+    ),
+    fit AS (
+      SELECT cohort, CAST(n AS BIGINT) AS n_points,
+             CAST((n * sxy - sx * sy) // (n * sxx - sx * sx) AS BIGINT)
+               AS slope_micro
+      FROM m WHERE n * sxx - sx * sx > 0
+    )
+    SELECT f.cohort AS cohort_week, s.n0 AS cohort_size, f.n_points,
+           f.slope_micro,
+           CASE WHEN f.slope_micro < 0
+                THEN CAST(693147000 // (-f.slope_micro) AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS half_life_milli_weeks
+    FROM fit f JOIN sizes s ON s.cohort = f.cohort
+    ORDER BY cohort_week
+    """,
+)
+def events_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of cohort retention: for each first-week
+    cohort, OLS of ln(share still active at age k) on k — the slope IS
+    the decay rate, and half-life = ln2 / |slope| turns the whole
+    retention triangle into one comparable number per cohort (the KPI
+    behind 'is retention improving release over release';
+    events_weekly_retention shows the raw curve, this fits it). The
+    determinism contract is the elasticity/pareto-alpha one: each
+    ln(nk/n0) is rounded to integer MICRO on exact integer inputs,
+    moments sum in decimal(38,0)/HUGEINT, slope and half-life are one
+    truncating division each (ln2 as the integer 693147 micro-nats).
+    Shape: the event log reduces to the distinct (user, week) activity
+    set once (map-side partial agg at 100 TB), cohorts are a user-key
+    aggregate, and everything after runs on |cohorts| x |ages| cells —
+    calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 1000000 div 604800")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    ages = (
+        uw.join(cohorts, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    )
+    pts = (
+        ages.filter(F.col("k") >= 1)
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("k").cast("long").alias("x"),
+            F.round(
+                F.log(F.col("nk").cast("double") / F.col("n0")) * 1_000_000
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = pts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+    )
+    fit = m.filter(F.expr("n * sxx - sx * sx > 0")).select(
+        "cohort",
+        F.col("n").cast("long").alias("n_points"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    return (
+        fit.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            F.col("n0").alias("cohort_size"),
+            "n_points",
+            "slope_micro",
+            F.expr(
+                "CASE WHEN slope_micro < 0 "
+                "THEN CAST(693147000 div (-slope_micro) AS BIGINT) "
+                "ELSE CAST(-1 AS BIGINT) END"
+            ).alias("half_life_milli_weeks"),
+        )
+        .orderBy("cohort_week")
+    )

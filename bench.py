@@ -181,6 +181,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "lineitem_unit_value_index",
     "events_attribution_position_compare",
+    "events_retention_half_life",
 ]
 
 

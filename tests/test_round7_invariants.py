@@ -1453,3 +1453,29 @@ def test_attribution_position_compare_reconciles(spark):
     for r in rows:
         if r["n_last"] > 0:
             assert last[r["channel"]] == (r["n_last"], r["cents_last"])
+
+
+def test_retention_half_life_invariants(spark):
+    """Cohort sizes cover the full user base, fits need >= 2 ages with
+    variance, and the half-life is positive exactly when the decay
+    slope is negative (-1 sentinel otherwise — the all-retained
+    fixture exercises the sentinel path)."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["events_retention_half_life"](spark, sf).collect()
+    assert rows
+    n_users = duckdb.connect().execute(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["cohort_size"] for r in rows) <= n_users
+    for r in rows:
+        assert r["n_points"] >= 2
+        if r["slope_micro"] < 0:
+            assert r["half_life_milli_weeks"] > 0
+        else:
+            assert r["half_life_milli_weeks"] == -1
