@@ -1446,3 +1446,118 @@ def multimodal_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_h long, pad_ppm long, gray_sum long"
         ),
     ).orderBy("media_id")
+
+
+@query(
+    "multimodal_audio_snr",
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_samples
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, k // {VAD_FRAME} AS frame,
+             CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT) AS s
+      FROM spec
+      CROSS JOIN LATERAL (SELECT unnest(range(0, n_samples)) AS k)
+    ),
+    frames AS (
+      SELECT doc_id, frame,
+             CAST(sum(s * s) > {VAD_MS_THRESHOLD} * count(*) AS INT)
+               AS voiced
+      FROM px GROUP BY doc_id, frame
+    ),
+    cls AS (
+      SELECT p.doc_id, f.voiced, p.s FROM px p
+      JOIN frames f ON f.doc_id = p.doc_id AND f.frame = p.frame
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (WHERE voiced = 1) AS BIGINT) AS nv,
+             CAST(count(*) FILTER (WHERE voiced = 0) AS BIGINT) AS nu,
+             CAST(coalesce(sum(s * s) FILTER (WHERE voiced = 1), 0)
+                  AS BIGINT) AS ev,
+             CAST(coalesce(sum(s * s) FILTER (WHERE voiced = 0), 0)
+                  AS BIGINT) AS eu
+      FROM cls GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, nv AS n_voiced_samples,
+           nu AS n_unvoiced_samples,
+           CAST(CASE WHEN nv > 0 THEN ev // nv ELSE 0 END AS BIGINT)
+             AS voiced_ms,
+           CAST(CASE WHEN nu > 0 THEN eu // nu ELSE 0 END AS BIGINT)
+             AS unvoiced_ms,
+           CAST(CASE WHEN nu > 0 AND eu > 0 AND nv > 0
+                THEN (ev // nv) * 1000 // (eu // nu)
+                ELSE -1 END AS BIGINT) AS snr_power_milli
+    FROM agg
+    """,
+)
+def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-to-noise estimate over REAL decoded audio: split each
+    clip's frames with the SAME energy gate as multimodal_audio_vad,
+    then report the voiced-to-unvoiced POWER ratio (mean-square over
+    mean-square — no sqrt, so the whole chain stays integer) — the
+    quality screen a speech pipeline applies after silence trimming:
+    low SNR means the 'speech' barely clears the noise floor and the
+    clip transcribes garbage. -1 sentinel for clips with no unvoiced
+    frames (nothing to estimate noise from) or zero noise energy.
+    Same mapInPandas seam as the VAD/loudness ops — payload bytes
+    never shuffle, one output row per clip; the oracle regenerates
+    the samples from the synthesis formula, so a hash match proves
+    decode, framing, gating, AND the power arithmetic end-to-end."""
+
+    def make_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [wav_formula_payload(did) for did in ids],
+                }
+            )
+
+    def snr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id",
+            "n_voiced_samples",
+            "n_unvoiced_samples",
+            "voiced_ms",
+            "unvoiced_ms",
+            "snr_power_milli",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav_samples(bytes(payload))
+                nv = nu = ev = eu = 0
+                n_frames = (len(s) + VAD_FRAME - 1) // VAD_FRAME
+                for f in range(n_frames):
+                    fr = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                    e = int((fr * fr).sum())
+                    if e > VAD_MS_THRESHOLD * len(fr):
+                        nv += len(fr)
+                        ev += e
+                    else:
+                        nu += len(fr)
+                        eu += e
+                vms = ev // nv if nv > 0 else 0
+                ums = eu // nu if nu > 0 else 0
+                ratio = (
+                    vms * 1000 // ums if nu > 0 and eu > 0 and nv > 0 else -1
+                )
+                out["media_id"].append(mid)
+                out["n_voiced_samples"].append(nv)
+                out["n_unvoiced_samples"].append(nu)
+                out["voiced_ms"].append(vms)
+                out["unvoiced_ms"].append(ums)
+                out["snr_power_milli"].append(ratio)
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = d.mapInPandas(make_payloads, "media_id long, payload binary")
+    return media.mapInPandas(
+        snr,
+        "media_id long, n_voiced_samples long, n_unvoiced_samples long, "
+        "voiced_ms long, unvoiced_ms long, snr_power_milli long",
+    )

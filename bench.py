@@ -182,6 +182,7 @@ HEADLINE = [
     "lineitem_unit_value_index",
     "events_attribution_position_compare",
     "events_retention_half_life",
+    "multimodal_audio_snr",
 ]
 
 

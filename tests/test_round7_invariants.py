@@ -1479,3 +1479,33 @@ def test_retention_half_life_invariants(spark):
             assert r["half_life_milli_weeks"] > 0
         else:
             assert r["half_life_milli_weeks"] == -1
+
+
+def test_audio_snr_reconciles_with_vad(spark):
+    """SNR's voiced/unvoiced sample split must cover every decoded
+    sample and agree with the VAD's voiced-frame count (full frames x
+    frame size, plus the short tail frame when voiced), and voiced
+    mean-square power is above the gate while unvoiced sits at/below."""
+    from alexandria_pipeline_spark.operators.multimodal import (
+        VAD_MS_THRESHOLD,
+    )
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    snr = {
+        r["media_id"]: r
+        for r in QUERIES["multimodal_audio_snr"](spark, sf).collect()
+    }
+    vad = {
+        r["media_id"]: r
+        for r in QUERIES["multimodal_audio_vad"](spark, sf).collect()
+    }
+    assert set(snr) == set(vad)
+    for mid, r in snr.items():
+        n_samples = mid % 50 + 20
+        assert r["n_voiced_samples"] + r["n_unvoiced_samples"] == n_samples
+        if r["n_voiced_samples"] > 0:
+            assert r["voiced_ms"] > VAD_MS_THRESHOLD // 2  # gate is per-frame
+        if r["snr_power_milli"] != -1:
+            assert r["snr_power_milli"] >= 1000  # voiced power > unvoiced
