@@ -2659,3 +2659,140 @@ def lineitem_unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ptype")
     )
+
+
+@query(
+    "supplier_hhi_by_part_type",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type AS ptype, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT ptype, CAST(sum(cents) AS HUGEINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY ptype
+    )
+    SELECT r.ptype,
+           t.n_suppliers,
+           CAST(t.total AS BIGINT) AS total_cents,
+           CAST(sum(r.cents * r.cents * 1000000 // (t.total * t.total))
+                AS BIGINT) AS hhi_ppm
+    FROM rev r JOIN tot t ON t.ptype = r.ptype
+    WHERE t.total > 0
+    GROUP BY r.ptype, t.n_suppliers, t.total
+    ORDER BY r.ptype
+    """,
+)
+def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per product category as the
+    Herfindahl-Hirschman index: HHI = sum over suppliers of
+    (revenue share)^2 — 1e6 ppm means a single-supplier category (the
+    procurement risk flag), 1e6/n means perfectly split. The grouped
+    sibling of the global HHI readout, per-cell exact: each supplier's
+    share-square lands as ONE truncating division c^2 * 1e6 div T^2
+    on decimal(38,0)/HUGEINT cross products (c*T can pass int64), then
+    sums exactly — no float shares. Shape: broadcast part dim into the
+    fact scan, one (type, supplier) groupBy with map-side combine, a
+    type-keyed total join, bounded read-out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = "decimal(38,0)"
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+                "AS decimal(38,0))"
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy("ptype").agg(
+        F.sum("cents").cast(dec).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    return (
+        rev.join(tot, "ptype")
+        .filter(F.expr("total > 0"))
+        .groupBy("ptype", "n_suppliers", "total")
+        .agg(
+            F.expr(
+                "CAST(sum(cents * cents * 1000000 div (total * total)) "
+                "AS BIGINT)"
+            ).alias("hhi_ppm")
+        )
+        .select(
+            "ptype",
+            "n_suppliers",
+            F.col("total").cast("long").alias("total_cents"),
+            "hhi_ppm",
+        )
+        .orderBy("ptype")
+    )
+
+
+@query(
+    "lineitem_returns_rate_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+               AS ship_month,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS returned_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_month, n_lines, n_returned,
+           coalesce(returned_cents, 0) AS returned_cents,
+           CAST(n_returned * 1000000 // n_lines AS BIGINT)
+             AS return_rate_ppm
+    FROM m ORDER BY ship_month
+    """,
+)
+def lineitem_returns_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly returns-rate trend: share of shipped lines flagged
+    returned plus the revenue at stake — the operational KPI behind
+    'did the Q3 packaging change move returns', and the time-series
+    the CUSUM/changepoint operators consume when the question is WHEN
+    it moved. One map-side-combined month groupBy (calendar-bounded
+    output) with conditional counts folded into the same pass; exact
+    integer cents and one truncating ppm division per month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    m = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.when(returned, 1)).cast("long").alias("n_returned"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    returned,
+                    F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("returned_cents"),
+    )
+    return m.select(
+        "ship_month",
+        "n_lines",
+        "n_returned",
+        "returned_cents",
+        F.expr("CAST(n_returned * 1000000 div n_lines AS BIGINT)").alias(
+            "return_rate_ppm"
+        ),
+    ).orderBy("ship_month")

@@ -183,6 +183,8 @@ HEADLINE = [
     "events_attribution_position_compare",
     "events_retention_half_life",
     "multimodal_audio_snr",
+    "supplier_hhi_by_part_type",
+    "lineitem_returns_rate_monthly",
 ]
 
 

@@ -1509,3 +1509,42 @@ def test_audio_snr_reconciles_with_vad(spark):
             assert r["voiced_ms"] > VAD_MS_THRESHOLD // 2  # gate is per-frame
         if r["snr_power_milli"] != -1:
             assert r["snr_power_milli"] >= 1000  # voiced power > unvoiced
+
+
+def test_hhi_by_type_bounds_and_floor(spark):
+    """HHI lives in (0, 1e6]; with n suppliers the floor is 1e6/n (up
+    to per-cell truncation), and a 1e6 reading requires exactly one
+    supplier."""
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    rows = QUERIES["supplier_hhi_by_part_type"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+        floor = 1_000_000 // r["n_suppliers"] - r["n_suppliers"]
+        assert r["hhi_ppm"] >= floor
+        if r["hhi_ppm"] == 1_000_000:
+            assert r["n_suppliers"] == 1
+
+
+def test_returns_rate_reconciles_with_q1_flags(spark):
+    """Total returned lines across months must equal the direct
+    l_returnflag='R' count, and every rate is a valid ppm."""
+    import duckdb
+
+    from alexandria_pipeline_spark.registry import QUERIES, register_all
+
+    register_all()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["lineitem_returns_rate_monthly"](spark, sf).collect()
+    want = duckdb.connect().execute(
+        f"SELECT count(*) FILTER (WHERE l_returnflag = 'R'), count(*) "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()
+    assert sum(r["n_returned"] for r in rows) == want[0]
+    assert sum(r["n_lines"] for r in rows) == want[1]
+    for r in rows:
+        assert 0 <= r["return_rate_ppm"] <= 1_000_000
