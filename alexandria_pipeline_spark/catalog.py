@@ -8,6 +8,8 @@ pushdown for free and nothing is materialized until an action runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = [
@@ -42,21 +44,33 @@ def _ensure_event_time_confs(spark: SparkSession) -> None:
     - session timezone is deliberately NOT touched (it was pinned to UTC
       here through round 6): normalize_event_ts is now timezone-
       independent, so a foreign session's timeZone survives loading
-      events. We only warn, because the CALLER's own date-part
-      expressions over the returned instants still resolve in their
-      session timezone while the DuckDB oracle is naive-UTC.
+      events. BUT: registered queries that extract calendar fields
+      (date/hour) from events.ts — DAU/stickiness, retention, changepoint,
+      partition-skew, cohorts — resolve those fields in the SESSION
+      timezone while the DuckDB oracle is naive-UTC, so oracle-checked
+      results for event-time queries are only guaranteed under a UTC
+      session. Default behavior is a warning (exploratory use in a local
+      timezone is legitimate); the correctness paths (oracle sweep,
+      bench, driver) set SPARK_GRAFT_REQUIRE_UTC=1 which upgrades the
+      mismatch to a hard error so a silent divergence cannot ship.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tz = spark.conf.get("spark.sql.session.timeZone", None)
     if tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        msg = (
+            f"session timeZone is {tz!r}; events.ts is normalized to UTC "
+            f"instants regardless, but date/hour extractions over it "
+            f"resolve in {tz!r} while the oracle assumes UTC."
+        )
+        if os.environ.get("SPARK_GRAFT_REQUIRE_UTC"):
+            raise RuntimeError(
+                msg + " SPARK_GRAFT_REQUIRE_UTC is set: refusing to run "
+                "oracle-checked event-time queries in a non-UTC session; "
+                'set spark.sql.session.timeZone to "UTC".'
+            )
         import warnings
 
-        warnings.warn(
-            f"session timeZone is {tz!r}; events.ts is normalized to UTC "
-            f"instants regardless, but your own date/hour extractions "
-            f"over it will use {tz!r} while the oracle assumes UTC.",
-            stacklevel=3,
-        )
+        warnings.warn(msg, stacklevel=3)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

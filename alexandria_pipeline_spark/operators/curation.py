@@ -1300,14 +1300,14 @@ def corpus_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFra
 
     The per-lang global rank does NOT sort a language's documents in
     one partition (a 100-TB corpus can be 90% one language — the
-    skew hazard): surprisal bands (mbits div {B}, a bounded
+    skew hazard): surprisal bands (mbits div CCNET_BAND=500, a bounded
     inventory) carry exclusive count offsets through a band-only
     window partitioned by lang, and the within-band row_number is
     partitioned by (lang, band) — the same two-phase banded rewrite
     as curation_quality_decile_budget, with the lang key carried
     through. LM cost: one explode -> tf aggregate, vocab-keyed join
     back, one doc aggregate — shared shape with the surprisal
-    query.""".replace("{B}", str(CCNET_BAND))
+    query."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
     tf = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))

@@ -2973,7 +2973,8 @@ MARKOV_POWER_STEPS = 3
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate STATIONARY distribution of the event-type Markov
-    chain by {K} unrolled power-iteration steps from uniform, in exact
+    chain by MARKOV_POWER_STEPS (=3) unrolled power-iteration steps
+    from uniform, in exact
     truncating ppm (each term pi_i * p_ij // 1e6 truncates BEFORE the
     sum, identically in both engines — so the iteration is
     hash-checkable with no float anywhere). The stationary mix is

@@ -1286,9 +1286,14 @@ def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     it to the target level, and how many samples would CLIP at that
     gain — the decision table a speech-data pipeline computes before
     normalizing (clips with high n_clipped need a limiter, not a gain).
-    The clip test |s|·gain_e6 > 32767·10^6 is pure int64, and the RMS
-    uses floor(sqrt(double)) computed identically in both engines (the
-    argument is < 2^53, so the double is the exact integer). Payloads
+    The clip test |s|·gain_e6 > 32767·10^6 is pure int64. The RMS uses
+    floor(sqrt(double)) in both engines; note sum_sq*1e6//n can reach
+    ~7.5e16 (> 2^53) for a max-amplitude clip, so the int->double
+    conversion may round — determinism rests NOT on exactness below
+    2^53 but on both engines performing the SAME IEEE-754
+    round-to-nearest int64->double conversion followed by a
+    correctly-rounded sqrt (both guaranteed by the standard), so the
+    floor agrees bit-for-bit cross-engine regardless. Payloads
     are decoded by the same RIFF byte-walk as multimodal_decode_wav —
     a hash match proves the round-trip AND the analysis. Map-only
     plan: payload bytes never shuffle, one row out per clip."""

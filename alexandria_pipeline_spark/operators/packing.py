@@ -984,9 +984,10 @@ EPOCH_CAP_E3 = 4_000
 )
 def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATA-CONSTRAINED training plan (Muennighoff et al. 2023): given
-    a token budget of {M}x the corpus split uniformly across sources,
-    how many EPOCHS of each source fill its allocation — capped at 4
-    (epochs_e3 <= {C}: past ~4 repeats, repeated tokens stop buying
+    a token budget of EPOCH_BUDGET_MULT(=2)x the corpus split uniformly
+    across sources, how many EPOCHS of each source fill its allocation
+    — capped at 4
+    (epochs_e3 <= EPOCH_CAP_E3=4000: past ~4 repeats, repeated tokens stop buying
     loss). shortfall_tokens > 0 names the sources that cannot fill
     their share even at the cap — the scaling-plan gap you must cover
     with new collection or by re-weighting toward data-rich sources
@@ -996,9 +997,7 @@ def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one source-keyed token aggregate (the only data-sized
     shuffle, map-side combined), a 1-row totals broadcast, map-only
     arithmetic — output bounded by the source inventory at any
-    scale.""".replace("{M}", str(EPOCH_BUDGET_MULT)).replace(
-        "{C}", str(EPOCH_CAP_E3)
-    )
+    scale."""
     d = load_table(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

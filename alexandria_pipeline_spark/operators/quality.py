@@ -226,7 +226,7 @@ FRESHNESS_SLA_S = 6 * 3600
 def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-feed FRESHNESS monitoring — the first page of every data-ops
     dashboard: how far does each event type's latest event lag the
-    corpus high-water mark, and which feeds violate the {H}h SLA (a
+    corpus high-water mark, and which feeds violate the 6h SLA (a
     stale feed means its producer died, and every downstream join
     silently loses that type's rows). One map-side-combined max/count
     aggregate per type plus a 1-row broadcast high-water mark; exact

@@ -1550,21 +1550,22 @@ VOCAB_OVERLAP_K = 200
     """,
 )
 def tokenizer_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-language VOCABULARY overlap over each language's top-{K}
+    """Cross-language VOCABULARY overlap over each language's top-K
+    (K = VOCAB_OVERLAP_K = 200)
     word list — the sizing input for a shared multilingual tokenizer
     (high overlap between related languages means a joint vocabulary
     costs fewer slots than the sum of monolingual ones; near-zero
     overlap argues for script-partitioned vocab budgets, the analysis
     behind XLM-R's 250k joint vocab). Jaccard is exact ppm over the
-    fixed-size top lists (|A|=|B|={K}, so the union is 2K - inter —
+    fixed-size top lists (|A|=|B|=K, so the union is 2K - inter —
     no second aggregate needed).
 
     Plan: one (lang, word) count aggregate (map-side combined — the
     only data-sized shuffle), a per-lang rank over VOCABULARY-sized
     frames (bounded by distinct words per language, not corpus rows),
-    then a self-equi-join on word over two {K}-row-per-lang frames and
-    a lang-pair aggregate whose output is C(n_langs, 2) rows. Both
-    top-k legs broadcast in practice.""".replace("{K}", str(VOCAB_OVERLAP_K))
+    then a self-equi-join on word over two VOCAB_OVERLAP_K(=200)-row-
+    per-lang frames and a lang-pair aggregate whose output is
+    C(n_langs, 2) rows. Both top-k legs broadcast in practice."""
     d = load_table(spark, sf_dir, "documents")
     cnt = (
         d.select("lang", F.explode(F.split("text", " ")).alias("w"))
@@ -1628,8 +1629,8 @@ STITCH_W = 4
     """,
 )
 def text_chunk_stitch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-STITCH detection: pairs (A, B) where A's last {W} words
-    are exactly B's first {W} — the signature a document splitter or
+    """Chunk-STITCH detection: pairs (A, B) where A's last STITCH_W(=4)
+    words are exactly B's first 4 — the signature a document splitter or
     crawler pagination leaves when one source document lands in the
     corpus as two halves (the continuation's opening repeats the
     cut-point window). Whole-doc dedup can't see these (the halves
@@ -1639,12 +1640,12 @@ def text_chunk_stitch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-count them.
 
     Plan: one scan builds constant-width suffix/prefix windows (the
-    full text never leaves the scan — only {W}-word strings plus a
-    64-bit rolling fingerprint), then ONE fingerprint equi-join (the
-    banded-candidate discipline: hash keys first, verify the actual
-    window string on the joined pairs to kill collisions). Join sides
-    are corpus-row-sized but constant-WIDTH; output is
-    artifact-sized.""".replace("{W}", str(STITCH_W))
+    full text never leaves the scan — only STITCH_W(=4)-word strings
+    plus a 64-bit rolling fingerprint), then ONE fingerprint equi-join
+    (the banded-candidate discipline: hash keys first, verify the
+    actual window string on the joined pairs to kill collisions). Join
+    sides are corpus-row-sized but constant-WIDTH; output is
+    artifact-sized."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     t = d.filter(F.size(toks) >= 2 * STITCH_W).select(

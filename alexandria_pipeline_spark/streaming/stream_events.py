@@ -932,7 +932,7 @@ SESSION_GAP_S = 1800
     "stream_closed_sessions",
     oracle=f"""
     WITH seq AS (
-      SELECT user_id, epoch_us(ts) // 1000000 AS t_s,
+      SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS t_s,
              CASE WHEN epoch_us(ts) // 1000000
                        - lag(epoch_us(ts) // 1000000) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id)
@@ -941,8 +941,12 @@ SESSION_GAP_S = 1800
       FROM events
     ),
     isl AS (
+      -- cumsum MUST use the same total order (ts, event_id) that
+      -- produced new_s: ordering by t_s alone leaves same-second ties
+      -- unspecified, a latent cross-run flake when a session boundary
+      -- lands on a second holding 2+ events for one user.
       SELECT user_id, t_s,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY t_s
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq
     ),

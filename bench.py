@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Timed numbers must be produced under the same UTC calendar the
+# oracles assume — fail loudly rather than benchmark divergent plans.
+os.environ.setdefault("SPARK_GRAFT_REQUIRE_UTC", "1")
+
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 
 # Headline set: one per operator family (scan-agg, joins, windows,

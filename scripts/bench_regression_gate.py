@@ -197,7 +197,16 @@ def main() -> int:
     gated = [n for n in shared if base_q[n] >= MIN_PREV_SEC]
     ratios = sorted(cur_q[n] / base_q[n] for n in gated)
     session_drift = ratios[len(ratios) // 2] if ratios else 1.0
-    bar = REGRESSION_RATIO * max(1.0, session_drift)
+    # Cap the drift multiplier: uncapped, a GENUINE across-the-board
+    # regression (a session.py/catalog change slowing every query
+    # ~uniformly) would raise the bar proportionally and never flag.
+    # Host-steal windows on this box measure <= ~1.3x; anything beyond
+    # that is treated as a real uniform slowdown and surfaced as a
+    # first-class gate signal below (uniform_slowdown_suspected).
+    SESSION_DRIFT_CAP = 1.3
+    capped_drift = min(max(1.0, session_drift), SESSION_DRIFT_CAP)
+    uniform_slowdown_suspected = session_drift > SESSION_DRIFT_CAP
+    bar = REGRESSION_RATIO * capped_drift
 
     def flagged() -> list[str]:
         return [
@@ -267,6 +276,8 @@ def main() -> int:
         ),
         "noise_retry": {"queries": retried, "runs": 4},
         "session_drift_median_ratio": round(session_drift, 3),
+        "session_drift_cap": SESSION_DRIFT_CAP,
+        "uniform_slowdown_suspected": uniform_slowdown_suspected,
         "effective_flag_ratio": round(bar, 3),
         "n_shared": len(shared),
         "n_new_unbaselined": len(set(cur_q) - set(base_q)),
@@ -289,6 +300,15 @@ def main() -> int:
             f"  REGRESSION {r['query']}: {r['baseline_sec']} "
             f"({r['baseline_src']}) -> {r['cur_sec']} ({r['ratio']}x)"
         )
+    if uniform_slowdown_suspected:
+        print(
+            f"  UNIFORM SLOWDOWN: session median cur/baseline ratio "
+            f"{session_drift:.2f} exceeds the {SESSION_DRIFT_CAP}x host-"
+            f"steal cap — either the host is badly loaded or a global "
+            f"code change slowed everything; investigate before trusting "
+            f"this run."
+        )
+        return 1
     return 1 if any(not r["annotation"] for r in regressions) else 0
 
 

@@ -27,6 +27,11 @@ import traceback
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# Correctness path: a non-UTC session would make event-time calendar
+# extractions silently diverge from the naive-UTC DuckDB oracle, so
+# upgrade catalog's timezone warning to a hard error for this process.
+os.environ.setdefault("SPARK_GRAFT_REQUIRE_UTC", "1")
+
 from alexandria_pipeline_spark import ORACLES, QUERIES, register_all
 from alexandria_pipeline_spark.session import get_spark
 from tests.oracle import compare, duck_connection
