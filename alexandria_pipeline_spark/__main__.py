@@ -53,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from alexandria_pipeline_spark import get_spark, register_all, QUERIES
     from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.registry import release_persisted
     from alexandria_pipeline_spark.operators import jobs
 
     register_all()
@@ -93,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"unknown query {args.name!r}; known: {', '.join(sorted(QUERIES))}")
                 return 2
             QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+            release_persisted()
         return 0
     finally:
         spark.stop()

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
+from alexandria_pipeline_spark.functions.checkpoints import (
+    persistent_rdd_ids,
+    unpersist_rdd_ids,
+)
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     MINHASH_P,
@@ -33,7 +37,13 @@ from alexandria_pipeline_spark.functions.text import (
     duck_shingle_codes,
     shingle_codes,
 )
-from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
+from alexandria_pipeline_spark.registry import (
+    ORACLES,
+    QUERIES,
+    query,
+    scoped_persist,
+    scoped_release,
+)
 
 # Sketch width — the corpus-size knob (SCALE.md): band-bucket occupancy
 # falls exponentially with rows-per-band x log2(bands). Defaults sized
@@ -260,14 +270,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout, where the (doc_id, codes) sketch table is WRITTEN once
     # and every dedup pass reads it; ~1KB/doc, MEMORY_AND_DISK spills
     # safely.
-    docs = (
+    docs = scoped_persist(
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", shingle_codes(toks).alias("codes")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = scoped_persist(
+        exploded.groupBy("doc_id").agg(*_sig_cols()),
+        StorageLevel.MEMORY_AND_DISK,
     )
     band_vals = F.array(
         *[
@@ -392,8 +403,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = term if simhash is None else simhash + term
     # 16 bytes/doc — persisting avoids recomputing codes+32 votes for
     # both self-join sides (same recompute trap as dedup_minhash_lsh).
-    hashed = votes.select("doc_id", simhash.cast("long").alias("simhash")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hashed = scoped_persist(
+        votes.select("doc_id", simhash.cast("long").alias("simhash")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     band_vals = F.array(
         *[
@@ -473,7 +485,7 @@ def jaccard_exploded_codes(sh: DataFrame, df_cap: int | None = None) -> DataFram
     # CacheManager keyed by the logical plan, so re-running the
     # IDENTICAL query reuses the cache — time this operator single-shot
     # in a fresh plan, or the second run measures the cache.)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(sh, StorageLevel.MEMORY_AND_DISK)
     dfc = (
         sh.select("lang", F.explode("codes").alias("code"))
         .groupBy("lang", "code")
@@ -605,7 +617,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch (same re-evaluation minhash's sketch hit). ~24 bytes/code
     # row, MEMORY_AND_DISK spills safely; production would WRITE the
     # index once and read it twice.
-    ex = jaccard_exploded_codes(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = scoped_persist(jaccard_exploded_codes(sh), StorageLevel.MEMORY_AND_DISK)
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
@@ -717,31 +729,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME integer formula in SQL (np CTE), so parity holds at every
     SF without pinning; SPARK_GRAFT_LSH_PLANES pins both engines to a
     fixed count. The plan-time count() is the BROADCAST_EDGE_LIMIT
-    gate pattern: one columnless scan, footer-count cheap. The bucket
-    join shuffles (id, vector) once; the verify fold runs JVM-side
-    (zip_with/aggregate, no UDF)."""
+    gate pattern: one columnless scan, footer-count cheap.
+
+    Bucketing and verification both run in Arrow/pandas kernels
+    (functions/bucketed.py, r7 verdict #3): lsh_bucket_pandas computes
+    the sign pattern with the bit-identical left fold in one
+    vectorized pass, and pairs_above_threshold ships each vector once
+    per bucket, forms the in-bucket score block in numpy (same exact
+    per-element rounding as the JVM fold), and emits only pairs
+    >= the threshold. This replaced the bucket self-join whose
+    interpreted per-pair fold was the measured sf10 cost (54.9 s ->
+    the r8 stress row; the sf1->sf10 'super-linearity' was fold CPU on
+    the sawtooth pair volume, not a plan defect)."""
+    from alexandria_pipeline_spark.functions.bucketed import (
+        lsh_bucket_pandas,
+        pairs_above_threshold,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = lsh_planes_for(e.count())
-    # spread: the verify fold is CPU-per-pair heavy; see spread_to_cores
-    bucketed = spread_to_cores(e).select(
-        "vec_id", "embedding", lsh_bucket("embedding", n_planes).alias("bucket")
-    )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
-    )
-    dotp = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    bucketed = lsh_bucket_pandas(
+        e.select("vec_id", "embedding"), _planes[:n_planes]
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dotp", dotp)
-        .filter(F.col("dotp") >= COSINE_THRESHOLD)
+        pairs_above_threshold(bucketed, COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("dotp", 6).alias("cos_sim"))
     )
 
@@ -836,11 +847,17 @@ def connected_components_from_pairs(
     edges = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v")
+    spark = pairs.sparkSession
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    prev = None
+    # Checkpoint rotation is BY RDD ID (functions/checkpoints.py): a
+    # localCheckpoint's blocks live in an internal RDD that
+    # DataFrame.unpersist can't reach, so rotating by DataFrame handle
+    # only freed rounds via eventual GC — the last two rounds' blocks
+    # survived every call (caught by test_persist_lifecycle).
+    prev_ckpt_ids: set[int] = set()
     for _ in range(20):  # diameter bound; real clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.u == labels.node)
@@ -848,6 +865,7 @@ def connected_components_from_pairs(
             .agg(F.min("lab").alias("nlab"))
         )
         # eager localCheckpoint = persist + lineage cut in one step
+        before_ids = persistent_rdd_ids(spark)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
             .select(
@@ -858,18 +876,25 @@ def connected_components_from_pairs(
             )
             .localCheckpoint(eager=True)
         )
+        new_ids = persistent_rdd_ids(spark) - before_ids
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.lab") != F.col("o.lab"))
             .count()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev, labels = labels, new_labels
+        # the changed-count above was this round's last read of the
+        # superseded labels — free its blocks now, by id
+        unpersist_rdd_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    # the RETURNED frame references the final checkpoint, so its blocks
+    # must outlive this call; register their release with the registry
+    # scope — the materializing caller frees them after its action.
+    scoped_release(lambda ids=frozenset(prev_ckpt_ids): unpersist_rdd_ids(spark, set(ids)))
     return labels
 
 
@@ -1135,10 +1160,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The exploded index feeds BOTH sides of the self-join below; without
     # persist, the explode + shingle_codes subtree (the costliest part of
     # the plan) is evaluated twice — same rationale as dedup_ngram_jaccard.
-    ex = sh.select(
-        "doc_id", "lang", F.size("codes").alias("n_codes"),
-        F.explode("codes").alias("code"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = scoped_persist(
+        sh.select(
+            "doc_id", "lang", F.size("codes").alias("n_codes"),
+            F.explode("codes").alias("code"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     a = ex.filter(F.col("n_codes") >= CONTAINMENT_MIN_CODES).select(
         F.col("doc_id").alias("doc_small"),
         "lang",
@@ -1232,8 +1260,9 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", shingle_codes(toks).alias("codes")
     )
     exploded = sh.select("doc_id", F.explode("codes").alias("code"))
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = scoped_persist(
+        exploded.groupBy("doc_id").agg(*_sig_cols()),
+        StorageLevel.MEMORY_AND_DISK,
     )
     band_vals = F.array(
         *[
@@ -1395,10 +1424,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier of the same daily pipeline."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    docs = (
+    docs = scoped_persist(
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", shingle_codes(toks).alias("codes")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
     sigs = exploded.groupBy("doc_id").agg(*_sig_cols())
@@ -1644,11 +1673,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()
     m = max(1, n_docs // RECALL_SAMPLE_TARGET)
     toks = F.split("text", " ")
-    docs = (
+    docs = scoped_persist(
         d.filter((F.col("doc_id") % m == 0) & (F.size(toks) >= 3))
         .select("doc_id", shingle_codes(toks).alias("codes"))
-        .withColumn("nc", F.size("codes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("nc", F.size("codes")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # Exact ground truth WITHOUT pairwise array ops (r6 verdict #7):
     # the r6 form broadcast-BNL'd all ~s²/2 sample pairs and ran
@@ -1679,8 +1708,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
         .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    truth = scoped_persist(truth, StorageLevel.MEMORY_AND_DISK)
     sigs = ex.groupBy("doc_id").agg(*_sig_cols())
     band_vals = F.array(
         *[
@@ -1695,12 +1724,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("doc_id", F.posexplode(band_vals).alias("band", "band_val"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    cand = (
+    cand = scoped_persist(
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     n_sample = docs.agg(F.count(F.lit(1)).alias("n_sample_docs"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
@@ -1722,12 +1751,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ppm"),
         )
     )
-    # 1-row read-out: eager localCheckpoint cuts lineage so the three
-    # sample-sized caches release immediately instead of leaking across
-    # a sweep/bench session (ADVICE r5, low).
-    out = out.localCheckpoint(eager=True)
-    for cached in (docs, truth, cand):
-        cached.unpersist()
+    # The three sample-sized caches are scoped_persist-registered: the
+    # materializing caller releases them via release_persisted() right
+    # after its action (r7 verdict #4). This replaces the r5-era eager
+    # localCheckpoint + in-query unpersist — the checkpoint itself was
+    # a persisted RDD with no release handle, i.e. the one leak the
+    # lifecycle test still caught.
     return out
 
 
@@ -1843,10 +1872,10 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     four. Same banded machinery as dedup_minhash_lsh."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    docs = (
+    docs = scoped_persist(
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", shingle_codes(toks).alias("codes")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
     sigs = exploded.groupBy("doc_id").agg(*_sig_cols())

@@ -25,7 +25,11 @@ from pyspark.storagelevel import StorageLevel
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.functions.checkpoints import (
+    persistent_rdd_ids,
+    unpersist_rdd_ids,
+)
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 PR_ITERS = 3
 DAMP_MICRO = 850_000
@@ -130,7 +134,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg = scoped_persist(edges.join(deg, "src"), StorageLevel.MEMORY_AND_DISK)
     ranks = pagerank_ranks(edges_deg, deg, PR_ITERS)
     return ranks.select(F.col("node").alias("part_id"), F.col("r").alias("rank_micro"))
 
@@ -189,13 +193,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
     )
-    edges = (
+    edges = scoped_persist(
         sets.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # Plan-time size gate: the edge set and the degree table are both
     # FACT-DERIVED (the part universe grows with the corpus), so an
@@ -206,12 +210,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # falls back to shuffle joins, which AQE may still convert to
     # broadcast from actual runtime sizes.
     n_edges_val = edges.count()
-    deg = (
+    deg = scoped_persist(
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("deg")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -406,10 +410,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         sets.agg(F.sum(F.size("ps") * (F.size("ps") - 1))).first()[0] or 0
     ) // 2
     if raw_pairs <= BROADCAST_EDGE_LIMIT:
-        adj = (
+        adj = scoped_persist(
             pairs.groupBy("node")
-            .agg(F.collect_set("nb").alias("ns"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .agg(F.collect_set("nb").alias("ns")),
+            StorageLevel.MEMORY_AND_DISK,
         )
         # EXACT path. The a-side neighbor array rides along for free:
         # every canonical edge (a < b) appears exactly once as an
@@ -461,7 +465,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             if raw_pairs <= JACCARD_K_HALVE_PAIRS
             else JACCARD_SKETCH_K // 2
         )
-        und = pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        und = scoped_persist(pairs.distinct(), StorageLevel.MEMORY_AND_DISK)
 
         def _h32(k: int):
             return (
@@ -648,19 +652,6 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k_env
         else max(K_CORE_FLOOR, (2 * n_edges_total) // max(n_nodes_total, 1))
     )
-    def _persistent_rdd_ids() -> set[int]:
-        # JavaSparkContext.getPersistentRDDs: id -> JavaRDD of every
-        # block-holding RDD, INCLUDING localCheckpoint internals that a
-        # DataFrame-level unpersist() can't reach.
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(i) for i in jmap.keySet().toArray()}
-
-    def _unpersist_rdd_ids(ids: set[int]) -> None:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for i in ids:
-            if jmap.containsKey(i):
-                jmap.get(i).unpersist(False)
-
     edges = edges0
     prev_ckpt_ids: set[int] = set()
     iters = 0
@@ -686,7 +677,7 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n_removed <= KCORE_BROADCAST_REMOVE_LIMIT
             else remove
         )
-        before_ids = _persistent_rdd_ids()
+        before_ids = persistent_rdd_ids(spark)
         edges = (
             edges.join(drop.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(drop.withColumnRenamed("node", "b"), "b", "left_anti")
@@ -698,8 +689,8 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint's internal RDD) are freed by id. Without this, up
         # to K_CORE_MAX_ITER stale edge snapshots pile up in executor
         # storage for the life of a sweep session (r6 advice).
-        new_ids = _persistent_rdd_ids() - before_ids
-        _unpersist_rdd_ids(prev_ckpt_ids)
+        new_ids = persistent_rdd_ids(spark) - before_ids
+        unpersist_rdd_ids(spark, prev_ckpt_ids)
         prev_ckpt_ids = new_ids
         remove.unpersist()
     n_edges = edges.count() if edges is not edges0 else n_edges_total
@@ -712,7 +703,7 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0.unpersist()
     # the final round's checkpoint blocks are done once the summary
     # counts above have materialized
-    _unpersist_rdd_ids(prev_ckpt_ids)
+    unpersist_rdd_ids(spark, prev_ckpt_ids)
     return spark.createDataFrame(
         [
             (

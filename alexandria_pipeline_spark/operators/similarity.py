@@ -1164,6 +1164,44 @@ MUTUAL_K = 5
 KNN_MUTUAL_EXACT_LIMIT = 1_000
 
 
+def _bucketed_embeddings(
+    spark: SparkSession, sf_dir: str, with_label: bool
+) -> DataFrame:
+    """Shared candidate-generation stage for the knn-eval family
+    (r7 verdict #1: mutual/label/mrr rebuilt this byte-identically).
+
+    Below KNN_MUTUAL_EXACT_LIMIT every vector lands in ONE bucket
+    (exact all-pairs, same semantics as the oracles' is_exact gate);
+    above it, the auto-scaled random-hyperplane bucket is computed by
+    functions.bucketed.lsh_bucket_pandas — the same integer plane
+    table and the same exact left-fold sign test as dedup.lsh_bucket,
+    one Arrow pass instead of n_planes interpreted JVM folds (the JVM
+    fold alone was ~18 s for 200k vectors at sf10). Downstream, the
+    per-bucket pandas kernels (topk_neighbors / first_same_label_rank)
+    ship each vector once per bucket and reduce to artifact-sized
+    frames inside the kernel — replacing the bucket self-join that
+    shipped two 64-float arrays per candidate PAIR and paid an ~8
+    µs/pair interpreted fold (~170 s/query at sf10; now ~20 s)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cols = ["vec_id", "label", "embedding"] if with_label else [
+        "vec_id", "embedding"
+    ]
+    base = e.select(*cols)
+    if n <= KNN_MUTUAL_EXACT_LIMIT:
+        # one bucket == exact all-pairs; a single kernel task computes
+        # a <=1000² score matrix in numpy (~ms) — the gate guarantees
+        # the group is small, so single-task is correct AND fastest
+        return base.withColumn("bucket", F.lit(0).cast("long"))
+    from alexandria_pipeline_spark.functions.bucketed import lsh_bucket_pandas
+    from alexandria_pipeline_spark.operators.dedup import (
+        _planes,
+        lsh_planes_for,
+    )
+
+    return lsh_bucket_pandas(base, _planes[: lsh_planes_for(n)])
+
+
 @query(
     "knn_mutual_topk",
     oracle=f"""
@@ -1201,56 +1239,24 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering and near-dup canopies (one-directional neighbors are
     hubs' noise; mutuality is the cheap symmetric-confidence test).
 
-    Below KNN_MUTUAL_EXACT_LIMIT the scoring is exact all-pairs: the
-    corpus is broadcast against itself (one narrow stage, n² codegen
-    dot folds, no shuffle until the per-src top-k), and only n·k rows
-    survive to the mutuality self-join. ABOVE the gate candidates are
-    restricted to the same random-hyperplane bucket (the auto-scaled
-    dedup_embedding_cosine machinery — planes grow with log2(n), so
-    in-bucket pair volume stays ~128·n) and the same top-k + mutual
-    join runs over the bucket-local candidates; recall tracks the
-    bucket collision probability exactly like the dedup path, and the
-    output schema is unchanged. The oracle encodes the SAME gate
+    Candidate generation + exact scoring + per-src top-k all run in
+    the SHARED per-bucket pandas kernel (_bucketed_embeddings ->
+    functions.bucketed.topk_neighbors): below the exact gate every
+    vector is one bucket (all-pairs); above it the auto-scaled
+    random-hyperplane buckets keep pair volume ~128·n. The kernel
+    computes scores with the bit-identical left fold (see
+    functions/bucketed.py), ranks by (score desc, dst) inside numpy,
+    and emits only n·k rows — so the mutuality self-join below joins
+    artifact-sized frames. The oracle encodes the SAME gate
     (count <= {KNN_MUTUAL_EXACT_LIMIT} -> all-pairs, else same-bucket
     candidates from the identical np-CTE plane formula), so a sweep at
     ANY SF stays hash-exact — the dedup_embedding_cosine convention
     (ADVICE r5, low)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b"))
-    if n <= KNN_MUTUAL_EXACT_LIMIT:
-        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
-            F.col("src") != F.col("dst")
-        )
-    else:
-        from alexandria_pipeline_spark.operators.dedup import (
-            lsh_bucket,
-            lsh_planes_for,
-        )
+    from alexandria_pipeline_spark.functions.bucketed import topk_neighbors
 
-        planes = lsh_planes_for(n)
-        ab = e.select(
-            F.col("vec_id").alias("src"),
-            F.col("embedding").alias("emb_a"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        bb = e.select(
-            F.col("vec_id").alias("dst"),
-            F.col("embedding").alias("emb_b"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        cand = spread_to_cores(ab).join(bb, "bucket").filter(
-            F.col("src") != F.col("dst")
-        )
-    scored = cand.select(
-        "src", "dst", dot("emb_a", "emb_b").alias("score")
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    topk = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= MUTUAL_K)
-        .select("src", "dst", "score", "rk")
+    bucketed = _bucketed_embeddings(spark, sf_dir, with_label=False)
+    topk = topk_neighbors(bucketed, MUTUAL_K, with_labels=False).select(
+        "src", "dst", "score", "rk"
     )
     t2 = topk.select(
         F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("rk").alias("rk_ba")
@@ -1566,59 +1572,19 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-QUALITY metric (if 5-NN majority vote can't recover the
     label, the space doesn't separate the classes and no downstream
     index will fix it); run per-label, it also pinpoints WHICH class
-    collapsed after a model change. Mechanics share the knn_mutual
-    scaffold: exact all-pairs scoring under the same 1k-vector gate,
-    LSH-bucket candidates above it, with the oracle encoding the SAME
-    gate + bucket formula (np CTE) so any-SF sweeps stay hash-exact;
-    the
-    majority vote is a (src, label)-bounded count + row_number argmax
-    with a deterministic label tiebreak. Read-out is |labels| rows."""
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("nb_label"),
-        F.col("embedding").alias("emb_b"),
-    )
-    if n <= KNN_MUTUAL_EXACT_LIMIT:
-        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
-            F.col("src") != F.col("dst")
-        )
-    else:
-        from alexandria_pipeline_spark.operators.dedup import (
-            lsh_bucket,
-            lsh_planes_for,
-        )
+    collapsed after a model change. Candidates + exact scores + the
+    per-src top-k all come from the SHARED per-bucket pandas kernel
+    (_bucketed_embeddings -> topk_neighbors, r7 verdict #1): same
+    exact gate under 1k vectors, LSH buckets above, bit-identical
+    left-fold scores, so the oracle (same gate + np-CTE bucket
+    formula) stays hash-exact at any SF while the vote below only
+    ever sees n·k artifact rows. The majority vote is a (src,
+    label)-bounded count + row_number argmax with a deterministic
+    label tiebreak. Read-out is |labels| rows."""
+    from alexandria_pipeline_spark.functions.bucketed import topk_neighbors
 
-        planes = lsh_planes_for(n)
-        ab = e.select(
-            F.col("vec_id").alias("src"),
-            F.col("label").alias("true_label"),
-            F.col("embedding").alias("emb_a"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        bb = e.select(
-            F.col("vec_id").alias("dst"),
-            F.col("label").alias("nb_label"),
-            F.col("embedding").alias("emb_b"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        cand = spread_to_cores(ab).join(bb, "bucket").filter(
-            F.col("src") != F.col("dst")
-        )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    topk = (
-        cand.select(
-            "src", "true_label", "dst", "nb_label", dot("emb_a", "emb_b").alias("score")
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= EVAL_K)
-    )
+    bucketed = _bucketed_embeddings(spark, sf_dir, with_label=True)
+    topk = topk_neighbors(bucketed, EVAL_K, with_labels=True)
     votes = topk.groupBy("src", "true_label", "nb_label").agg(
         F.count(F.lit(1)).alias("v")
     )
@@ -2088,65 +2054,24 @@ def knn_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-recovery accuracy (knn_label_eval): MRR rewards putting a
     relevant item FIRST, so it catches an embedding model whose top-5
     contains the class but never leads with it. Candidate generation,
-    gate, and tie-breaks are byte-identical to knn_label_eval (exact
-    all-pairs under {KNN_MUTUAL_EXACT_LIMIT} vectors, LSH buckets with
-    the auto-scaled plane table above it; the oracle encodes the SAME
-    gate). Determinism: each query's reciprocal rank is ONE truncating
-    division 1e6 div first_rank, summed exactly and divided once per
-    label; vectors with no same-label candidate contribute zero (and
-    are visible via n_found < n_queries). Shape: the label_eval
-    candidate plan + one (src) min-aggregate + a label-bounded join."""
-    e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    a = e.select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("emb_a"),
+    gate, and tie-breaks are SHARED with knn_label_eval
+    (_bucketed_embeddings, r7 verdict #1); the first-same-label rank
+    is computed INSIDE the per-bucket kernel
+    (functions.bucketed.first_same_label_rank — full (score desc, dst)
+    ordering per src in numpy with bit-identical left-fold scores, one
+    (src, frk) row out), so the post-kernel plan joins an n-row
+    artifact, never candidates. The oracle encodes the SAME gate +
+    np-CTE bucket formula. Determinism: each query's reciprocal rank
+    is ONE truncating division 1e6 div first_rank, summed exactly and
+    divided once per label; vectors with no same-label candidate
+    contribute zero (and are visible via n_found < n_queries)."""
+    from alexandria_pipeline_spark.functions.bucketed import (
+        first_same_label_rank,
     )
-    b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("nb_label"),
-        F.col("embedding").alias("emb_b"),
-    )
-    if n <= KNN_MUTUAL_EXACT_LIMIT:
-        cand = F.broadcast(a).crossJoin(spread_to_cores(b)).filter(
-            F.col("src") != F.col("dst")
-        )
-    else:
-        from alexandria_pipeline_spark.operators.dedup import (
-            lsh_bucket,
-            lsh_planes_for,
-        )
 
-        planes = lsh_planes_for(n)
-        ab = e.select(
-            F.col("vec_id").alias("src"),
-            F.col("label").alias("true_label"),
-            F.col("embedding").alias("emb_a"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        bb = e.select(
-            F.col("vec_id").alias("dst"),
-            F.col("label").alias("nb_label"),
-            F.col("embedding").alias("emb_b"),
-            lsh_bucket("embedding", planes).alias("bucket"),
-        )
-        cand = spread_to_cores(ab).join(bb, "bucket").filter(
-            F.col("src") != F.col("dst")
-        )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    scored = cand.select(
-        "src",
-        "true_label",
-        "dst",
-        "nb_label",
-        dot("emb_a", "emb_b").alias("score"),
-    ).withColumn("rk", F.row_number().over(w))
-    first_hit = (
-        scored.filter(F.col("nb_label") == F.col("true_label"))
-        .groupBy("src", "true_label")
-        .agg(F.min("rk").cast("long").alias("frk"))
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = _bucketed_embeddings(spark, sf_dir, with_label=True)
+    first_hit = first_same_label_rank(bucketed)
     per_label = e.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_queries")
     )

@@ -31,6 +31,62 @@ ORACLES: dict[str, str] = {}
 
 _REGISTERED = False
 
+# --- persist lifecycle scope (r7 verdict #4) -------------------------
+# Many sketch-style queries persist an intermediate (MinHash
+# signatures, adjacency frames, ...) that the RETURNED DataFrame still
+# references, so the query body cannot unpersist it — the cache must
+# outlive the call so the caller's single materialization reuses it.
+# Without a release contract those caches accumulate for the life of
+# the session (a service-style caller grows storage monotonically).
+# scoped_persist() records every such frame; callers that materialize
+# results (sweep / bench / stress / CLI / driver harness) call
+# release_persisted() after each query's action. For scoped_persist
+# frames, release is safe even though downstream plans still reference
+# them — Spark recomputes on any later reuse. scoped_release callbacks
+# may free NON-recomputable storage (localCheckpoint blocks whose
+# lineage is truncated), so the caller contract is release-after-done:
+# call release_persisted() only once you are finished acting on the
+# previous query's result.
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist an intermediate whose lifetime must extend past the
+    query function's return (the result plan references it), and
+    record it for registry-level release. `level=None` keeps
+    DataFrame.persist()'s default storage level."""
+    df = df.persist(level) if level is not None else df.persist()
+    _SCOPED.append(df)
+    return df
+
+
+def scoped_release(callback: Callable[[], None]) -> None:
+    """Record an arbitrary release callback for storage that
+    DataFrame.unpersist can't reach — e.g. the RDD-level blocks of a
+    localCheckpoint an iterative query's RESULT still references
+    (connected components). Runs at the next release_persisted()."""
+    _SCOPED.append(callback)
+
+
+def release_persisted() -> int:
+    """Release every frame/callback recorded since the last release;
+    returns how many were released. Called by materializing callers
+    (oracle sweep, bench, stress runner, CLI) after each query's
+    action so session storage stays flat across a long run.
+    Idempotent: double-unpersist is a Spark no-op."""
+    n = 0
+    while _SCOPED:
+        item = _SCOPED.pop()
+        try:
+            if callable(item):
+                item()
+            else:
+                item.unpersist()
+        except Exception:  # noqa: BLE001 - a dead session must not stop release
+            pass
+        n += 1
+    return n
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query, optionally with its DuckDB oracle."""

@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_REQUIRE_UTC", "1")
 
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
+from alexandria_pipeline_spark.registry import release_persisted
 
 # Headline set: one per operator family (scan-agg, joins, windows,
 # event-time, pipeline, dedup, similarity, text). Streaming queries are
@@ -248,6 +249,11 @@ def main() -> None:
                 timings.pop(name, None)
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
+            # release scoped persists OUTSIDE the timed span: the
+            # timing measures the query, not the lifecycle contract
+            # (r7 verdict #4); without this, later queries inherit
+            # earlier queries' retained sketch caches.
+            release_persisted()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -33,6 +33,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("SPARK_GRAFT_REQUIRE_UTC", "1")
 
 from alexandria_pipeline_spark import ORACLES, QUERIES, register_all
+from alexandria_pipeline_spark.registry import release_persisted
 from alexandria_pipeline_spark.session import get_spark
 from tests.oracle import compare, duck_connection
 
@@ -64,6 +65,11 @@ def main() -> int:
             failures.append(name)
             traceback.print_exc()
         results[name] = status
+        # persist-lifecycle contract (r7 verdict #4): queries persist
+        # frames their returned DataFrame references; release them now
+        # that this query's materialization is done, so session
+        # storage stays flat across the 343-query sweep.
+        release_persisted()
         print(f"{name:45s} {status:18s} {time.time() - t0:6.2f}s", flush=True)
     wall = round(time.time() - t_all, 1)
     print(

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
+from alexandria_pipeline_spark.registry import release_persisted
 
 # r7: the LSH plane table gained distinct planes past p=12 (engaged at
 # sf10's vector count), kcore rotates checkpoint storage, and the
@@ -79,6 +80,7 @@ def main() -> int:
             # this, query N's timing includes query 1..N-1's leftover
             # storage thrash (measured: graph_triangle_count sf3 went
             # 39.6s solo -> 143.8s ninth-in-session)
+            release_persisted()
             spark.catalog.clearCache()
             # persist INCREMENTALLY: a hung query (or a killed run)
             # must not lose every prior timing — the r7 sf1 sweep lost

@@ -312,7 +312,24 @@ def test_no_python_eval_outside_declared_seams(spark):
     # AFTER the day-level aggregate, so the Python side only ever sees
     # SF-invariant calendar-bounded rows per group — the declared
     # grouped-recurrence seam (stream twin holds the same state logic).
-    allowed = {"text_compression_ratio", "orders_holt_linear_trend"}
+    # knn_mutual_topk / knn_label_eval / knn_mrr_eval /
+    # dedup_embedding_cosine: the per-bucket exact-scoring kernel
+    # (functions/bucketed.py, r7 verdict #1/#3) is a DECLARED Arrow
+    # seam — the JVM aggregate(zip_with) fold it replaced is
+    # interpreted (no codegen for higher-order functions), measured
+    # ~8 µs/pair = ~170 s/query at sf10; the numpy block kernel is the
+    # fast path (~17x), ships vectors once per bucket instead of twice
+    # per candidate pair, and keeps bit-identical float64 scores.
+    allowed = {
+        "text_compression_ratio",
+        "orders_holt_linear_trend",
+        "knn_mutual_topk",
+        "knn_label_eval",
+        "knn_mrr_eval",
+        "dedup_embedding_cosine",
+        # composes dedup_embedding_cosine, so inherits its seam
+        "dedup_lexical_semantic_agreement",
+    }
     skip = {
         "sharded_sink_roundtrip",
         "source_text_formats_roundtrip",
