@@ -25,11 +25,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 from alexandria_pipeline_spark.registry import release_persisted
 
-# r7: the LSH plane table gained distinct planes past p=12 (engaged at
-# sf10's vector count), kcore rotates checkpoint storage, and the
-# recall eval gained a size prefix-filter — fresh file so post-fix
-# runs aren't mixed with retired-plan rows.
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r7.json"
+# r8: the knn-eval trio + dedup_embedding_cosine moved candidate
+# scoring into per-bucket Arrow kernels (functions/bucketed.py) and
+# every sketch query's persists now release via the registry scope —
+# fresh file so post-rewrite runs aren't mixed with retired-plan rows.
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r8.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os
