@@ -253,23 +253,27 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per language — the corpus n-gram profile
     every training-data pipeline runs before filtering. Bigrams are
-    built with zip_with over two shifted slices (linear — the indexed
-    transform(sequence, i -> t[i]) form re-inlines split() per access,
-    O(n²)/doc), exploded, counted, and ranked with a deterministic
-    (count DESC, bigram) tiebreak so top-k is unique cross-engine."""
+    built by exploding arrays_zip of two shifted slices and concat'ing
+    AFTER the explode — arrays_zip/slice/concat are all codegen,
+    whereas the prior zip_with(concat) lambda was CodegenFallback
+    (interpreted per element, the r8 bigram-entropy finding; the
+    indexed transform(sequence, i -> t[i]) form is worse still: it
+    re-inlines split() per access, O(n²)/doc). Exploded, counted, and
+    ranked with a deterministic (count DESC, bigram) tiebreak so
+    top-k is unique cross-engine."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
     )
     cnt = (
         d.filter(n >= 2)
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        .select("lang", F.explode(pairs).alias("p"))
+        .select("lang", F.concat("p.w1", F.lit(" "), "p.w2").alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -704,28 +708,31 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
     tot = uni.agg(F.sum("n_w").alias("n_tokens"))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+    # pair formation: explode arrays_zip of shifted slices and group
+    # by the two WORDS — no per-token interpreted lambda (zip_with is
+    # CodegenFallback) and no data-sized string concat; the bigram
+    # string is rebuilt AFTER the count filter (vocabulary-sized
+    # rows). Tokens cannot contain spaces (split on ' '), so
+    # (wa, wb) <-> bigram is bijective and oracle semantics are
+    # unchanged.
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
     )
     bi = (
         d.filter(n >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("wa"), F.col("p.w2").alias("wb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= PMI_MIN_COUNT)
     )
-    w1 = F.split("bigram", " ").getItem(0)
-    w2 = F.split("bigram", " ").getItem(1)
     a = uni.select(F.col("word").alias("wa"), F.col("n_w").alias("n_a"))
     b = uni.select(F.col("word").alias("wb"), F.col("n_w").alias("n_b"))
     joined = (
-        bi.withColumn("wa", w1)
-        .withColumn("wb", w2)
-        .join(a, "wa")
+        bi.join(a, "wa")
         .join(b, "wb")
         .crossJoin(F.broadcast(tot))
+        .withColumn("bigram", F.concat("wa", F.lit(" "), "wb"))
     )
     return (
         joined.select(
@@ -1835,29 +1842,31 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell's term is rounded to integer MICRO on exact integer inputs
     identical in both engines, summed exactly (decimal(38,0)/HUGEINT —
     the sum is O(N·log V)·1e6), and divided ONCE per language. Word
-    and bigram formation reuse the text_pmi_bigrams conventions
-    verbatim. Shape: one (lang, bigram) groupBy with map-side combine
+    and bigram formation follow the text_pmi_bigrams conventions, but
+    pairing uses arrays_zip + explode of the two shifted slices and
+    groups by the two WORDS — never a per-bigram concat: zip_with is
+    CodegenFallback (interpreted per element, the r8 knn-fold lesson),
+    and at sf10 the 26.6M interpreted concats dominated the 38.7 s
+    wall (the cells table is only 93k rows; measured 38.7 -> 21.4 s,
+    sf1->sf10 now 4.2x for 10x data).
+    Shape: one (lang, w1, w2) groupBy with map-side combine
     (vocabulary-bounded output), a (lang, w1)-partitioned window sum
     (never single-partition), one bounded-key read-out."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
     )
     cells = (
         d.filter(n >= 2)
-        .select("lang", F.explode(bigrams).alias("bigram"))
-        .groupBy("lang", "bigram")
+        .select("lang", F.explode(pairs).alias("p"))
+        .groupBy("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    w1 = F.split("bigram", " ").getItem(0)
     w_ctx = Window.partitionBy("lang", "w1")
-    ctx = cells.withColumn("w1", w1).withColumn(
-        "c1", F.sum("c").over(w_ctx).cast("long")
-    )
+    ctx = cells.withColumn("c1", F.sum("c").over(w_ctx).cast("long"))
     terms = ctx.select(
         "lang",
         "w1",
