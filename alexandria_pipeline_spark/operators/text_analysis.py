@@ -18,6 +18,7 @@ from alexandria_pipeline_spark.functions.text import (
     duck_shingle_codes,
     duck_word_code,
     rolling_fingerprint,
+    sentences,
     shingle_codes,
     word_code,
 )
@@ -1887,6 +1888,116 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(sum(CAST(term AS decimal(38,0))) div sum(c) AS BIGINT)"
             ).alias("cond_entropy_micro_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_sentence_split_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT
+        doc_id,
+        lang,
+        string_split(text, ' ')[1:40] AS toks,
+        CAST(doc_id % 5 + 4 AS BIGINT) AS m
+      FROM documents
+    ),
+    b AS (
+      SELECT
+        doc_id,
+        lang,
+        array_to_string(
+          list_transform(
+            generate_series(0, (len(toks) + m - 1) // m - 1),
+            i -> array_to_string(toks[(i * m + 1):((i + 1) * m)], ' ')
+                 || (CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END)
+          ),
+          ' ') AS punct
+      FROM t
+    ),
+    s AS (
+      SELECT
+        doc_id,
+        lang,
+        unnest(string_split(
+          regexp_replace(punct, '([.!?]) ', '\1|', 'g'), '|')) AS sent
+      FROM b
+    )
+    SELECT
+      lang,
+      CAST(count(DISTINCT doc_id) AS BIGINT)              AS n_docs,
+      CAST(count(*) AS BIGINT)                            AS n_sentences,
+      CAST(sum(len(string_split(sent, ' '))) AS BIGINT)   AS sum_tokens,
+      CAST(sum(len(string_split(sent, ' '))) * 1000 // count(*) AS BIGINT)
+                                                          AS avg_sent_tokens_milli,
+      CAST(sum(CASE WHEN sent LIKE '%!' THEN 1 ELSE 0 END) AS BIGINT) AS n_exclaim,
+      CAST(sum(CASE WHEN sent LIKE '%?' THEN 1 ELSE 0 END) AS BIGINT) AS n_question
+    FROM s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 sentence segmentation exercised END-TO-END (run_extra.py:61
+    nltk.sent_tokenize analog): the driver testdata carries no
+    punctuation (every doc is one sentence), so until now the
+    `sentences()` splitter was covered only by unit tests. This query
+    builds a punctuated corpus DERIVED from documents deterministically
+    in BOTH engines — the first 40 tokens are grouped into sentence
+    chunks of length m = 4 + doc_id % 5 and each chunk gets a terminal
+    mark cycling . ! ? by chunk index — then runs the REAL splitter
+    over the rebuilt text (Spark: the codegen lookbehind regex in
+    functions.text.sentences; DuckDB RE2 has no lookbehind, so the
+    oracle marks boundaries with regexp_replace '([.!?]) ' -> '\\1|'
+    and string-splits, which is equivalent on this corpus because
+    tokens contain no punctuation or '|'), explodes to per-sentence
+    rows, and aggregates per-language sentence stats in exact integer
+    arithmetic (functions.exact conventions). The construction is
+    per-row bounded (<= 40 tokens, <= 10 chunks), so the interpreted
+    higher-order transform costs O(1) per doc and the whole plan is
+    map-only until the single vocabulary-of-langs groupBy. Closes r7
+    verdict #8."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 40)
+    n = F.size(toks).cast("long")
+    m = (F.col("doc_id") % 5 + 4).cast("long")
+    n_chunks = int_div(n + m - 1, m)
+    marks = F.array(F.lit("."), F.lit("!"), F.lit("?"))
+    punct = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, (i * m + 1).cast("int"), m.cast("int")), " "),
+                F.element_at(marks, (i % 3).cast("int") + 1),
+            ),
+        ),
+        " ",
+    )
+    s = d.select(
+        "doc_id", "lang", F.explode(sentences(punct)).alias("sent")
+    ).select(
+        "doc_id",
+        "lang",
+        "sent",
+        F.size(F.split("sent", " ")).cast("long").alias("n_toks"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+            int_div(F.sum("n_toks") * 1000, F.count(F.lit(1))).alias(
+                "avg_sent_tokens_milli"
+            ),
+            F.sum(F.col("sent").endswith("!").cast("long"))
+            .cast("long")
+            .alias("n_exclaim"),
+            F.sum(F.col("sent").endswith("?").cast("long"))
+            .cast("long")
+            .alias("n_question"),
         )
         .orderBy("lang")
     )

@@ -409,3 +409,118 @@ def test_round7_banded_windows_are_bounded(spark):
                     .lstrip()
                 )
                 assert head.startswith(part_col), f"{name}: {ln}"
+
+
+# --- r7 verdict #7: registry-wide unpartitioned-window contract -----
+# An unpartitioned window sorts its whole input into ONE task — fine
+# only when that input is bounded by construction (a banded/bucketed
+# aggregate, a calendar-bounded day/month series, a vocabulary-sized
+# read-out, or a post-limit constant frame). Until now five such
+# windows were justified in docstrings but nothing machine-checked
+# the invariant, so a data-sized one could slip in silently. This
+# declares the bound class of every known unpartitioned window and
+# fails BOTH ways: a new unpartitioned window in any registered plan
+# fails until declared here, and a stale declaration (the window was
+# removed/partitioned) fails so the table can't rot.
+#
+# Bound classes (what the test verifies textually, beyond docstrings):
+#   banded    — order col named band/bucket/bin*: input is a K-band
+#               aggregate (K fixed at plan time, SF-invariant)
+#   calendar  — order col is a day/month/epoch-grain key: input rows
+#               are bounded by ELAPSED TIME, not data volume
+#   vocab     — order col is an aggregate over a bounded key domain
+#               (language vocabulary, partition list, degree values);
+#               plan must show the aggregate feeding the window
+#   postlimit — window runs after an explicit TakeOrdered/GlobalLimit
+#               constant-size frame; plan must show the limit node
+UNPART_WINDOW_BOUNDS = {
+    "agg_histogram_equidepth": "banded",
+    "agg_percentile_binned": "banded",
+    "corpus_score_ks_drift": "banded",
+    "corpus_shuffle_rank": "banded",
+    "curation_quality_auc": "banded",
+    "curation_quality_decile_budget": "banded",
+    "curation_threshold_sweep": "banded",
+    "doc_length_gini": "banded",
+    "events_watermark_lateness_curve": "banded",
+    "orders_abc_classification": "banded",
+    "orders_pareto_8020": "banded",
+    "events_changepoint_binseg": "calendar",
+    "events_cumulative_distinct_users": "calendar",
+    "events_peak_concurrency_daily": "calendar",
+    "events_user_survival_km": "calendar",
+    "orders_cusum_changepoint": "calendar",
+    "orders_open_backlog_daily": "calendar",
+    "orders_rolling_median_7d": "calendar",
+    "orders_runs_test": "calendar",
+    "orders_seasonal_index": "calendar",
+    "events_power_user_curve": "vocab",
+    "graph_degree_distribution": "vocab",
+    "maintenance_partition_skew_report": "vocab",
+    "text_unigram_surprisal": "vocab",
+    "text_vocab_coverage_curve": "vocab",
+    "text_zipf_rank_frequency": "vocab",
+    "hybrid_search_rrf": "postlimit",
+}
+
+_BANDED_COLS = ("band", "bucket", "bin")
+_CALENDAR_COLS = ("d", "day", "day_i", "ym", "first_day", "t")
+
+
+def _unpartitioned_specs(plan: str) -> list[str]:
+    """First spec argument of every windowspecdefinition whose spec
+    starts directly with an ORDERED column (physical text puts bare
+    partition cols first; order cols carry ASC/DESC markers)."""
+    out = []
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" not in ln:
+            continue
+        head = ln.split("windowspecdefinition(", 1)[1].split(
+            "specifiedwindowframe"
+        )[0]
+        first = head.split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            out.append(first)
+    return out
+
+
+def test_registry_unpartitioned_windows_are_declared_bounded(spark):
+    from alexandria_pipeline_spark import register_all
+
+    register_all()
+    skip = {
+        "sharded_sink_roundtrip",
+        "source_text_formats_roundtrip",
+        "knn_ivf_kmeans",
+    }  # side-effecting / ML-fit
+    undeclared, stale, misclassified = [], [], []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_") or name in skip:
+            continue
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        specs = _unpartitioned_specs(plan)
+        kind = UNPART_WINDOW_BOUNDS.get(name)
+        if specs and kind is None:
+            undeclared.append((name, specs[0]))
+            continue
+        if not specs:
+            if kind is not None:
+                stale.append(name)
+            continue
+        for first in specs:
+            col = first.split("#")[0].strip()
+            if kind == "banded" and not col.startswith(_BANDED_COLS):
+                misclassified.append((name, kind, first))
+            elif kind == "calendar" and col not in _CALENDAR_COLS:
+                misclassified.append((name, kind, first))
+            elif kind == "postlimit" and (
+                "TakeOrderedAndProject" not in plan
+                and "GlobalLimit" not in plan
+            ):
+                misclassified.append((name, kind, "no limit node in plan"))
+    assert not undeclared, (
+        "unpartitioned window in undeclared plans (declare its bound in "
+        f"UNPART_WINDOW_BOUNDS or partition it): {undeclared}"
+    )
+    assert not stale, f"stale UNPART_WINDOW_BOUNDS entries: {stale}"
+    assert not misclassified, f"bound class mismatch: {misclassified}"
