@@ -380,32 +380,42 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries two FIXED K-slot int signatures (8+4K bytes), per-edge
     cost is O(K), and K auto-halves above JACCARD_K_HALVE_PAIRS so
     the join payload stays bounded as the graph grows (SE
-    ~sqrt(j(1-j)/K): 6 -> 9 ppt worst case). The gate itself is a
-    MAP-ONLY raw-pair-volume aggregate over per-order set sizes — a
-    conservative upper bound on distinct edges that also prices the
-    array build the below-gate path would ingest. n_common is read
+    ~sqrt(j(1-j)/K): 6 -> 9 ppt worst case). The gate is a raw-pair-
+    volume aggregate over per-order set sizes, and since r8 its action
+    doubles as the materialization of the PERSISTED per-order set
+    frame both paths reuse — the scalar decision no longer costs its
+    own collect_set pass (the r7 gate's perf flag). n_common is read
     back from the estimate via j·(da+db)/(1+j) in truncating integer
     ppm. The exact path — and thus the sf0.01 oracle hash — is
     unchanged below the gate."""
-    sets = (
+    # The per-ORDER set frame is persisted and reused by BOTH the gate
+    # and whichever path the gate picks — the r7 form computed this
+    # collect_set aggregate TWICE (once to read sizes for the gate,
+    # once to feed adjacency/signatures), ~0.9 s of the 3.6 s sf0.1
+    # wall and a full duplicate pass at sf10 (the r7 gate's only perf
+    # flag; measured 3.6 -> 2.7 s warm with the reuse). Persisting
+    # per-order sets is scale-safe: their width is bounded by ORDER
+    # SIZE (SF-invariant, ~7 parts), unlike the per-NODE adjacency
+    # arrays whose build the gate exists to prevent at sf10.
+    sets = scoped_persist(
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
+        .agg(F.collect_set("l_partkey").alias("ps")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     pairs = (
         sets.select(F.explode("ps").alias("node"), "ps")
         .select("node", F.explode("ps").alias("nb"))
         .filter(F.col("node") != F.col("nb"))
     )
-    # Pre-gate on RAW pair volume — a MAP-ONLY aggregate over per-order
-    # set sizes (no explode, no shuffle), so the path decision costs a
-    # footer-cheap scan. raw_pairs bounds the distinct edge count from
-    # above AND (unlike the old distinct-edge gate) measures the work
-    # the array build itself would ingest: at sf10 the collect_set +
-    # 64-transform signature build over fat adjacency arrays killed the
-    # 16g local JVM (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY)
-    # before any timing — the sketch path must not materialize
-    # per-node arrays at all.
+    # Pre-gate on RAW pair volume. raw_pairs bounds the distinct edge
+    # count from above AND (unlike the old distinct-edge gate) measures
+    # the work the array build itself would ingest: at sf10 the
+    # collect_set + 64-transform signature build over fat adjacency
+    # arrays killed the 16g local JVM (SparkOutOfMemoryError
+    # UNABLE_TO_ACQUIRE_MEMORY) before any timing — the sketch path
+    # must not materialize per-node arrays at all. The gate action is
+    # also what materializes the persisted set frame above.
     raw_pairs = (
         sets.agg(F.sum(F.size("ps") * (F.size("ps") - 1))).first()[0] or 0
     ) // 2
