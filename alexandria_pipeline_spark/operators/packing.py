@@ -1135,3 +1135,73 @@ def pack_capacity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("cap", "capacity")
         .orderBy("capacity")
     )
+
+
+# Priority sampling: sample size and the two integer constants of the
+# deterministic uniform — a Weyl-style multiplicative hash of the
+# order key into [1, 2^31-1] (the prime modulus avoids the zero/
+# low-bit structure a power-of-two modulus leaks from sequential
+# keys), and the 2^31 scale that keeps priority = w/u in exact int64:
+# max w_cents ~ 5e7 times 2^31 ~ 1.1e17 < 2^63.
+PRIORITY_SAMPLE_K = 50
+PRIORITY_HASH_MULT = 2654435761  # Knuth's 2^32 / golden ratio
+PRIORITY_HASH_MOD = 2147483647  # 2^31 - 1 (prime)
+PRIORITY_SCALE = 2147483648  # 2^31
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+             ((o_orderkey % {PRIORITY_SCALE}) * {PRIORITY_HASH_MULT})
+               % {PRIORITY_HASH_MOD} + 1 AS u_int
+      FROM orders
+    )
+    SELECT o_orderkey,
+           w_cents,
+           CAST(w_cents * {PRIORITY_SCALE} // u_int AS BIGINT) AS priority
+    FROM w
+    ORDER BY priority DESC, o_orderkey
+    LIMIT {PRIORITY_SAMPLE_K}
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield/Lund/Thorup, JACM 2007): each row gets priority
+    q = w / u with u uniform on (0,1]; the k highest-priority rows
+    form a sample whose subset-sum estimates are unbiased with
+    near-optimal variance — the standard way to keep a budget-bounded
+    weighted subset of a 100 TB fact stream (top spenders by revenue
+    weight here). u comes from a deterministic multiplicative hash of
+    the key, so the sample is reproducible across runs, engines, and
+    re-shards — same property as the content-hash split — and the
+    whole computation stays in exact int64 (w in cents, u as an
+    integer in [1, 2^31-1], priority = w_cents * 2^31 // u): no float
+    division whose last-ulp could flip the cross-engine ranking.
+    Plan: map-only scoring (no shuffle) + TakeOrdered(k) with the key
+    as tiebreaker — at any scale the only global structure is the
+    k-row heap merge. A per-stratum variant is sample_stratified_hash
+    with the same window shape as window_rank_topn_per_group."""
+    o = load_table(spark, sf_dir, "orders")
+    w_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    u_int = (
+        (F.col("o_orderkey") % PRIORITY_SCALE) * PRIORITY_HASH_MULT
+    ) % PRIORITY_HASH_MOD + 1
+    return (
+        o.select(
+            "o_orderkey",
+            w_cents.alias("w_cents"),
+            u_int.alias("u_int"),
+        )
+        .select(
+            "o_orderkey",
+            "w_cents",
+            F.expr(f"CAST(w_cents * {PRIORITY_SCALE} div u_int AS BIGINT)").alias(
+                "priority"
+            ),
+        )
+        .orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(PRIORITY_SAMPLE_K)
+    )

@@ -190,6 +190,8 @@ HEADLINE = [
     "multimodal_audio_snr",
     "supplier_hhi_by_part_type",
     "lineitem_returns_rate_monthly",
+    "text_sentence_split_stats",
+    "sample_priority_weighted",
 ]
 
 

@@ -53,6 +53,10 @@ FULL_SLICE = [
     "multimodal_decode_mixed",  # mapInPandas binary decode on executors
     "knn_label_eval",  # per-bucket applyInPandas kernel (r8 path)
     "dedup_minhash_lsh",  # scoped-persist sketch + band self-join
+    "orders_holt_linear_trend",  # applyInPandas grouped recurrence seam
+    "graph_jaccard_neighbors",  # gate job + persisted reuse + broadcast adj
+    "dedup_connected_components",  # iterative localCheckpoint rotation
+    "text_sentence_split_stats",  # higher-order codegen (r8 M3 end-to-end)
 ]
 QUICK_SLICE = ["q1_pricing_summary", "embed_documents", "knn_label_eval"]
 STREAM_QUERY = "stream_dedup_watermark"  # rows-only: streaming machinery
