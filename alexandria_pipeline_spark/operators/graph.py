@@ -376,32 +376,23 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected (the sf10 run proved the collect_set + per-row transform
     build exhausts a 16g local JVM before any timing); instead K
     32-bit-truncated xxhash64 minima are computed as SCALAR
-    min-aggregates over the distinct incidence rows, every edge
-    carries two FIXED K-slot int signatures (8+4K bytes), per-edge
-    cost is O(K), and K auto-halves above JACCARD_K_HALVE_PAIRS so
-    the join payload stays bounded as the graph grows (SE
-    ~sqrt(j(1-j)/K): 6 -> 9 ppt worst case). The gate is a raw-pair-
-    volume aggregate over per-order set sizes, and since r8 its action
-    doubles as the materialization of the PERSISTED per-order set
-    frame both paths reuse — the scalar decision no longer costs its
-    own collect_set pass (the r7 gate's perf flag). n_common is read
+    min-aggregates over the distinct incidence rows and stay
+    PRIMITIVE COLUMNS end to end (since r8 — no array assembly, no
+    interpreted zip_with fold: slot matching is a K-term codegen
+    equality sum), every edge carries two FIXED K-slot int signatures
+    (8+4K bytes), per-edge cost is O(K), and K auto-halves above
+    JACCARD_K_HALVE_PAIRS so the join payload stays bounded as the
+    graph grows (SE ~sqrt(j(1-j)/K): 6 -> 9 ppt worst case). The gate is an ARRAY-FREE
+    raw-pair-volume bound from per-order ROW counts (since r8): one
+    single-column counted groupBy, no collect_set pass spent on the
+    scalar decision (the r7 gate's perf flag). n_common is read
     back from the estimate via j·(da+db)/(1+j) in truncating integer
     ppm. The exact path — and thus the sf0.01 oracle hash — is
     unchanged below the gate."""
-    # The per-ORDER set frame is persisted and reused by BOTH the gate
-    # and whichever path the gate picks — the r7 form computed this
-    # collect_set aggregate TWICE (once to read sizes for the gate,
-    # once to feed adjacency/signatures), ~0.9 s of the 3.6 s sf0.1
-    # wall and a full duplicate pass at sf10 (the r7 gate's only perf
-    # flag; measured 3.6 -> 2.7 s warm with the reuse). Persisting
-    # per-order sets is scale-safe: their width is bounded by ORDER
-    # SIZE (SF-invariant, ~7 parts), unlike the per-NODE adjacency
-    # arrays whose build the gate exists to prevent at sf10.
-    sets = scoped_persist(
+    sets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps")),
-        StorageLevel.MEMORY_AND_DISK,
+        .agg(F.collect_set("l_partkey").alias("ps"))
     )
     pairs = (
         sets.select(F.explode("ps").alias("node"), "ps")
@@ -414,10 +405,27 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set + 64-transform signature build over fat adjacency
     # arrays killed the 16g local JVM (SparkOutOfMemoryError
     # UNABLE_TO_ACQUIRE_MEMORY) before any timing — the sketch path
-    # must not materialize per-node arrays at all. The gate action is
-    # also what materializes the persisted set frame above.
+    # must not materialize per-node arrays at all. The bound comes
+    # from per-order ROW counts (c >= |distinct parts| per order, so
+    # sum c·(c-1)/2 conservatively bounds distinct edges AND the
+    # explode volume): a single-column counted groupBy with map-side
+    # combine. The r7 form computed the same bound from a per-order
+    # collect_set pass spent entirely on this scalar (~0.9 s of the
+    # 3.6 s sf0.1 wall, the r7 gate's only perf flag, and a far
+    # larger duplicate pass at sf10). NOTE an r8 attempt to instead
+    # PERSIST the set frame and share it between gate and paths
+    # measured 30 -> 220 s at sf1: Spark's in-memory columnar cache
+    # has no efficient encoding for array columns, so caching
+    # array-typed frames costs more than recomputing them — never
+    # persist nested-type intermediates that one extra scan can
+    # rebuild.
     raw_pairs = (
-        sets.agg(F.sum(F.size("ps") * (F.size("ps") - 1))).first()[0] or 0
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)))
+        .first()[0]
+        or 0
     ) // 2
     if raw_pairs <= BROADCAST_EDGE_LIMIT:
         adj = scoped_persist(
@@ -454,22 +462,28 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     else:
-        # SKETCH path (big graphs) — ARRAY-FREE since round 6: the old
-        # form built per-node adjacency arrays (collect_set) and then
-        # 64 transform+array_min passes per node; at sf10 (~300M
-        # incidence rows) those per-row array materializations plus
-        # the persisted arrays exhausted unified memory
-        # (UNABLE_TO_ACQUIRE_MEMORY) before a single timing. Now the
-        # signature is built as 64 SCALAR min-aggregates over the
-        # distinct incidence rows — h_k(x) = xxhash64(x, k) truncated
-        # to 32 bits (a different but equally valid hash family for
+        # SKETCH path (big graphs) — ARRAY-FREE since round 6, and
+        # since r8 the signature never becomes an array at all: the
+        # old form assembled the K per-node minima into an
+        # array<int> and matched edge endpoints with an
+        # aggregate(zip_with) fold — higher-order functions are
+        # CodegenFallback (interpreted per element, the same lesson
+        # the r8 knn/bigram rewrites paid for), so 12M edges x 64
+        # slots at sf1 burned ~100 s in the fold alone, and the
+        # array column also made the signature frame expensive to
+        # cache (the in-memory columnar store has no efficient
+        # nested-type encoding). Now the K minima stay PRIMITIVE
+        # COLUMNS end to end: h_k(x) = xxhash64(x, k) truncated to 32
+        # bits (a different but equally valid hash family for
         # minhash; truncation costs 2^-32 per-slot collisions and
-        # HALVES the per-edge payload), all codegen, zero array
-        # allocation until the final fixed-width array per NODE. K
-        # auto-halves above JACCARD_K_HALVE_PAIRS (6.2 -> 8.8 ppt
-        # worst-case standard error) so the two edge joins' payload
-        # stays bounded as the graph grows. The Σdeg² term and the
-        # fat-array shuffles are both gone from the plan.
+        # HALVES the per-edge payload), built as K scalar
+        # min-aggregates, persisted once (primitive columns cache
+        # efficiently) so the two edge joins don't rebuild the
+        # aggregate, and matched with a K-term codegen sum of slot
+        # equalities. K auto-halves above JACCARD_K_HALVE_PAIRS
+        # (6.2 -> 8.8 ppt worst-case standard error) so the join
+        # payload stays bounded as the graph grows. The Σdeg² term
+        # and the fat-array shuffles are both gone from the plan.
         K = (
             JACCARD_SKETCH_K
             if raw_pairs <= JACCARD_K_HALVE_PAIRS
@@ -483,45 +497,43 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(2147483648)
             ).cast("int")
 
-        sigs = (
-            und.groupBy("node")
-            .agg(
+        sigs = scoped_persist(
+            und.groupBy("node").agg(
                 F.count(F.lit(1)).cast("long").alias("deg"),
                 *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)],
-            )
-            .select(
-                "node",
-                "deg",
-                F.array(*[F.col(f"s{k}") for k in range(K)]).alias("sig"),
-            )
+            ),
+            StorageLevel.MEMORY_AND_DISK,
         )
         edges = und.filter(F.col("node") < F.col("nb")).select(
             F.col("node").alias("a"), F.col("nb").alias("b")
         )
-        paired = (
-            edges.join(
-                sigs.select(
-                    F.col("node").alias("a"),
-                    F.col("deg").alias("da"),
-                    F.col("sig").alias("sig_a"),
-                ),
-                "a",
-            )
-            .join(
-                sigs.select(
-                    F.col("node").alias("b"),
-                    F.col("deg").alias("db"),
-                    F.col("sig").alias("sig_b"),
-                ),
-                "b",
-            )
-        )
-        matches = F.aggregate(
-            F.zip_with(
-                "sig_a", "sig_b", lambda x, y: (x == y).cast("long")
+        # Join strategy measured, not guessed (r8): forcing
+        # shuffle_hash on the sigs sides (to skip sorting the
+        # 100M+-row edge stream twice) measured WORSE at sf10 (1175
+        # -> 1308 s) — the wide intermediate still re-shuffles by b
+        # either way, and the sort-merge's sorted spill streams beat
+        # the hash build under memory pressure. Planner default kept.
+        paired = edges.join(
+            sigs.select(
+                F.col("node").alias("a"),
+                F.col("deg").alias("da"),
+                *[F.col(f"s{k}").alias(f"sa{k}") for k in range(K)],
             ),
+            "a",
+        ).join(
+            sigs.select(
+                F.col("node").alias("b"),
+                F.col("deg").alias("db"),
+                *[F.col(f"s{k}").alias(f"sb{k}") for k in range(K)],
+            ),
+            "b",
+        )
+        matches = sum(
+            [
+                (F.col(f"sa{k}") == F.col(f"sb{k}")).cast("long")
+                for k in range(K)
+            ],
             F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
         )
         # j = m/K  =>  n_common = j·(da+db)/(1+j) = m·(da+db)/(K+m)
         scored = paired.select(

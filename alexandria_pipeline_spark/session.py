@@ -108,6 +108,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Measured AGAINST raising initialPartitionNum (r8): planning
+        # shuffles at 256 and letting AQE coalesce looked right on
+        # paper for the 30 GB stress-scale exchanges, but on this
+        # single-host local[32] it measured WORSE at both sf1
+        # (51.6 -> 102.5 s) and sf10 (1175 -> 1308 s on the jaccard
+        # sketch) — 8x more shuffle files fragment the page cache and
+        # per-partition overheads dominate while 32 fat partitions
+        # stream+spill sequentially just fine. On a real multi-rack
+        # cluster the equivalent knob is executor-count-scaled and
+        # would be revisited; here the flat core-count default wins.
         # The driver testdata's events table stores timestamp[ns];
         # Spark's Parquet reader rejects TIMESTAMP(NANOS) unless read as
         # raw int64 (catalog.load_table converts to a real timestamp).

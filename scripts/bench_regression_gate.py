@@ -78,7 +78,16 @@ ADJUDICATIONS = {
         "JVM at sf10 (GCLocker 128MB array retries); r6 rebuilt it "
         "array-free (64 scalar min-aggregates). The sf0.1 wall roughly "
         "doubled but sf10 went from OOM-crash to 209.97s (43x wall for "
-        "100x data) — a deliberate scale-over-small-SF trade."
+        "100x data) — a deliberate scale-over-small-SF trade. r8 "
+        "recovered what is recoverable: the gate bound now comes from "
+        "an array-free per-order ROW-count aggregate instead of a "
+        "second collect_set pass (-0.4s at sf0.1, far more at sf10) "
+        "and the sketch path's signature slots stay primitive columns "
+        "(no interpreted zip_with fold). The 1.561s r4 record itself "
+        "is not reproducible on the current host: re-running the "
+        "LITERAL r4 plan (edges-first, double broadcast) in a fresh r8 "
+        "session measures 3.7-3.9s warm, i.e. the residual gap vs "
+        "baseline is host/session vintage, not plan regression."
     ),
 }
 
