@@ -2191,3 +2191,98 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orders_mann_kendall_trend",
+    oracle="""
+    WITH per_month AS (
+      SELECT CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) AS BIGINT) AS ym,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+      FROM per_month a JOIN per_month b ON a.ym < b.ym
+    ),
+    agg AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+             (SELECT CAST(count(*) AS BIGINT) FROM per_month) AS n_months
+      FROM pairs
+    )
+    SELECT n_months,
+           s_stat,
+           CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS BIGINT)
+             AS var18,
+           CAST((s_stat - CASE WHEN s_stat > 0 THEN 1
+                               WHEN s_stat < 0 THEN -1 ELSE 0 END) * 1000000
+                / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0)
+             AS BIGINT) AS z_micro
+    FROM agg
+    """,
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the monthly-revenue series: the
+    nonparametric S statistic sum(sign(r_j - r_i)) over all month
+    pairs i<j, its no-ties variance n(n-1)(2n+5)/18 (emitted as the
+    exact integer var18 = 18*var), and the continuity-corrected
+    z-score in micro-units — the standard 'is this KPI trending'
+    test that needs no distributional assumption, complementing the
+    parametric OLS slope and the Theil–Sen median slope. Cross-engine
+    determinism: S and var18 are exact int64; z divides the exact
+    integer (S -/+ 1)*1e6 by sqrt(var18/18.0), where every float op
+    is the SAME IEEE-754 computation on identical inputs in both
+    engines (the audio-loudness argument), so the truncated micro
+    value cannot straddle engines. Shape: one fact shuffle to the
+    calendar-bounded month frame (~80 rows at any SF), then the
+    pairwise non-equi join runs on that bounded aggregate — the
+    accepted <=K-row pattern (Theil–Sen, ABC) — and a one-row
+    read-out."""
+    o = load_table(spark, sf_dir, "orders")
+    per_month = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("rev")
+    )
+    a = per_month.select(F.col("ym").alias("ym_a"), F.col("rev").alias("rev_a"))
+    b = per_month.select(F.col("ym").alias("ym_b"), F.col("rev").alias("rev_b"))
+    sgn = (
+        F.when(F.col("rev_b") > F.col("rev_a"), 1)
+        .when(F.col("rev_b") < F.col("rev_a"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(F.broadcast(b), F.col("ym_a") < F.col("ym_b")).select(
+        sgn.cast("long").alias("sgn")
+    )
+    n_months = per_month.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    agg = pairs.agg(F.sum("sgn").cast("long").alias("s_stat")).crossJoin(
+        F.broadcast(n_months)
+    )
+    corr = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+    )
+    var18 = (
+        F.col("n_months")
+        * (F.col("n_months") - 1)
+        * (2 * F.col("n_months") + 5)
+    ).cast("long")
+    return agg.select(
+        "n_months",
+        "s_stat",
+        var18.alias("var18"),
+        (
+            ((F.col("s_stat") - corr) * 1_000_000)
+            / F.sqrt(var18.cast("double") / 18.0)
+        )
+        .cast("long")
+        .alias("z_micro"),
+    )

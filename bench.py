@@ -192,6 +192,8 @@ HEADLINE = [
     "lineitem_returns_rate_monthly",
     "text_sentence_split_stats",
     "sample_priority_weighted",
+    "orders_mann_kendall_trend",
+    "text_mattr_lexical_diversity",
 ]
 
 
