@@ -65,8 +65,27 @@ STREAM_QUERY = "stream_dedup_watermark"  # rows-only: streaming machinery
 def main() -> int:
     quick = "--quick" in sys.argv
     sf_dir = "/root/testdata/sf0.001" if quick else "/root/testdata/sf0.01"
-    names = QUICK_SLICE if quick else FULL_SLICE
     register_all()
+    if "--sample" in sys.argv:
+        # Every-kth sample of the WHOLE registered oracle surface (names
+        # sorted, so the stride cuts across operator families), merged
+        # with the hand-picked execution-family slice. Streaming and
+        # side-effecting queries are excluded (streaming is covered by
+        # the dedicated STREAM_QUERY; sinks write paths).
+        k = int(sys.argv[sys.argv.index("--sample") + 1])
+        skip = {
+            "sharded_sink_roundtrip",
+            "source_text_formats_roundtrip",
+            "knn_ivf_kmeans",
+        }
+        pool = sorted(
+            n
+            for n in QUERIES
+            if not n.startswith("stream_") and n not in skip
+        )
+        names = sorted(set(pool[::k]) | set(FULL_SLICE))
+    else:
+        names = QUICK_SLICE if quick else FULL_SLICE
     spark = get_spark("cluster-proof")
     sc = spark.sparkContext
     results: dict[str, str] = {}

@@ -250,6 +250,11 @@ def test_jaccard_neighbors_sketches_above_gate(spark, monkeypatch):
     df = QUERIES["graph_jaccard_neighbors"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "array_intersect" not in plan, "sketch path still intersects arrays"
+    # r8 lock: signature slots stay primitive columns — an array
+    # rebuild or an interpreted higher-order match fold (zip_with /
+    # aggregate lambdas are CodegenFallback) must never reappear.
+    assert "zip_with" not in plan, "interpreted match fold is back"
+    assert "aggregate(" not in plan, "interpreted match fold is back"
     rows = df.collect()
     assert [f.name for f in df.schema.fields] == [
         "a",
