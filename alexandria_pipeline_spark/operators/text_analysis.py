@@ -2096,3 +2096,159 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Boilerplate span detection: 10-token windows, polynomial-hash span
+# codes in [0, FP_MOD) — a ~1e9 universe, so code collisions (two
+# different spans sharing a bucket) are ~0.02% at sf0.1 span volume
+# and the report is explicitly hash-bucketed (min() picks the
+# deterministic representative text per bucket in BOTH engines).
+SPAN_N = 10
+SPAN_TOP = 20
+
+
+def _duck_span_code() -> str:
+    from alexandria_pipeline_spark.functions.text import duck_word_code
+
+    code = duck_word_code("toks[i]")
+    for j in range(1, SPAN_N):
+        code = (
+            f"(({code}) * {SHINGLE_MULT} + "
+            f"{duck_word_code(f'toks[i+{j}]')}) % {FP_MOD}"
+        )
+    return code
+
+
+from alexandria_pipeline_spark.functions.text import (  # noqa: E402
+    FP_MOD,
+    SHINGLE_MULT,
+)
+
+
+@query(
+    "text_boilerplate_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_N}
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {SPAN_N - 1}),
+               i -> {{'code': {{CODE}}, 'i': i}}
+             )) AS z
+      FROM t
+    ),
+    c AS (
+      SELECT z.code AS code,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             min(doc_id * 1000000 + z.i) AS rep
+      FROM s GROUP BY 1
+    ),
+    top AS (
+      SELECT * FROM c ORDER BY n_occurrences DESC, code LIMIT {SPAN_TOP}
+    )
+    SELECT array_to_string(
+             t.toks[(top.rep % 1000000):(top.rep % 1000000 + {SPAN_N - 1})],
+             ' ') AS span_text,
+           top.n_occurrences, top.n_docs, top.code
+    FROM top JOIN t ON t.doc_id = top.rep // 1000000
+    ORDER BY n_occurrences DESC, code
+    """.replace("{CODE}", _duck_span_code()),
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the {SPAN_TOP} most-repeated 10-token
+    spans across the corpus with occurrence and distinct-document
+    counts — the standard curation report for templated headers,
+    license blocks, and navigation chrome that repetition filters and
+    span-level dedup act on (C4's repeated-line rule generalized to
+    sliding windows).
+
+    ONE corpus pass, strings never shuffled and never re-scanned:
+    pass 1 posexplodes arrays_zip of the {SPAN_N} shifted word-CODE
+    slices (all codegen — the bigram lesson: no per-span higher-order
+    concat), folds a polynomial span code per row, and aggregates
+    count/distinct-docs in two stages (count + countDistinct in one
+    agg makes Catalyst EXPAND every input row twice — measured 69 s
+    at sf1) while ALSO carrying an arg-min representative
+    (doc_id * 1e6 + position) per code. The span TEXT is then
+    reconstructed from just the {SPAN_TOP} winner documents — an
+    earlier draft re-scanned and re-hashed the whole corpus to
+    recover the strings, which doubled the wall for a constant-size
+    read-out. At 100 TB the only corpus-scale shuffle is
+    token-count x 24 B with map-side combine — the n-gram-novelty
+    class — and pass 2 touches {SPAN_TOP} rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    m = n - (SPAN_N - 1)
+    from alexandria_pipeline_spark.functions.text import word_code
+
+    wcodes = F.transform(toks, word_code)
+    zipped = F.arrays_zip(
+        *[F.slice(wcodes, j + 1, m).alias(f"c{j}") for j in range(SPAN_N)]
+    )
+    rows = d.filter(n >= SPAN_N).select(
+        "doc_id", F.posexplode(zipped).alias("idx", "z")
+    )
+    code = F.col("z.c0")
+    for j in range(1, SPAN_N):
+        code = (code * SHINGLE_MULT + F.col(f"z.c{j}")) % FP_MOD
+    # rep key = doc_id * 1e6 + 1-based span position: one long whose
+    # min IS the lexicographic (doc_id, pos) arg-min in both engines.
+    top = (
+        rows.select(
+            "doc_id",
+            code.alias("code"),
+            (F.col("doc_id") * 1_000_000 + F.col("idx") + 1).alias("rep"),
+        )
+        .groupBy("code", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("rep").alias("rep"),
+        )
+        .groupBy("code")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("rep").alias("rep"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("code"))
+        .limit(SPAN_TOP)
+    )
+    winners = top.collect()
+    if not winners:
+        return top.select(
+            F.lit("").alias("span_text"), "n_occurrences", "n_docs", "code"
+        )
+    rep_rows = spark.createDataFrame(
+        [
+            (r["code"], r["n_occurrences"], r["n_docs"], r["rep"])
+            for r in winners
+        ],
+        "code long, n_occurrences long, n_docs long, rep long",
+    )
+    doc_ids = [r["rep"] // 1_000_000 for r in winners]
+    return (
+        d.filter(F.col("doc_id").isin(doc_ids))
+        .join(
+            F.broadcast(rep_rows),
+            F.col("doc_id") == F.expr("rep div 1000000"),
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    (F.col("rep") % 1_000_000).cast("int"),
+                    SPAN_N,
+                ),
+                " ",
+            ).alias("span_text"),
+            "n_occurrences",
+            "n_docs",
+            "code",
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("code"))
+    )

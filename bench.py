@@ -194,6 +194,7 @@ HEADLINE = [
     "sample_priority_weighted",
     "orders_mann_kendall_trend",
     "text_mattr_lexical_diversity",
+    "text_boilerplate_spans",
 ]
 
 
