@@ -1161,7 +1161,7 @@ PRIORITY_SCALE = 2147483648  # 2^31
     )
     SELECT o_orderkey,
            w_cents,
-           CAST(w_cents * {PRIORITY_SCALE} // u_int AS BIGINT) AS priority
+           CAST(w_cents AS HUGEINT) * {PRIORITY_SCALE} // u_int AS priority
     FROM w
     ORDER BY priority DESC, o_orderkey
     LIMIT {PRIORITY_SAMPLE_K}
@@ -1178,8 +1178,10 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key, so the sample is reproducible across runs, engines, and
     re-shards — same property as the content-hash split — and the
     whole computation stays in exact int64 (w in cents, u as an
-    integer in [1, 2^31-1], priority = w_cents * 2^31 // u): no float
-    division whose last-ulp could flip the cross-engine ranking.
+    integer in [1, 2^31-1], priority = w_cents * 2^31 // u in
+    decimal(38,0)/HUGEINT so extreme price magnitudes cannot overflow
+    the product): no float division whose last-ulp could flip the
+    cross-engine ranking.
     Plan: map-only scoring (no shuffle) + TakeOrdered(k) with the key
     as tiebreaker — at any scale the only global structure is the
     k-row heap merge. A per-stratum variant is sample_stratified_hash
@@ -1198,9 +1200,10 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "w_cents",
-            F.expr(f"CAST(w_cents * {PRIORITY_SCALE} div u_int AS BIGINT)").alias(
-                "priority"
-            ),
+            F.expr(
+                f"CAST(CAST(w_cents AS DECIMAL(38,0)) * {PRIORITY_SCALE}"
+                " div u_int AS DECIMAL(38,0))"
+            ).alias("priority"),
         )
         .orderBy(F.desc("priority"), F.asc("o_orderkey"))
         .limit(PRIORITY_SAMPLE_K)
