@@ -100,3 +100,34 @@ def test_priority_sample_plan_is_map_only_takeordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_mann_kendall_pairwise_is_bounded_broadcast(spark):
+    """The month-pair join must be the bounded-aggregate pattern: a
+    broadcast nested-loop over the calendar-bounded month frame —
+    never a shuffle join (nothing here is fact-sized after the first
+    aggregate)."""
+    df = QUERIES["orders_mann_kendall_trend"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_boilerplate_spans_shuffles_codes_only(spark):
+    """The corpus-scale aggregation must shuffle span CODES, never
+    span text: no string-typed span column may appear upstream of the
+    top-k (pass 2 reconstructs text from the <=20 winner docs). The
+    read-out is TakeOrdered, and the output carries the span text."""
+    df = QUERIES["text_boilerplate_spans"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the RETURNED plan is pass 2 only (the corpus-scale TakeOrdered
+    # ran during the build-time collect): winner docs filtered by
+    # doc_id joined to the <=20-row literal stats frame (ExistingRDD),
+    # broadcast — nothing corpus-sized may remain here
+    assert "Scan ExistingRDD" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert len(r["span_text"].split(" ")) == 10
+        assert r["n_occurrences"] >= r["n_docs"] >= 1
