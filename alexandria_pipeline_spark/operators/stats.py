@@ -2216,9 +2216,9 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
            s_stat,
            CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS BIGINT)
              AS var18,
-           CAST((s_stat - CASE WHEN s_stat > 0 THEN 1
+           CAST(trunc((s_stat - CASE WHEN s_stat > 0 THEN 1
                                WHEN s_stat < 0 THEN -1 ELSE 0 END) * 1000000
-                / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0)
+                / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0))
              AS BIGINT) AS z_micro
     FROM agg
     """,
@@ -2234,8 +2234,10 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism: S and var18 are exact int64; z divides the exact
     integer (S -/+ 1)*1e6 by sqrt(var18/18.0), where every float op
     is the SAME IEEE-754 computation on identical inputs in both
-    engines (the audio-loudness argument), so the truncated micro
-    value cannot straddle engines. Shape: one fact shuffle to the
+    engines (the audio-loudness argument), and the final conversion
+    is an explicit trunc() in the oracle because DuckDB's float->int
+    CAST rounds-to-nearest while Spark's truncates (caught by the
+    sf0.001 suite one micro-ulp apart). Shape: one fact shuffle to the
     calendar-bounded month frame (~80 rows at any SF), then the
     pairwise non-equi join runs on that bounded aggregate — the
     accepted <=K-row pattern (Theil–Sen, ABC) — and a one-row
