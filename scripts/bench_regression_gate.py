@@ -49,6 +49,31 @@ NOISE_FLOOR_SEC = 0.75
 
 # Standing adjudications for flags whose story is already settled —
 # merged under any --annotations overrides.
+# r8 measurement-honesty note shared by the four queries whose
+# pre-r8 baselines were cache-warmed artifacts: bench.py now calls
+# release_persisted() after every timed query (the r7-verdict-#4
+# persist-lifecycle contract), so pass 2 of min-of-2 recomputes the
+# sketch/shingle intermediates instead of silently reading pass 1's
+# retained caches. The r3-r5 baselines (and the r7 walls) for
+# persist-heavy queries measured a warm-cache second run; the r8
+# numbers are the honest per-invocation cost of the SAME plans. The
+# same class as the dedup_lsh_recall_eval r5 adjudication.
+_R8_RELEASE_NOTE = (
+    "Measurement-environment change, not a plan change (git: these "
+    "queries' plans are untouched this round). Pre-r8 bench sessions "
+    "accumulated every query's retained persisted frames for the "
+    "whole 150-query run — Spark substitutes cached subtrees into any "
+    "later plan with a matching canonical subplan, so shingle-family "
+    "walls were timed inside a session holding dozens of warm "
+    "sketch/scan caches. r8's persist-lifecycle contract (r7 verdict "
+    "#4) releases after every timed query, so these are the first "
+    "cold-per-invocation measurements. Verified by same-session A/B: "
+    "decontam_ngram_overlap measures 3.7s with releases applied, but "
+    "0.64-1.01s when the dedup family's persisted frames are left "
+    "accumulated first, reproducing r7's 0.435s record. Cohort "
+    "session drift this round is additionally 1.21x."
+)
+
 ADJUDICATIONS = {
     "dedup_lsh_recall_eval": (
         "r5's 0.765s was a cache-leak-warmed artifact: the pre-r6 code "
@@ -73,6 +98,10 @@ ADJUDICATIONS = {
         "1.761, r5 0.827, r6 1.030, r7 1.092) with the plan unchanged "
         "since r1 (Arrow pandas-UDF featurizer over documents)."
     ),
+    "corpus_dedup_rate_by_source": (_R8_RELEASE_NOTE),
+    "decontam_ngram_overlap": (_R8_RELEASE_NOTE),
+    "dedup_incremental_minhash": (_R8_RELEASE_NOTE),
+    "split_leakage_audit": (_R8_RELEASE_NOTE),
     "graph_jaccard_neighbors": (
         "r4-r5 used a collect_set adjacency sketch that KILLED the 16g "
         "JVM at sf10 (GCLocker 128MB array retries); r6 rebuilt it "
