@@ -2252,3 +2252,129 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), F.asc("code"))
     )
+
+
+# RAKE keyphrase extraction: max phrase width kept (longer stopword-free
+# runs are discarded, bounding every later phrase payload).
+RAKE_MAX_PLEN = 3
+RAKE_TOP = 20
+
+
+@query(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w,
+             generate_subscripts(string_split(text,' '), 1) AS i
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, i,
+             CASE WHEN w IN {tuple(STOPWORDS)} THEN 1 ELSE 0 END AS is_stop,
+             sum(CASE WHEN w IN {tuple(STOPWORDS)} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM tok
+    ),
+    ph AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM g WHERE is_stop = 0
+      GROUP BY doc_id, grp
+      HAVING count(*) <= {RAKE_MAX_PLEN}
+    ),
+    occ AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM ph GROUP BY 1
+    ),
+    wpo AS (
+      SELECT plen, unnest(string_split(phrase,' ')) AS w FROM ph
+    ),
+    ws AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM wpo GROUP BY w
+    ),
+    wpp AS (
+      SELECT phrase, unnest(string_split(phrase,' ')) AS w FROM occ
+    ),
+    scored AS (
+      SELECT wpp.phrase,
+             CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT)
+               AS phrase_score_micro
+      FROM wpp JOIN ws USING (w) GROUP BY 1
+    )
+    SELECT occ.phrase, occ.n_occurrences, scored.phrase_score_micro
+    FROM occ JOIN scored USING (phrase)
+    ORDER BY phrase_score_micro DESC, phrase
+    LIMIT {RAKE_TOP}
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised topic-tagging pass a curation pipeline runs to label
+    documents: candidate phrases are maximal stopword-free token runs
+    (kept at <= {RAKE_MAX_PLEN} words), each word scores
+    deg(w)/freq(w) over all phrase occurrences (deg = summed length
+    of phrases containing w — co-occurrence degree; freq = raw
+    count), and a phrase scores the sum of its words' ratios. All
+    scoring in exact truncating micro-units (functions.exact), so the
+    cross-engine top-{RAKE_TOP} cannot flip on a float ulp.
+    Shape at 100 TB: token posexplode, ONE per-document keyed window
+    (never unpartitioned) for the stopword-run ids, a (doc, run)
+    keyed phrase assembly, then everything downstream runs on
+    phrase/vocabulary-bounded aggregates — the word-stats frame is
+    language-vocabulary-sized and broadcast (the BM25 term-broadcast
+    precedent), and the read-out is TakeOrdered({RAKE_TOP})."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    is_stop = F.col("w").isin(STOPWORDS).cast("int")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    g = tok.select(
+        "doc_id",
+        "w",
+        "i",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop).over(wdoc).alias("grp"),
+    )
+    ph = (
+        g.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PLEN)
+    )
+    occ = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    wpo = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    ws = wpo.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wpp = occ.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (
+        wpp.join(F.broadcast(ws), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("CAST(deg * 1000000 div freq AS BIGINT)"))
+            .cast("long")
+            .alias("phrase_score_micro")
+        )
+    )
+    return (
+        occ.join(scored, "phrase")
+        .select("phrase", "n_occurrences", "phrase_score_micro")
+        .orderBy(F.desc("phrase_score_micro"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )

@@ -195,6 +195,7 @@ HEADLINE = [
     "orders_mann_kendall_trend",
     "text_mattr_lexical_diversity",
     "text_boilerplate_spans",
+    "text_keyphrase_rake",
 ]
 
 
