@@ -21,9 +21,9 @@ from alexandria_pipeline_spark.functions.text import (
     SHINGLE_MULT,
     duck_shingle_codes,
     duck_word_code,
-    shingle_codes,
     word_code,
 )
+from alexandria_pipeline_spark.sketch import shingle_sketch
 from alexandria_pipeline_spark.registry import query
 
 # Deterministic benchmark membership: ~1% of docs stand in for a held
@@ -97,12 +97,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by doc_id no matter how many petabytes the corpus
     is. Contamination ratio is truncating-integer e6 arithmetic, so
     the flag threshold is an exact integer comparison in both engines."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes"))
-    )
+    sh = shingle_sketch(spark, sf_dir).select("doc_id", "codes")
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select(F.explode("codes").alias("code"))

@@ -35,8 +35,8 @@ from alexandria_pipeline_spark.functions.text import (
     MIX_MOD,
     duck_rolling_fingerprint,
     duck_shingle_codes,
-    shingle_codes,
 )
+from alexandria_pipeline_spark.sketch import shingle_sketch
 from alexandria_pipeline_spark.registry import (
     ORACLES,
     QUERIES,
@@ -261,18 +261,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     12.5M possible pairs at sf0.1), not corpus size. Unigram-token
     sketches are deliberately NOT used: on a low-entropy vocabulary
     they mark everything similar (measured 10.4M candidates)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # Persist the sketch: this plan references `docs` from three
-    # branches (signature computation + both verification sides) and
-    # Spark re-evaluates the shingling per branch — measured 3x ~50s at
-    # 500k docs, dominating the query. Caching mirrors the production
-    # layout, where the (doc_id, codes) sketch table is WRITTEN once
-    # and every dedup pass reads it; ~1KB/doc, MEMORY_AND_DISK spills
-    # safely.
+    # Sketch source: the written-once (doc_id, codes) relation
+    # (sketch.shingle_sketch) — a lazy parquet scan when the build job
+    # has materialized it fresh, the inline shingle_codes expression
+    # otherwise (value-identical by construction). The persist stays
+    # because this plan references `docs` from three branches
+    # (signature computation + both verification sides) and Spark
+    # re-evaluates the subtree per branch — measured 3x ~50s at 500k
+    # docs on the inline path; ~1KB/doc, MEMORY_AND_DISK spills safely.
     docs = scoped_persist(
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes")),
+        shingle_sketch(spark, sf_dir).select("doc_id", "codes"),
         StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
@@ -382,11 +380,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, int32) — 2 shuffles of minimal width. The signature is wide
     enough (32 bits) that band buckets stay small; 16-bit signatures
     measured 2.9M candidate pairs at sf0.1 vs 253k here."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    docs = d.filter(F.size(toks) >= 3).select(
-        "doc_id", shingle_codes(toks).alias("codes")
-    )
+    docs = shingle_sketch(spark, sf_dir).select("doc_id", "codes")
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
     mixed = _mixed(F.col("code"))
     votes = exploded.groupBy("doc_id").agg(
@@ -604,13 +598,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_JACCARD_DF_CAP=0 for exact uncapped Jaccard. Length
     blocking (|Δtokens| <= 8) rides along in the join residual so no
     new pair survives that the verifier formulation wouldn't."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_toks"),
-        shingle_codes(toks).alias("codes"),
+    sh = shingle_sketch(spark, sf_dir).select(
+        "doc_id", "lang", "n_toks", "codes"
     )
     # Persist the capped index: the self-join references it from both
     # sides and Spark re-evaluates the explode + df-cap windows per
@@ -1150,13 +1139,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out. Σdf² scale hazard and remedy are identical to the jaccard
     query (this one runs UNCAPPED so the oracle is plain set
     arithmetic; production corpora flip the same df-cap valve)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        "lang",
-        shingle_codes(toks).alias("codes"),
-    )
+    sh = shingle_sketch(spark, sf_dir).select("doc_id", "lang", "codes")
     # The exploded index feeds BOTH sides of the self-join below; without
     # persist, the explode + shingle_codes subtree (the costliest part of
     # the plan) is evaluated twice — same rationale as dedup_ngram_jaccard.
@@ -1254,11 +1237,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     query is the estimator whose error the sketch literature bounds at
     O(1/sqrt(k)). Oracle computes the identical estimate, so the
     sketch arithmetic itself is value-checked cross-engine."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 3).select(
-        "doc_id", shingle_codes(toks).alias("codes")
-    )
+    sh = shingle_sketch(spark, sf_dir).select("doc_id", "codes")
     exploded = sh.select("doc_id", F.explode("codes").alias("code"))
     sigs = scoped_persist(
         exploded.groupBy("doc_id").agg(*_sig_cols()),
@@ -1422,11 +1401,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     history id tiebreak) as a struct-max aggregate, no window.
     Complements dedup_incremental_antijoin (exact-key) with the fuzzy
     tier of the same daily pipeline."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     docs = scoped_persist(
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes")),
+        shingle_sketch(spark, sf_dir).select("doc_id", "codes"),
         StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))
@@ -1672,10 +1648,10 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     m = max(1, n_docs // RECALL_SAMPLE_TARGET)
-    toks = F.split("text", " ")
     docs = scoped_persist(
-        d.filter((F.col("doc_id") % m == 0) & (F.size(toks) >= 3))
-        .select("doc_id", shingle_codes(toks).alias("codes"))
+        shingle_sketch(spark, sf_dir)
+        .filter(F.col("doc_id") % m == 0)
+        .select("doc_id", "codes")
         .withColumn("nc", F.size("codes")),
         StorageLevel.MEMORY_AND_DISK,
     )
@@ -1870,11 +1846,8 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     four thresholds — the counts are conditional aggregates over the
     same scored frame, so the whole table costs one dedup run, not
     four. Same banded machinery as dedup_minhash_lsh."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     docs = scoped_persist(
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", shingle_codes(toks).alias("codes")),
+        shingle_sketch(spark, sf_dir).select("doc_id", "codes"),
         StorageLevel.MEMORY_AND_DISK,
     )
     exploded = docs.select("doc_id", F.explode("codes").alias("code"))

@@ -419,6 +419,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-typed frames costs more than recomputing them — never
     # persist nested-type intermediates that one extra scan can
     # rebuild.
+    # THRESHOLD SEMANTICS (ADVICE r8): raw_pairs >= the old
+    # distinct-edge count (duplicate (orderkey, partkey) rows inflate
+    # c), so graphs near BROADCAST_EDGE_LIMIT that the r7 gate ran
+    # exact may now take the sketch path — a deliberate trade: the
+    # raw bound measures the explode/ingest work that actually OOMs,
+    # and the sketch path is the safe side of the gate. "Exact path
+    # unchanged below the gate" refers to the exact plan itself; the
+    # gate's operand moved from distinct to raw volume in r8.
     raw_pairs = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")

@@ -19,9 +19,9 @@ from alexandria_pipeline_spark.functions.text import (
     duck_word_code,
     rolling_fingerprint,
     sentences,
-    shingle_codes,
     word_code,
 )
+from alexandria_pipeline_spark.sketch import shingle_sketch
 from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
 
 STOPWORDS = ["the", "a", "of", "and", "is"]
@@ -535,11 +535,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     no skew hazard: the join is index-sized on both sides. Novelty is
     integer-division exact (functions.exact convention) so both
     engines emit identical decimals."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.filter(F.size(toks) >= 3).select(
-        "doc_id", "lang", shingle_codes(toks).alias("codes")
-    )
+    sh = shingle_sketch(spark, sf_dir).select("doc_id", "lang", "codes")
     # JOIN-FREE attribution: reduce occurrences to (doc, code) counts
     # once, take first-seen as min(struct(doc_id, occ)) — which carries
     # the occurrence count of the code IN its first document along for
@@ -2105,6 +2101,14 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic representative text per bucket in BOTH engines).
 SPAN_N = 10
 SPAN_TOP = 20
+# Representative-span packing: rep = doc_id * SPAN_REP_MULT + pos, one
+# int64 whose min IS the lexicographic (doc_id, pos) arg-min in both
+# engines. 2^32 bounds the encoding explicitly (ADVICE r8): positions
+# are exact for docs up to 2^32 tokens (no real document) and doc_ids
+# up to 2^31 (2.1e9 docs); beyond that a production corpus keys docs
+# by a 64-bit hash and switches rep to min(struct(doc_id, pos)) on the
+# Spark side — the packed form exists only for oracle parity.
+SPAN_REP_MULT = 2**32
 
 
 def _duck_span_code() -> str:
@@ -2144,17 +2148,17 @@ from alexandria_pipeline_spark.functions.text import (  # noqa: E402
       SELECT z.code AS code,
              CAST(count(*) AS BIGINT) AS n_occurrences,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             min(doc_id * 1000000 + z.i) AS rep
+             min(doc_id * {SPAN_REP_MULT} + z.i) AS rep
       FROM s GROUP BY 1
     ),
     top AS (
       SELECT * FROM c ORDER BY n_occurrences DESC, code LIMIT {SPAN_TOP}
     )
     SELECT array_to_string(
-             t.toks[(top.rep % 1000000):(top.rep % 1000000 + {SPAN_N - 1})],
+             t.toks[(top.rep % {SPAN_REP_MULT}):(top.rep % {SPAN_REP_MULT} + {SPAN_N - 1})],
              ' ') AS span_text,
            top.n_occurrences, top.n_docs, top.code
-    FROM top JOIN t ON t.doc_id = top.rep // 1000000
+    FROM top JOIN t ON t.doc_id = top.rep // {SPAN_REP_MULT}
     ORDER BY n_occurrences DESC, code
     """.replace("{CODE}", _duck_span_code()),
 )
@@ -2179,7 +2183,15 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover the strings, which doubled the wall for a constant-size
     read-out. At 100 TB the only corpus-scale shuffle is
     token-count x 24 B with map-side combine — the n-gram-novelty
-    class — and pass 2 touches {SPAN_TOP} rows."""
+    class — and pass 2 touches {SPAN_TOP} rows.
+
+    CONTRACT NOTE (registry deviation, documented per ADVICE r8): this
+    query is EAGER — building the returned DataFrame executes pass 1
+    (top.collect() of {SPAN_TOP} winner rows), because pass 2's doc_id
+    pushdown filter is constructed from pass 1's winners. A plan-only
+    consumer (EXPLAIN, plan-shape tests) therefore pays the corpus
+    aggregate; bench's timing window includes it. Every other
+    registered query stays lazy."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -2196,13 +2208,14 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = F.col("z.c0")
     for j in range(1, SPAN_N):
         code = (code * SHINGLE_MULT + F.col(f"z.c{j}")) % FP_MOD
-    # rep key = doc_id * 1e6 + 1-based span position: one long whose
-    # min IS the lexicographic (doc_id, pos) arg-min in both engines.
+    # rep key = doc_id * SPAN_REP_MULT + 1-based span position (bounds
+    # documented at the constant): one long whose min IS the
+    # lexicographic (doc_id, pos) arg-min in both engines.
     top = (
         rows.select(
             "doc_id",
             code.alias("code"),
-            (F.col("doc_id") * 1_000_000 + F.col("idx") + 1).alias("rep"),
+            (F.col("doc_id") * SPAN_REP_MULT + F.col("idx") + 1).alias("rep"),
         )
         .groupBy("code", "doc_id")
         .agg(
@@ -2230,18 +2243,18 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "code long, n_occurrences long, n_docs long, rep long",
     )
-    doc_ids = [r["rep"] // 1_000_000 for r in winners]
+    doc_ids = [r["rep"] // SPAN_REP_MULT for r in winners]
     return (
         d.filter(F.col("doc_id").isin(doc_ids))
         .join(
             F.broadcast(rep_rows),
-            F.col("doc_id") == F.expr("rep div 1000000"),
+            F.col("doc_id") == F.expr(f"rep div {SPAN_REP_MULT}"),
         )
         .select(
             F.array_join(
                 F.slice(
                     F.split("text", " "),
-                    (F.col("rep") % 1_000_000).cast("int"),
+                    (F.col("rep") % SPAN_REP_MULT).cast("int"),
                     SPAN_N,
                 ),
                 " ",
@@ -2300,8 +2313,8 @@ RAKE_TOP = 20
     ),
     scored AS (
       SELECT wpp.phrase,
-             CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT)
-               AS phrase_score_micro
+             CAST(sum(CAST(ws.deg AS HUGEINT) * 1000000 // ws.freq)
+               AS BIGINT) AS phrase_score_micro
       FROM wpp JOIN ws USING (w) GROUP BY 1
     )
     SELECT occ.phrase, occ.n_occurrences, scored.phrase_score_micro
@@ -2367,7 +2380,19 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         wpp.join(F.broadcast(ws), "w")
         .groupBy("phrase")
         .agg(
-            F.sum(F.expr("CAST(deg * 1000000 div freq AS BIGINT)"))
+            # deg*1e6 is widened past int64 in BOTH engines (ADVICE
+            # r8): a word whose summed phrase-length degree exceeds
+            # ~9.2e12 would overflow — DuckDB raises on BIGINT, non-
+            # ANSI Spark silently wraps, a divergence small-SF sweeps
+            # can't surface. DECIMAL(38,0) here, HUGEINT in the oracle
+            # (DuckDB's DECIMAL // routes through DOUBLE and loses
+            # low digits; HUGEINT // is exact — verified).
+            F.sum(
+                F.expr(
+                    "CAST(CAST(deg AS DECIMAL(38,0)) * 1000000 div freq"
+                    " AS BIGINT)"
+                )
+            )
             .cast("long")
             .alias("phrase_score_micro")
         )

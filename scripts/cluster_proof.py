@@ -72,7 +72,18 @@ def main() -> int:
         # with the hand-picked execution-family slice. Streaming and
         # side-effecting queries are excluded (streaming is covered by
         # the dedicated STREAM_QUERY; sinks write paths).
-        k = int(sys.argv[sys.argv.index("--sample") + 1])
+        idx = sys.argv.index("--sample")
+        if idx + 1 >= len(sys.argv):
+            print("usage: cluster_proof.py --sample K  (K >= 1)")
+            return 2
+        try:
+            k = int(sys.argv[idx + 1])
+        except ValueError:
+            print(f"--sample expects an integer, got {sys.argv[idx + 1]!r}")
+            return 2
+        if k < 1:
+            print(f"--sample expects K >= 1, got {k}")
+            return 2
         skip = {
             "sharded_sink_roundtrip",
             "source_text_formats_roundtrip",

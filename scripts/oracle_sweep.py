@@ -46,6 +46,17 @@ def main() -> int:
         n for n in QUERIES if not substrs or any(s in n for s in substrs)
     )
     spark = get_spark("oracle-sweep")
+    # Materialize the shingle-sketch relation first so the sweep
+    # hash-checks the READ path (what bench/production run), not only
+    # the inline fallback. DuckDB oracles always recompute from the
+    # raw documents table, so a sketch/inline divergence would fail
+    # the hash here.
+    try:
+        from alexandria_pipeline_spark.sketch import run_sketch_build_job
+
+        run_sketch_build_job(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - queries fall back inline
+        print(f"sketch build failed (inline fallback): {exc!r}")
     con = duck_connection(sf_dir)
     failures: list[str] = []
     results: dict[str, str] = {}
