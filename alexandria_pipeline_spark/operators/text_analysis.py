@@ -2171,19 +2171,21 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding windows).
 
     ONE corpus pass, strings never shuffled and never re-scanned:
-    pass 1 posexplodes arrays_zip of the {SPAN_N} shifted word-CODE
-    slices (all codegen — the bigram lesson: no per-span higher-order
-    concat), folds a polynomial span code per row, and aggregates
-    count/distinct-docs in two stages (count + countDistinct in one
-    agg makes Catalyst EXPAND every input row twice — measured 69 s
-    at sf1) while ALSO carrying an arg-min representative
-    (doc_id * 1e6 + position) per code. The span TEXT is then
+    pass 1 posexplodes tokens to rows, word-codes each token ONCE
+    (codegen scalars — see the inline r9 note for why the sliced
+    array form was {SPAN_N}x that cost), folds the polynomial span
+    code from {SPAN_N - 1} lead()s over one per-doc window, and
+    aggregates count/distinct-docs in two stages (count +
+    countDistinct in one agg makes Catalyst EXPAND every input row
+    twice — measured 69 s at sf1) while ALSO carrying an arg-min
+    representative (doc_id * SPAN_REP_MULT + position) per code. The span TEXT is then
     reconstructed from just the {SPAN_TOP} winner documents — an
     earlier draft re-scanned and re-hashed the whole corpus to
     recover the strings, which doubled the wall for a constant-size
-    read-out. At 100 TB the only corpus-scale shuffle is
-    token-count x 24 B with map-side combine — the n-gram-novelty
-    class — and pass 2 touches {SPAN_TOP} rows.
+    read-out. At 100 TB the corpus-scale exchanges are the (doc_id,
+    idx, wc) window sort and the span aggregate — token-count x ~24 B
+    each, the n-gram-novelty class — and pass 2 touches {SPAN_TOP}
+    rows.
 
     CONTRACT NOTE (registry deviation, documented per ADVICE r8): this
     query is EAGER — building the returned DataFrame executes pass 1
@@ -2195,26 +2197,41 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    m = n - (SPAN_N - 1)
     from alexandria_pipeline_spark.functions.text import word_code
 
-    wcodes = F.transform(toks, word_code)
-    zipped = F.arrays_zip(
-        *[F.slice(wcodes, j + 1, m).alias(f"c{j}") for j in range(SPAN_N)]
+    # Span hashing is ROW-BASED (r9): the r8 form built arrays_zip over
+    # {SPAN_N} shifted slices of transform(toks, word_code) — but
+    # Catalyst inlines the producing expression into every slice, so
+    # split() AND the interpreted (CodegenFallback) transform() were
+    # re-evaluated {SPAN_N} times per document; measured 24 s of the
+    # 28 s sf1 pass-1 wall was that map work (the shuffle itself was
+    # ~4 s). Here every token is coded ONCE on exploded rows (pure
+    # codegen scalars) and the {SPAN_N}-token window comes from
+    # {SPAN_N - 1} lead()s over ONE (doc_id, idx) window — a single
+    # narrow sort-shuffle of (doc_id, idx, wc) rows, every expression
+    # whole-stage-codegen. Measured sf1 pass-1: 28.1 -> 7.3 s,
+    # identical winners. lead() past the document end is null, which
+    # nulls the polynomial -> the isNotNull filter keeps exactly the
+    # n - {SPAN_N - 1} spans per doc the sliced form produced.
+    tok = (
+        d.filter(n >= SPAN_N)
+        .select("doc_id", F.posexplode(toks).alias("idx", "w"))
+        .select("doc_id", "idx", word_code(F.col("w")).alias("wc"))
     )
-    rows = d.filter(n >= SPAN_N).select(
-        "doc_id", F.posexplode(zipped).alias("idx", "z")
-    )
-    code = F.col("z.c0")
+    win = Window.partitionBy("doc_id").orderBy("idx")
+    code = F.col("wc")
     for j in range(1, SPAN_N):
-        code = (code * SHINGLE_MULT + F.col(f"z.c{j}")) % FP_MOD
+        code = (code * SHINGLE_MULT + F.lead("wc", j).over(win)) % FP_MOD
+    rows = tok.select("doc_id", "idx", code.alias("code")).filter(
+        F.col("code").isNotNull()
+    )
     # rep key = doc_id * SPAN_REP_MULT + 1-based span position (bounds
     # documented at the constant): one long whose min IS the
     # lexicographic (doc_id, pos) arg-min in both engines.
     top = (
         rows.select(
             "doc_id",
-            code.alias("code"),
+            "code",
             (F.col("doc_id") * SPAN_REP_MULT + F.col("idx") + 1).alias("rep"),
         )
         .groupBy("code", "doc_id")
