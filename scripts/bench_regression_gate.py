@@ -153,10 +153,21 @@ def _per_query(doc: dict) -> dict[str, float]:
     return best
 
 
-def build_baseline(exclude: str | None = None) -> tuple[dict[str, float], dict[str, str]]:
-    """Earliest recorded per-query seconds across every prior artifact,
-    host tables taking precedence over driver tables within a round
-    (same machine as the current run). Returns (times, provenance)."""
+def build_baseline(
+    exclude: str | None = None,
+) -> tuple[dict[str, float], dict[str, str], dict[str, float], dict[str, str]]:
+    """Per-query baselines across every prior artifact, host tables
+    taking precedence over driver tables within a round. Returns BOTH
+    vintages (r8 verdict #6 — every r8 flag was ultimately a stale-
+    vintage baseline, burning a round of adjudication each):
+
+      earliest — first time a query was ever recorded (the historical
+        best; catches slow cumulative drift but carries host vintage);
+      latest   — the most recent PRIOR round's record (same-host-est
+        comparator; a flag that clears against this is a vintage
+        artifact, not a plan change).
+
+    Returns (earliest, earliest_prov, latest, latest_prov)."""
     candidates = sorted(
         glob.glob(str(REPO / "BENCH_r*.json"))
         + glob.glob(str(REPO / "BENCH_HOST_r*.json")),
@@ -164,6 +175,8 @@ def build_baseline(exclude: str | None = None) -> tuple[dict[str, float], dict[s
     )
     times: dict[str, float] = {}
     prov: dict[str, str] = {}
+    latest: dict[str, float] = {}
+    latest_prov: dict[str, str] = {}
     for path in candidates:
         if exclude and pathlib.Path(path).name == exclude:
             continue
@@ -172,10 +185,14 @@ def build_baseline(exclude: str | None = None) -> tuple[dict[str, float], dict[s
         except (json.JSONDecodeError, OSError):
             continue
         for name, sec in _per_query(doc).items():
-            if name not in times and isinstance(sec, (int, float)):
+            if not isinstance(sec, (int, float)):
+                continue
+            if name not in times:
                 times[name] = float(sec)
                 prov[name] = pathlib.Path(path).name
-    return times, prov
+            latest[name] = float(sec)
+            latest_prov[name] = pathlib.Path(path).name
+    return times, prov, latest, latest_prov
 
 
 def run_bench(only: list[str] | None = None, runs: int | None = None) -> dict:
@@ -212,7 +229,9 @@ def main() -> int:
     ap.add_argument("--annotations", default=None)
     args = ap.parse_args()
 
-    base_q, base_src = build_baseline(exclude=pathlib.Path(args.out).name)
+    base_q, base_src, late_q, late_src = build_baseline(
+        exclude=pathlib.Path(args.out).name
+    )
     cur_bench = (
         json.loads(pathlib.Path(args.cur).read_text()) if args.cur else run_bench()
     )
@@ -272,16 +291,41 @@ def main() -> int:
     regressions = []
     for name in flagged():
         p, c = base_q[name], cur_q[name]
-        regressions.append(
-            {
-                "query": name,
-                "baseline_sec": p,
-                "baseline_src": base_src[name],
-                "cur_sec": c,
-                "ratio": round(c / p, 2),
-                "annotation": notes.get(name),
-            }
-        )
+        entry = {
+            "query": name,
+            "baseline_sec": p,
+            "baseline_src": base_src[name],
+            "cur_sec": c,
+            "ratio": round(c / p, 2),
+            "latest_baseline_sec": late_q.get(name),
+            "latest_baseline_src": late_src.get(name),
+            "annotation": notes.get(name),
+        }
+        # Vintage rule (r8 verdict #6): a flag that clears against the
+        # most recent prior round's record of the same query is a
+        # baseline-vintage artifact, not a plan change — the earliest
+        # record was measured on a different host window (or under the
+        # pre-r8 cache-leak regime). Auto-annotate so the flag ships
+        # explained instead of burning an adjudication round. Flags
+        # that regress against BOTH vintages are actionable plan
+        # changes and still require a manual annotation.
+        lp = late_q.get(name)
+        if (
+            entry["annotation"] is None
+            and lp is not None
+            and lp >= MIN_PREV_SEC
+            and not (c > lp * bar and c - lp > NOISE_FLOOR_SEC)
+        ):
+            entry["annotation"] = (
+                f"auto(vintage rule): within the gate bar of the most "
+                f"recent prior record ({lp}s in {late_src.get(name)}, "
+                f"ratio {round(c / lp, 2)}x) — the {entry['ratio']}x "
+                f"flag is against a {base_src[name]} record of "
+                f"different host/session vintage, not a plan change "
+                f"this round."
+            )
+            entry["vintage_artifact"] = True
+        regressions.append(entry)
     improvements = sorted(
         (
             {"query": n, "baseline_sec": base_q[n], "baseline_src": base_src[n],
@@ -308,9 +352,12 @@ def main() -> int:
             f"AND the absolute excess tops {NOISE_FLOOR_SEC}s (the "
             "host's measured same-day wall resolution). Unannotated "
             "flags get one targeted min-of-4 re-measure in a fresh "
-            "session (noise_retry) before they stand. Every surviving "
-            "flagged entry must carry an annotation; null annotation = "
-            "unexplained."
+            "session (noise_retry) before they stand. Each flag is "
+            "ALSO diffed against the most recent prior round's record "
+            "(latest_baseline_*): clearing that bar auto-annotates the "
+            "flag as a baseline-vintage artifact (r8 verdict #6). "
+            "Every surviving flagged entry must carry an annotation; "
+            "null annotation = unexplained."
         ),
         "noise_retry": {"queries": retried, "runs": 4},
         "session_drift_median_ratio": round(session_drift, 3),
