@@ -38,6 +38,17 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_dist2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance, same deterministic left fold as dot():
+    0.0 + (a1-b1)^2 + (a2-b2)^2 + ... — pairs with duck_l2_dist2."""
+    a, b = as_double(a), as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -65,6 +76,18 @@ def duck_dot(a: str, b: str) -> str:
 
 def duck_l2_norm(a: str) -> str:
     return f"sqrt({duck_dot(a, a)})"
+
+
+def duck_l2_dist2(a: str, b: str) -> str:
+    """list_reduce left fold of squared component differences — seed is
+    the first element (0.0 + x1 on the Spark side is exact), so the
+    doubles are bitwise-equal to l2_dist2()."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
 
 
 def duck_cosine(a: str, b: str) -> str:

@@ -19,6 +19,8 @@ from alexandria_pipeline_spark.functions.vectors import (
     dot,
     duck_cosine,
     duck_dot,
+    duck_l2_dist2,
+    l2_dist2,
 )
 from alexandria_pipeline_spark.operators.dedup import (
     _DUCK_PLANES_CTE,
@@ -321,35 +323,170 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_ivf_kmeans")  # rows-only: k-means training is not SQL-expressible
-def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with REAL trained centroids: Spark ML KMeans (k=8, fixed
-    seed) fits on the corpus, vectors are assigned to their cluster,
-    and each query searches only its own cluster — the full IVF-Flat
-    recipe (Sivic & Zisserman '03 vocabulary trees / FAISS IVF family).
+# Lloyd iteration count for the oracle-checked k-means IVF: enough to
+# demonstrate real centroid refinement (assignments provably move off
+# the seed Voronoi cells), small enough that the unrolled oracle CTE
+# chain stays readable — the PageRank unrolled-iteration precedent.
+KMEANS_ITERS = 2
+KMEANS_DIM = 64  # embeddings table dimension (TESTDATA.md)
 
-    knn_ivf_pruned is the oracle-checkable twin with formula-seeded
-    centroids; this variant shows the MLlib integration (ArrayType ->
-    VectorUDT only at the library boundary, back to arrays after).
-    Driver check is rows-only; determinism within one Spark version is
-    covered by the fixed seed.
 
-    Measured recall vs exact top-5 on the testdata is ~0.13 — expected,
-    not a bug: the synthetic vectors are isotropic random, so true
-    neighbors scatter across Voronoi cells and single-probe IVF prunes
-    most of them. Real embedding corpora cluster (that's why IVF
-    works); the scale remedies are multi-probe (search nprobe nearest
-    cells) and larger k trained on a sample."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load_table(spark, sf_dir, "embeddings")
-    with_vec = e.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(with_vec)
-    assigned = model.transform(with_vec).select(
-        "vec_id", "embedding", F.col("prediction").alias("cluster_id")
+@query(
+    "knn_ivf_kmeans",
+    oracle=f"""WITH c0 AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    a0 AS (
+      SELECT vec_id, embedding, c_id AS cluster_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {duck_l2_dist2('e.embedding', 'c.c_emb')} ASC, c.c_id
+          ) AS rn
+        FROM embeddings e CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT cluster_id, d,
+             CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000)
+                      AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a0, (SELECT unnest(range(1, {KMEANS_DIM} + 1)) AS d) dims
+      GROUP BY cluster_id, d
+    ),
+    c1 AS (
+      SELECT cluster_id AS c_id,
+             list(CAST(s // n AS BIGINT) / 1000000.0 ORDER BY d) AS c_emb
+      FROM u1 GROUP BY cluster_id
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, c_id AS cluster_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {duck_l2_dist2('e.embedding', 'c.c_emb')} ASC, c.c_id
+          ) AS rn
+        FROM embeddings e CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    u2 AS (
+      SELECT cluster_id, d,
+             CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000)
+                      AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a1, (SELECT unnest(range(1, {KMEANS_DIM} + 1)) AS d) dims
+      GROUP BY cluster_id, d
+    ),
+    c2 AS (
+      SELECT cluster_id AS c_id,
+             list(CAST(s // n AS BIGINT) / 1000000.0 ORDER BY d) AS c_emb
+      FROM u2 GROUP BY cluster_id
+    ),
+    fin AS (
+      SELECT vec_id, embedding, c_id AS cluster_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {duck_l2_dist2('e.embedding', 'c.c_emb')} ASC, c.c_id
+          ) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cluster_id AS q_cluster
+      FROM fin WHERE vec_id IN {QUERY_IDS}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {duck_dot('q.q_emb', 'a.embedding')} AS score
+      FROM q JOIN fin a
+        ON a.cluster_id = q.q_cluster AND a.vec_id <> q.query_id
     )
-    q = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+    SELECT query_id, neighbor_id, round(score, 6) + 0 AS cos_sim,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rk FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids — distributed Lloyd's k-means
+    (k={N_CENTROIDS}, {KMEANS_ITERS} unrolled iterations), then each
+    query searches only its own cluster: the full IVF-Flat recipe
+    (Sivic & Zisserman '03 vocabulary trees / FAISS IVF family).
+
+    ORACLE-CHECKED since r9 (verdict #7; previously rows-only behind
+    an MLlib KMeans fit whose k-means|| init is not SQL-expressible):
+    init is deterministic (the first {N_CENTROIDS} vectors — same seed
+    rule as knn_ivf_pruned), assignment is argmin squared-L2 with the
+    same left-fold arithmetic both engines evaluate bitwise-equal
+    (functions.vectors.l2_dist2 / duck_l2_dist2), and the centroid
+    update is the repo's exact-integer convention: component sums in
+    round(x*1e6) micros (exact associative int64 — float sums over
+    rows would order-diverge across engines), truncating int division
+    by the member count, /1e6 back to double. Empty clusters drop in
+    both engines identically (inner-join semantics). The MLlib
+    VectorUDT boundary this query used to demonstrate lives on in
+    functions/featurizer.py's predict_batch_udf seam.
+
+    Scale shape: each iteration is one broadcast NLJ against the
+    (always tiny) centroid table + an argmin window partitioned by
+    vec_id + one (cluster, dim)-keyed map-combined aggregate whose
+    output is k x dim rows — corpus-linear map work, constant-size
+    shuffles. At 100 TB you train on a sample and run ONE final
+    assignment pass; the unrolled plan here is that exact dataflow."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("long").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist2"), F.asc("c_id")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(cent_df))
+            .withColumn("dist2", l2_dist2("embedding", "c_emb"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("c_id").alias("cluster_id"))
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cent)
+        upd = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("d0", "x")
+            )
+            .groupBy("cluster_id", (F.col("d0") + 1).alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        cent = (
+            upd.select(
+                "cluster_id",
+                F.struct("d", (int_div(F.col("s"), F.col("n")) / 1e6).alias("c")).alias(
+                    "dc"
+                ),
+            )
+            .groupBy(F.col("cluster_id").alias("c_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("dc")), lambda s: s["c"]
+                ).alias("c_emb")
+            )
+        )
+    fin = assign(cent)
+    q = fin.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("cluster_id").alias("q_cluster"),
@@ -357,9 +494,9 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(
-            assigned,
-            (assigned.cluster_id == F.col("q_cluster"))
-            & (assigned.vec_id != F.col("query_id")),
+            fin,
+            (fin.cluster_id == F.col("q_cluster"))
+            & (fin.vec_id != F.col("query_id")),
         )
         .select(
             "query_id",

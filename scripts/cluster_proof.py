@@ -87,7 +87,6 @@ def main() -> int:
         skip = {
             "sharded_sink_roundtrip",
             "source_text_formats_roundtrip",
-            "knn_ivf_kmeans",
         }
         pool = sorted(
             n

@@ -19,11 +19,10 @@ from alexandria_pipeline_spark.registry import QUERIES
 from alexandria_pipeline_spark.plans.explain import formatted_plan
 
 SF = "/root/testdata/sf0.001"
-SKIP = {"sharded_sink_roundtrip", "source_text_formats_roundtrip", "knn_ivf_kmeans"}
+SKIP = {"sharded_sink_roundtrip", "source_text_formats_roundtrip"}
 SKIP_NOTE = {
     "sharded_sink_roundtrip": "sink op: audited in tests",
     "source_text_formats_roundtrip": "format roundtrip: audited in tests",
-    "knn_ivf_kmeans": "streaming/stateful/ML: audited in tests",
 }
 
 

@@ -44,6 +44,10 @@ EXTREME_QUERIES = [
     "diagnose_join_cardinality",
     "doc_length_gini",
     "customer_rfm_segments",
+    # round-9 additions (r8 verdict #8): the two orders-based r8
+    # queries; the four text-based ones live in test_round9_invariants
+    "orders_mann_kendall_trend",
+    "sample_priority_weighted",
 ]
 
 

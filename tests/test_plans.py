@@ -338,8 +338,8 @@ def test_no_python_eval_outside_declared_seams(spark):
     skip = {
         "sharded_sink_roundtrip",
         "source_text_formats_roundtrip",
-        "knn_ivf_kmeans",
-    }  # side-effecting / ML-fit
+    }  # side-effecting (knn_ivf_kmeans un-skipped in r9: now a pure
+    # lazy Lloyd's plan, no MLlib fit)
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_") or name in skip:
@@ -496,8 +496,8 @@ def test_registry_unpartitioned_windows_are_declared_bounded(spark):
     skip = {
         "sharded_sink_roundtrip",
         "source_text_formats_roundtrip",
-        "knn_ivf_kmeans",
-    }  # side-effecting / ML-fit
+    }  # side-effecting (knn_ivf_kmeans un-skipped in r9: now a pure
+    # lazy Lloyd's plan, no MLlib fit)
     undeclared, stale, misclassified = [], [], []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_") or name in skip:
