@@ -470,34 +470,57 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     else:
-        # SKETCH path (big graphs) — ARRAY-FREE since round 6, and
-        # since r8 the signature never becomes an array at all: the
-        # old form assembled the K per-node minima into an
-        # array<int> and matched edge endpoints with an
-        # aggregate(zip_with) fold — higher-order functions are
-        # CodegenFallback (interpreted per element, the same lesson
-        # the r8 knn/bigram rewrites paid for), so 12M edges x 64
-        # slots at sf1 burned ~100 s in the fold alone, and the
-        # array column also made the signature frame expensive to
-        # cache (the in-memory columnar store has no efficient
-        # nested-type encoding). Now the K minima stay PRIMITIVE
-        # COLUMNS end to end: h_k(x) = xxhash64(x, k) truncated to 32
-        # bits (a different but equally valid hash family for
-        # minhash; truncation costs 2^-32 per-slot collisions and
-        # HALVES the per-edge payload), built as K scalar
-        # min-aggregates, persisted once (primitive columns cache
-        # efficiently) so the two edge joins don't rebuild the
-        # aggregate, and matched with a K-term codegen sum of slot
-        # equalities. K auto-halves above JACCARD_K_HALVE_PAIRS
-        # (6.2 -> 8.8 ppt worst-case standard error) so the join
-        # payload stays bounded as the graph grows. The Σdeg² term
-        # and the fat-array shuffles are both gone from the plan.
+        # SKETCH path (big graphs) — ARRAY-FREE since round 6,
+        # primitive-slot since r8, PACKED + shuffle-pruned since r9:
+        #
+        #   - the signature stays K scalar min-aggregates of
+        #     h_k(x) = xxhash64(x, k) (HOF folds are CodegenFallback —
+        #     the r8 lesson stands);
+        #   - r9 removes the full-direction DISTINCT (r8's und frame
+        #     shuffled 239M rows at sf10 for a 0.3% duplicate rate):
+        #     min() is duplicate-insensitive, so the sketch aggregates
+        #     the RAW exploded pairs — map-side combine collapses the
+        #     exchange to ~nodes x partitions rows — and only the
+        #     half-direction edge list (a < b) pays a distinct (half
+        #     the rows). deg comes from the deduped edges by a
+        #     map-combined count, not from countDistinct (whose
+        #     partial dedup would re-shuffle pair-volume rows);
+        #   - the K slots are TRUNCATED to 16 bits post-min and PACKED
+        #     4 per int64 (bitwise shiftleft/OR — an arithmetic *2^48
+        #     overflows ANSI int64), so the per-edge join payload is
+        #     K/4 longs instead of K ints: truncation AFTER the min
+        #     keeps the estimator valid (equal mins stay equal; a
+        #     false 16-bit match costs 2^-16 per slot, far below the
+        #     1/K estimate granularity — the plan-parity test bounds
+        #     the estimate against the exact path);
+        #   - join strategy re-measured for the packed shape (r8
+        #     measured shuffle_hash WORSE at K=64 unpacked, 1175 ->
+        #     1308 s: the wide rows made the hash build spill). With
+        #     4x narrower rows the hash build wins — it skips sorting
+        #     the 100M+-row edge stream entirely. sf10, clean host:
+        #     r8 committed plan 504.4 s; r9 packed sort-merge 392.4 s;
+        #     r9 packed shuffle_hash 352.8 s, identical top-20.
+        # K still auto-halves above JACCARD_K_HALVE_PAIRS so the
+        # payload stays bounded as the graph grows.
         K = (
             JACCARD_SKETCH_K
             if raw_pairs <= JACCARD_K_HALVE_PAIRS
             else JACCARD_SKETCH_K // 2
         )
-        und = scoped_persist(pairs.distinct(), StorageLevel.MEMORY_AND_DISK)
+        SLOTS_PER_LONG = 4
+        NP = K // SLOTS_PER_LONG
+        edges = scoped_persist(
+            pairs.filter(F.col("node") < F.col("nb"))
+            .select(F.col("node").alias("a"), F.col("nb").alias("b"))
+            .distinct(),
+            StorageLevel.MEMORY_AND_DISK,
+        )
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
 
         def _h32(k: int):
             return (
@@ -505,44 +528,51 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(2147483648)
             ).cast("int")
 
+        mins = pairs.groupBy("node").agg(
+            *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)]
+        )
+        packs = []
+        for g in range(NP):
+            packed = F.lit(0).cast("long")
+            for j in range(SLOTS_PER_LONG):
+                k = g * SLOTS_PER_LONG + j
+                packed = packed.bitwiseOR(
+                    F.shiftleft(
+                        F.col(f"s{k}").cast("long").bitwiseAND(F.lit(65535)),
+                        16 * j,
+                    )
+                )
+            packs.append(packed.alias(f"p{g}"))
         sigs = scoped_persist(
-            und.groupBy("node").agg(
-                F.count(F.lit(1)).cast("long").alias("deg"),
-                *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)],
-            ),
+            mins.select("node", *packs).join(deg, "node"),
             StorageLevel.MEMORY_AND_DISK,
         )
-        edges = und.filter(F.col("node") < F.col("nb")).select(
-            F.col("node").alias("a"), F.col("nb").alias("b")
-        )
-        # Join strategy measured, not guessed (r8): forcing
-        # shuffle_hash on the sigs sides (to skip sorting the
-        # 100M+-row edge stream twice) measured WORSE at sf10 (1175
-        # -> 1308 s) — the wide intermediate still re-shuffles by b
-        # either way, and the sort-merge's sorted spill streams beat
-        # the hash build under memory pressure. Planner default kept.
-        paired = edges.join(
-            sigs.select(
-                F.col("node").alias("a"),
-                F.col("deg").alias("da"),
-                *[F.col(f"s{k}").alias(f"sa{k}") for k in range(K)],
-            ),
-            "a",
-        ).join(
-            sigs.select(
-                F.col("node").alias("b"),
-                F.col("deg").alias("db"),
-                *[F.col(f"s{k}").alias(f"sb{k}") for k in range(K)],
-            ),
-            "b",
-        )
-        matches = sum(
-            [
-                (F.col(f"sa{k}") == F.col(f"sb{k}")).cast("long")
-                for k in range(K)
-            ],
-            F.lit(0).cast("long"),
-        )
+        sa = sigs.select(
+            F.col("node").alias("a"),
+            F.col("deg").alias("da"),
+            *[F.col(f"p{g}").alias(f"pa{g}") for g in range(NP)],
+        ).hint("shuffle_hash")
+        sb = sigs.select(
+            F.col("node").alias("b"),
+            F.col("deg").alias("db"),
+            *[F.col(f"p{g}").alias(f"pb{g}") for g in range(NP)],
+        ).hint("shuffle_hash")
+        paired = edges.join(sa, "a").join(sb, "b")
+        terms = []
+        for g in range(NP):
+            for j in range(SLOTS_PER_LONG):
+                sh = 16 * j
+                terms.append(
+                    (
+                        F.shiftrightunsigned(F.col(f"pa{g}"), sh).bitwiseAND(
+                            F.lit(65535)
+                        )
+                        == F.shiftrightunsigned(F.col(f"pb{g}"), sh).bitwiseAND(
+                            F.lit(65535)
+                        )
+                    ).cast("long")
+                )
+        matches = sum(terms[1:], terms[0])
         # j = m/K  =>  n_common = j·(da+db)/(1+j) = m·(da+db)/(K+m)
         scored = paired.select(
             "a",
