@@ -1772,3 +1772,73 @@ def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# Gopher-style repetition flag threshold: docs whose duplicate-trigram
+# occurrence fraction reaches 20% are template/boilerplate suspects
+# (Rae et al. 2021 use 18-30% across n-gram widths).
+REP_DUP_E6 = 200_000
+
+
+@query(
+    "curation_repetition_ratio",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             {duck_shingle_codes("string_split(text, ' ')")} AS codes
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    per AS (
+      SELECT lang,
+             CAST((n_toks - 2 - len(codes)) * 1000000 // (n_toks - 2)
+                  AS BIGINT) AS dup_e6
+      FROM sh
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dup_e6) // count(*) AS BIGINT) AS avg_dup_ppm,
+           CAST(sum(CASE WHEN dup_e6 >= {REP_DUP_E6} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition filter (Gopher's duplicate-n-gram
+    fraction, Rae et al. 2021; C4's repeated-content rule at trigram
+    width): the fraction of a doc's trigram OCCURRENCES that are
+    repeats of an earlier trigram in the same doc — high values mark
+    templated/boilerplate text that per-doc quality scores miss and
+    cross-doc dedup cannot see. dup fraction = (occurrences -
+    distinct) / occurrences, computed from the written-once shingle
+    sketch: occurrences = n_toks - 2, distinct = len(codes) (codes
+    are the DISTINCT trigram codes by construction, so the ratio is
+    self-consistent across engines including the shared ~1e9-universe
+    code collisions). MAP-ONLY per doc + one language-cardinality
+    rollup: no new corpus pass at all when the sketch relation is
+    materialized — the cheapest possible corpus-scale quality signal.
+    Exact truncating-ppm arithmetic throughout."""
+    sh = shingle_sketch(spark, sf_dir).select("doc_id", "lang", "n_toks", "codes")
+    n_tri = (F.col("n_toks") - 2).cast("long")
+    dup_e6 = int_div((n_tri - F.size("codes")) * 1_000_000, n_tri)
+    per = sh.select("lang", dup_e6.alias("dup_e6"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dup_e6").alias("s"),
+            F.sum((F.col("dup_e6") >= REP_DUP_E6).cast("long"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            int_div(F.col("s"), F.col("n_docs")).alias("avg_dup_ppm"),
+            "n_flagged",
+        )
+        .orderBy("lang")
+    )
