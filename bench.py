@@ -196,6 +196,8 @@ HEADLINE = [
     "text_mattr_lexical_diversity",
     "text_boilerplate_spans",
     "text_keyphrase_rake",
+    # round-9 additions
+    "curation_repetition_ratio",
 ]
 
 
