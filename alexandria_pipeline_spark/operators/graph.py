@@ -476,15 +476,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         #   - the signature stays K scalar min-aggregates of
         #     h_k(x) = xxhash64(x, k) (HOF folds are CodegenFallback —
         #     the r8 lesson stands);
-        #   - r9 removes the full-direction DISTINCT (r8's und frame
-        #     shuffled 239M rows at sf10 for a 0.3% duplicate rate):
-        #     min() is duplicate-insensitive, so the sketch aggregates
-        #     the RAW exploded pairs — map-side combine collapses the
-        #     exchange to ~nodes x partitions rows — and only the
-        #     half-direction edge list (a < b) pays a distinct (half
-        #     the rows). deg comes from the deduped edges by a
-        #     map-combined count, not from countDistinct (whose
-        #     partial dedup would re-shuffle pair-volume rows);
+        #   - r9 halves the DISTINCT (r8's und frame shuffled 239M
+        #     full-direction rows at sf10 for a 0.3% duplicate rate):
+        #     only the half-direction edge list (a < b) is deduped and
+        #     persisted; deg and the K mins then come from ONE
+        #     map-combined aggregate over its flipped union, read from
+        #     cache — the collect_set subtree runs exactly once;
         #   - the K slots are TRUNCATED to 16 bits post-min and PACKED
         #     4 per int64 (bitwise shiftleft/OR — an arithmetic *2^48
         #     overflows ANSI int64), so the per-edge join payload is
@@ -496,10 +493,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         #   - join strategy re-measured for the packed shape (r8
         #     measured shuffle_hash WORSE at K=64 unpacked, 1175 ->
         #     1308 s: the wide rows made the hash build spill). With
-        #     4x narrower rows the hash build wins — it skips sorting
-        #     the 100M+-row edge stream entirely. sf10, clean host:
-        #     r8 committed plan 504.4 s; r9 packed sort-merge 392.4 s;
-        #     r9 packed shuffle_hash 352.8 s, identical top-20.
+        #     4x narrower rows the hash build skips sorting the
+        #     100M+-row edge stream: sf10 sequential A/B measured
+        #     392.4 s sort-merge -> 352.8 s shuffle_hash (identical
+        #     top-20), and a warm sf1 A/B pair 55.3 -> 52.4 s. The
+        #     later-run page-cache advantage means part of the sf10
+        #     gap is ordering bias — the hint is kept on the warm-pair
+        #     evidence plus the structural saving, not the 40 s.
+        #     r8 committed plan: 504.4 s at sf10 on the same host.
         # K still auto-halves above JACCARD_K_HALVE_PAIRS so the
         # payload stays bounded as the graph grows.
         K = (
@@ -515,12 +516,16 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct(),
             StorageLevel.MEMORY_AND_DISK,
         )
-        deg = (
-            edges.select(F.col("a").alias("node"))
-            .unionAll(edges.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        )
+        # deg + mins come from ONE aggregate over the flipped union of
+        # the persisted edges — the deduped set read from cache, so the
+        # collect_set subtree runs exactly once (an r9 draft computed
+        # mins from the raw pairs in a second pass; recomputing the
+        # per-order collect_set doubled the sf1 wall, 35.6 -> 81.8 s).
+        # count() over the deduped union IS the exact degree; min() is
+        # indifferent to the dedup.
+        both = edges.select(
+            F.col("a").alias("node"), F.col("b").alias("nb")
+        ).unionAll(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
 
         def _h32(k: int):
             return (
@@ -528,8 +533,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(2147483648)
             ).cast("int")
 
-        mins = pairs.groupBy("node").agg(
-            *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)]
+        mins = both.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            *[F.min(_h32(k)).alias(f"s{k}") for k in range(K)],
         )
         packs = []
         for g in range(NP):
@@ -544,7 +550,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             packs.append(packed.alias(f"p{g}"))
         sigs = scoped_persist(
-            mins.select("node", *packs).join(deg, "node"),
+            mins.select("node", "deg", *packs),
             StorageLevel.MEMORY_AND_DISK,
         )
         sa = sigs.select(

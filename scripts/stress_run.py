@@ -29,7 +29,7 @@ from alexandria_pipeline_spark.registry import release_persisted
 # scoring into per-bucket Arrow kernels (functions/bucketed.py) and
 # every sketch query's persists now release via the registry scope —
 # fresh file so post-rewrite runs aren't mixed with retired-plan rows.
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r8.json"
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r9.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os
