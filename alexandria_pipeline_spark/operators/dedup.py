@@ -2408,3 +2408,64 @@ def _register_lexical_semantic_agreement() -> None:
 
 
 _register_lexical_semantic_agreement()
+
+
+# --------------------------------------------------------------------------
+@query(
+    "corpus_source_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_ORACLE_FOR_SOURCE}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (source_a <> source_b) AS cross_source
+    FROM labeled
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source SYNDICATION matrix: how many verified MinHash
+    near-dup pairs link each (unordered) pair of sources. The diagonal
+    (source_a == source_b) is within-feed duplication; off-diagonal
+    rows are cross-feed syndication — the report that tells a curation
+    team which two crawls are re-publishing each other, the step AFTER
+    corpus_dedup_rate_by_source's per-source rate.
+
+    Scale shape: the pair graph is LSH-selectivity-bounded (far below
+    corpus size); attributing sources is two key-joins each carrying
+    (doc_id, source) only — text never travels — and the result is
+    bounded by n_sources^2 regardless of corpus size. Oracle nests the
+    minhash oracle verbatim, so the whole chain stays hash-checked.
+
+    Reference parity: the reference has no dedup at all
+    (/root/reference core is an embedding ETL); north-star addition."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") != F.col("source_b")).alias("cross_source"),
+        )
+        .orderBy("source_a", "source_b")
+    )

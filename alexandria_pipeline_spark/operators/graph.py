@@ -876,3 +876,107 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+LPA_ITERS = 4
+
+
+def _duck_lpa_sql() -> str:
+    """Unrolled synchronous label propagation — same exact-iteration
+    technique as _duck_pagerank_sql: fixed iteration count, pure int64
+    labels/counts, deterministic min-label tie-break, so each DuckDB
+    CTE stage is bit-identical to the matching Spark iteration."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2
+        )""",
+        "l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges)",
+    ]
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst AS node, p.label, CAST(count(*) AS BIGINT) AS cnt
+              FROM edges e JOIN {prev} p ON e.src = p.node
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+                FROM c{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS part_id, label AS community FROM {prev}"
+    )
+
+
+@query("graph_label_propagation", oracle=_duck_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    part co-purchase graph: every node starts labeled with its own id;
+    each of the 4 fixed iterations relabels every node with its
+    neighbors' most frequent label, ties broken by the SMALLEST label.
+    Fixed iterations + integer labels + deterministic tie-break make
+    the fixpoint-free variant exactly reproducible cross-engine (the
+    float-free discipline of graph_pagerank_copurchase).
+
+    Scale shape: the edge list is built once and persisted (same
+    collect_set build as PageRank, bounded by items/order); each
+    iteration is two map-side-combinable aggregations — a (dst, label)
+    count whose row bound is sum(degree) BEFORE the combine and
+    distinct (node, neighbor-label) after, then the per-node argmax via
+    max(struct(cnt, -label)) so no window sort and no row_number over
+    an unbounded partition. Label payloads are single int64s — no
+    per-node label-histogram arrays ever materialize. At 100 TB the
+    per-iteration shuffle is the same (dst)-keyed exchange PageRank
+    pays; lineage across iterations is bounded the same way
+    (pagerank_ranks' checkpoint rotation applies above 5 iterations).
+
+    Reference parity: covers the reference's iterative-analytics class
+    alongside PageRank/k-core; community assignment itself is absent
+    from the 688-LoC reference — this is a north-star addition."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("label"))
+    )
+    for _ in range(LPA_ITERS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(cnt) with min-label tie-break == max of (cnt, -label):
+        # a plain aggregate (partial+final), not a window sort.
+        best = cnt.groupBy("dst").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        )
+        labels = best.select(
+            F.col("dst").alias("node"), (-F.col("m.neg")).alias("label")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("label").alias("community")
+    )

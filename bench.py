@@ -198,6 +198,8 @@ HEADLINE = [
     "text_keyphrase_rake",
     # round-9 additions
     "curation_repetition_ratio",
+    "graph_label_propagation",
+    "corpus_source_overlap_matrix",
 ]
 
 

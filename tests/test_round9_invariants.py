@@ -23,7 +23,11 @@ from __future__ import annotations
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from alexandria_pipeline_spark import QUERIES, register_all
+
+from tests.conftest import SF_SMOKE
 
 BIG_POS = 1_000_123  # 0-based token index of the planted span: > 1e6
 
@@ -167,3 +171,71 @@ def test_rake_score_arithmetic_survives_9e12_degree(spark):
         f"SELECT CAST(CAST({deg} AS HUGEINT) * 1000000 // {freq} AS BIGINT)"
     ).fetchone()[0]
     assert spark_val == duck_val == deg * 1_000_000 // freq
+
+
+# --------------------------------------------------------------------------
+# Round-9 surface additions: graph_label_propagation,
+# corpus_source_overlap_matrix, text_tokenizer_fertility.
+
+
+@pytest.fixture(scope="module")
+def two_clique_dir(tmp_path_factory) -> str:
+    """A lineitem fixture whose co-purchase graph is two triangles
+    {1,2,3} and {4,5,6} bridged by one edge (3,4): orders 1 and 2 are
+    the cliques, order 3 is the bridge. Hand-simulating 4 synchronous
+    LPA iterations with min-label tie-break gives communities
+    {1,2,3}->1 and {4,5,6}->3 (the bridge never flips a triangle)."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("two_clique")
+    rows = [(1, p) for p in (1, 2, 3)] + [(2, p) for p in (4, 5, 6)] + [
+        (3, 3),
+        (3, 4),
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "COPY (SELECT CAST(c0 AS BIGINT) AS l_orderkey, CAST(c1 AS BIGINT)"
+        " AS l_partkey FROM (VALUES "
+        + ", ".join(f"({o}, {p})" for o, p in rows)
+        + ") t(c0, c1)) TO '"
+        + str(out)
+        + "/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    return str(out)
+
+
+def test_lpa_two_cliques_known_communities(spark, two_clique_dir):
+    """LPA on the hand-simulable bridged-triangles graph lands exactly
+    on the pen-and-paper fixpoint: community 1 for {1,2,3}, community 3
+    for {4,5,6} — exercising BOTH tie-break arms (most-frequent wins on
+    the bridge nodes, smallest-label wins inside each triangle)."""
+    register_all()
+    got = {
+        r.part_id: r.community
+        for r in QUERIES["graph_label_propagation"](spark, two_clique_dir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_lpa_one_label_per_node_and_label_closure(spark):
+    """Every co-purchase node gets exactly one community, and every
+    community id is itself a node id (labels only propagate, never
+    invent)."""
+    register_all()
+    rows = QUERIES["graph_label_propagation"](spark, SF_SMOKE).collect()
+    nodes = {r.part_id for r in rows}
+    assert len(rows) == len(nodes)  # one row per node
+    assert {r.community for r in rows} <= nodes
+
+
+def test_source_overlap_matrix_accounts_every_pair(spark):
+    """The syndication matrix is a complete partition of the MinHash
+    pair graph: n_pairs sums to the pair count, keys are ordered
+    (source_a <= source_b), and cross_source is exactly the
+    off-diagonal flag."""
+    register_all()
+    rows = QUERIES["corpus_source_overlap_matrix"](spark, SF_SMOKE).collect()
+    n_pairs_total = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs_total
+    assert all(r.source_a <= r.source_b for r in rows)
+    assert all(r.cross_source == (r.source_a != r.source_b) for r in rows)
