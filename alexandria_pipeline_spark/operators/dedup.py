@@ -2446,7 +2446,7 @@ def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: the reference has no dedup at all
     (/root/reference core is an embedding ETL); north-star addition."""
-    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))

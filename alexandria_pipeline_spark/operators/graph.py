@@ -43,6 +43,21 @@ BASE_MICRO = 150_000
 BROADCAST_EDGE_LIMIT = 5_000_000
 
 
+
+def _order_part_sets(spark: SparkSession, sf_dir: str):
+    """Per-order distinct part sets — the shared first stage of every
+    co-purchase graph build in this module (each consumer applies its
+    own explode/orientation/dedup on top). collect_set bounds the set
+    size by items-per-order (~7), so the frame is order-cardinality
+    with small arrays — cheaper to recompute from parquet than to
+    cache (see the round-8 nested-type persist note in SCALE.md)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+
+
 def _duck_pagerank_sql() -> str:
     ctes = [
         "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
@@ -122,10 +137,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     node has degree >= 1 by construction (nodes ARE edge endpoints),
     so there is no dangling mass and each iteration covers every
     node."""
-    l = load_table(spark, sf_dir, "lineitem")
     # same collect_set + double-explode edge build as
     # graph_triangle_count (directed: keep both orientations)
-    sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    sets = _order_part_sets(spark, sf_dir)
     edges = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
@@ -188,11 +202,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a, b) distinct shuffles again. The join form cost two extra
     # exchanges re-partitioning both distinct sides onto the order key
     # (measured 3.7s -> 2.3s for the edge list at sf0.1).
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
+    sets = _order_part_sets(spark, sf_dir)
     edges = scoped_persist(
         sets.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
@@ -389,11 +399,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     back from the estimate via j·(da+db)/(1+j) in truncating integer
     ppm. The exact path — and thus the sf0.01 oracle hash — is
     unchanged below the gate."""
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
+    sets = _order_part_sets(spark, sf_dir)
     pairs = (
         sets.select(F.explode("ps").alias("node"), "ps")
         .select("node", F.explode("ps").alias("nb"))
@@ -637,11 +643,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one collect_set exchange), then a groupBy over DEGREE VALUES —
     whose cardinality is bounded by max-degree, not node count — so
     the survival-curve window runs over a few hundred rows at any SF."""
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
+    sets = _order_part_sets(spark, sf_dir)
     pairs = (
         sets.select(F.explode("ps").alias("node"), "ps")
         .select("node", F.explode("ps").alias("nb"))
@@ -693,11 +695,7 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the one-row audit summary (rows-only by design: the
     fixpoint invariant is pytest-checked instead — every surviving
     node must keep degree ≥ 3 inside the core)."""
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
+    sets = _order_part_sets(spark, sf_dir)
     edges0 = (
         sets.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
@@ -834,11 +832,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines, round(6) hash-stable. Shape: the adjacency-first
     degree build + one edges->degrees join (ids and degrees only),
     one 1-row moment aggregate."""
-    sets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
+    sets = _order_part_sets(spark, sf_dir)
     edges = (
         sets.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))
@@ -946,15 +940,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation) so the persisted edge list is never re-shuffled per
     iteration — measured 9.3 -> 6.7 s at sf1. Above the gate it falls
     back to the (dst)-keyed exchange PageRank pays, which an
-    unconditional broadcast would OOM at 100x; lineage across
-    iterations is bounded the same way (pagerank_ranks' checkpoint
-    rotation applies above 5 iterations).
+    unconditional broadcast would OOM at 100x. Plan depth is bounded
+    by the FIXED 4 iterations (one join + two aggregates each); a
+    variant with more iterations would need the localCheckpoint
+    rotation pagerank_ranks implements — this loop deliberately has
+    none because the iteration count is a constant.
 
     Reference parity: covers the reference's iterative-analytics class
     alongside PageRank/k-core; community assignment itself is absent
     from the 688-LoC reference — this is a north-star addition."""
-    l = load_table(spark, sf_dir, "lineitem")
-    sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    sets = _order_part_sets(spark, sf_dir)
     edges = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import pytest
 
-import pyspark.sql.functions as F
-
 from alexandria_pipeline_spark import QUERIES, register_all
 
 from tests.conftest import SF_SMOKE
@@ -174,8 +172,8 @@ def test_rake_score_arithmetic_survives_9e12_degree(spark):
 
 
 # --------------------------------------------------------------------------
-# Round-9 surface additions: graph_label_propagation,
-# corpus_source_overlap_matrix, text_tokenizer_fertility.
+# Round-9 surface additions: graph_label_propagation and
+# corpus_source_overlap_matrix.
 
 
 @pytest.fixture(scope="module")
