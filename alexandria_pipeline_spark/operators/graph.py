@@ -875,6 +875,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 LPA_ITERS = 4
 
+# Label-broadcast gate for graph_label_propagation — deliberately
+# SEPARATE from (and smaller than) BROADCAST_EDGE_LIMIT, whose 5M was
+# calibrated for ~40 MB of packed edge longs. A broadcast-hash
+# relation of (node, label) int64 pairs costs far more than its 16
+# payload bytes per row: UnsafeHashedRelation adds key hashing, page
+# pointers, and alignment — budget ~6-8x, so 2.5M rows ≈ 40 MB
+# payload ≈ 240-320 MB relation. That fits the 4 GB-executor sizing
+# model with headroom; 5M rows (≈ 640 MB) would not. Above the gate
+# the fallback shuffle path is correct, just slower.
+LPA_LABEL_BROADCAST_LIMIT = 2_500_000
+
 
 def _duck_lpa_sql() -> str:
     """Unrolled synchronous label propagation — same exact-iteration
@@ -927,46 +938,62 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint-free variant exactly reproducible cross-engine (the
     float-free discipline of graph_pagerank_copurchase).
 
-    Scale shape: the edge list is built once and persisted (same
-    collect_set build as PageRank, bounded by items/order); each
-    iteration is two map-side-combinable aggregations — a (dst, label)
-    count whose row bound is sum(degree) BEFORE the combine and
-    distinct (node, neighbor-label) after, then the per-node argmax via
-    max(struct(cnt, -label)) so no window sort and no row_number over
-    an unbounded partition. Label payloads are single int64s — no
-    per-node label-histogram arrays ever materialize. The labels side
-    is broadcast behind the same plan-time size gate as the triangle
-    count (16-byte rows, <= BROADCAST_EDGE_LIMIT nodes ≈ 80 MB hash
-    relation) so the persisted edge list is never re-shuffled per
-    iteration — measured 9.3 -> 6.7 s at sf1. Above the gate it falls
-    back to the (dst)-keyed exchange PageRank pays, which an
-    unconditional broadcast would OOM at 100x. Plan depth is bounded
-    by the FIXED 4 iterations (one join + two aggregates each); a
-    variant with more iterations would need the localCheckpoint
-    rotation pagerank_ranks implements — this loop deliberately has
-    none because the iteration count is a constant.
+    Scale shape (round 10): the edge list is built once, HASH-
+    PARTITIONED BY dst during the dedup exchange, and persisted in
+    that layout. HashPartitioning(dst) satisfies the clustered
+    distribution of BOTH per-iteration aggregations (groupBy(dst,
+    label) and groupBy(dst) — a subset of the grouping keys
+    co-locates them), and a broadcast-hash join preserves the
+    streamed side's partitioning, so below the label-broadcast gate
+    every iteration runs join + count + argmax in ONE zero-exchange
+    stage over the persisted layout: the only per-iteration data
+    movement is broadcasting the n-row labels frame. r9's plan paid
+    a (dst,label) + (dst) exchange per iteration — 10.9M shuffle
+    records at sf0.1, the top shuffler in SHUFFLE_AUDIT_r9; this
+    layout removes all of them (see SCALE.md for the measured cut).
+    The argmax is max(struct(cnt, -label)) — a plain partial+final
+    aggregate, no window sort, ties to the SMALLEST label. Label
+    payloads are single int64s — no per-node label-histogram arrays
+    ever materialize. The labels broadcast is gated by
+    LPA_LABEL_BROADCAST_LIMIT (sized for hash-relation overhead, not
+    raw row bytes — see the constant's comment); above the gate it
+    falls back to the (dst)-keyed aggregate exchange PageRank pays,
+    which an unconditional broadcast would OOM at 100x. Plan depth is
+    bounded by the FIXED 4 iterations; a variant with more iterations
+    would need the localCheckpoint rotation pagerank_ranks implements
+    — this loop deliberately has none because the iteration count is
+    a constant.
 
     Reference parity: covers the reference's iterative-analytics class
     alongside PageRank/k-core; community assignment itself is absent
     from the 688-LoC reference — this is a north-star addition."""
     sets = _order_part_sets(spark, sf_dir)
+    # repartition("dst") BEFORE dropDuplicates: the dedup aggregate's
+    # clustered distribution on (src, dst) is satisfied by the dst
+    # hash layout (grouping-key subset), so the dedup costs no second
+    # exchange and the persisted blocks come out partitioned by dst —
+    # the layout every iteration's aggregates then reuse for free.
     edges = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .distinct()
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
     )
     edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
+    # dst, not src: the edge set is symmetric (both orientations are
+    # emitted), so the node sets are identical — but distinct over the
+    # partitioning key runs exchange-free on the persisted layout.
     labels = (
-        edges.select(F.col("src").alias("node"))
+        edges.select(F.col("dst").alias("node"))
         .distinct()
         .select("node", F.col("node").cast("long").alias("label"))
     )
     # Plan-time gate job on the already-persisted edge list (the
     # triangle count's discipline): node count bounds every later
     # iteration's labels frame, so one count decides all 4 joins.
-    broadcast_labels = labels.count() <= BROADCAST_EDGE_LIMIT
+    broadcast_labels = labels.count() <= LPA_LABEL_BROADCAST_LIMIT
     for _ in range(LPA_ITERS):
         lab = F.broadcast(labels) if broadcast_labels else labels
         cnt = (
