@@ -7,6 +7,14 @@ queries()     — every implemented operator from SURVEY.md §2 +
 oracle_sql()  — matching DuckDB SQL per query where SQL-expressible
                 (omitted => driver records rows-only check).
 
+The only two no-oracle rows the driver's sample regularly hits are
+INTENTIONAL: agg_approx_distinct and agg_approx_percentiles demo the
+native HLL++ / approx_percentile sketches, whose values are
+engine-specific by construction. Each has a fully hash-checked
+engine-neutral twin (agg_distinct_kmv, agg_percentile_binned) plus
+ε-bounds tests; see their docstrings. Every other rows-only entry is
+individually justified at its definition site.
+
 Implementation lives in alexandria_pipeline_spark/; this module is a
 thin adapter over its registry.
 """

@@ -442,8 +442,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketch values are
-    engine-specific so this is a rows-only check; the exact-distinct
-    twin `agg_segment_stats.n_nations` is the hash-checked version."""
+    engine-specific so this is a rows-only check — INTENTIONALLY
+    registered without an oracle as the native-HLL twin of
+    `agg_distinct_kmv` (relational_ext.py), which implements the same
+    mergeable distinct-sketch idea in engine-neutral arithmetic and IS
+    hash-checked; `agg_segment_stats.n_nations` covers the exact
+    version. ε-bounds tests in tests/ bound this query's estimates."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs")

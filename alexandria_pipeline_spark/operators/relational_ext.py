@@ -536,8 +536,12 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based quantile for 100 TB scale
     (mergeable, constant memory per group, single pass). Values are
-    sketch-dependent so the driver records rows-only; the exact twin
-    agg_percentiles is the hash-checked version.
+    sketch-dependent so the driver records rows-only — INTENTIONALLY
+    registered without an oracle as the native-sketch twin of
+    `agg_percentile_binned` (this module), which expresses the same
+    mergeable-quantile idea in engine-neutral fixed bins and IS
+    hash-checked; the exact twin agg_percentiles covers exact
+    semantics. ε-bounds tests in tests/ bound this query's estimates.
 
     The sketch array is unpacked to scalar p50/p95/p99 columns: query
     outputs must be canonicalizable (sortable/hashable) by any harness,
