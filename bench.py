@@ -200,6 +200,8 @@ HEADLINE = [
     "curation_repetition_ratio",
     "graph_label_propagation",
     "corpus_source_overlap_matrix",
+    # round-10 additions
+    "curation_quality_train",
 ]
 
 
