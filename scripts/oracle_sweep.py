@@ -60,6 +60,7 @@ def main() -> int:
     con = duck_connection(sf_dir)
     failures: list[str] = []
     results: dict[str, str] = {}
+    timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
         t0 = time.time()
@@ -81,7 +82,8 @@ def main() -> int:
         # that this query's materialization is done, so session
         # storage stays flat across the 343-query sweep.
         release_persisted()
-        print(f"{name:45s} {status:18s} {time.time() - t0:6.2f}s", flush=True)
+        timings[name] = round(time.time() - t0, 2)
+        print(f"{name:45s} {status:18s} {timings[name]:6.2f}s", flush=True)
     wall = round(time.time() - t_all, 1)
     print(
         f"\n{len(names) - len(failures)}/{len(names)} passed at {sf_dir} "
@@ -89,9 +91,14 @@ def main() -> int:
     )
     if failures:
         print("FAILED:", ", ".join(failures))
-    if not substrs and sf_dir == "/root/testdata/sf0.01":
+    stem = {
+        "/root/testdata/sf0.01": "SWEEP_r",
+        "/root/testdata/sf0.1": "SWEEP_SF01_r",
+    }.get(sf_dir)
+    if not substrs and stem:
         rnd = os.environ.get("SPARK_GRAFT_ROUND", "7")
-        out = pathlib.Path(__file__).resolve().parent.parent / f"SWEEP_r{rnd}.json"
+        root = pathlib.Path(__file__).resolve().parent.parent
+        out = root / f"{stem}{rnd}.json"
         out.write_text(
             json.dumps(
                 {
@@ -102,12 +109,66 @@ def main() -> int:
                     "failures": failures,
                     "wall_s": wall,
                     "results": results,
+                    "timings_s": timings,
+                    "slow_vs_prev": _slow_vs_prev(root, stem, rnd, timings),
                 },
                 indent=1,
             )
         )
         print(f"wrote {out.name}")
     return 1 if failures else 0
+
+
+# A non-headline query's plan regression is invisible to the bench
+# gate (it only times the HEADLINE set) — r9 verdict #5. So every full
+# sweep diffs its per-query walls against the previous round's sweep
+# at a loose threshold: >= SLOW_RATIO x AND >= SLOW_FLOOR_S absolute
+# (sub-second jitter at sf0.01 would flood a bare ratio test).
+SLOW_RATIO = 3.0
+SLOW_FLOOR_S = 0.5
+
+
+def _slow_vs_prev(
+    root: pathlib.Path, stem: str, rnd: str, timings: dict[str, float]
+) -> dict:
+    try:
+        prev_rnd = int(rnd) - 1
+    except ValueError:
+        return {"status": f"non-numeric round {rnd!r}; no diff"}
+    prev = root / f"{stem}{prev_rnd}.json"
+    if not prev.exists():
+        return {"status": f"no prior sweep artifact {prev.name}; no diff"}
+    prev_t = json.loads(prev.read_text()).get("timings_s")
+    if not prev_t:
+        return {
+            "status": f"{prev.name} has no per-query timings "
+            "(recorded from round 10 on); no diff"
+        }
+    try:
+        from bench import HEADLINE  # noqa: PLC0415 - repo-root import
+
+        headline = set(HEADLINE)
+    except Exception:  # noqa: BLE001 - diff must not fail the sweep
+        headline = set()
+    flagged = {
+        n: {
+            "prev_s": prev_t[n],
+            "now_s": t,
+            "ratio": round(t / prev_t[n], 2),
+            "headline": n in headline,
+        }
+        for n, t in timings.items()
+        if n in prev_t
+        and prev_t[n] > 0
+        and t >= SLOW_FLOOR_S
+        and t / prev_t[n] >= SLOW_RATIO
+    }
+    return {
+        "status": f"diffed vs {prev.name} at ratio>={SLOW_RATIO}, "
+        f"floor {SLOW_FLOOR_S}s",
+        "n_compared": sum(1 for n in timings if n in prev_t),
+        "flagged": flagged,
+    }
 
 
 if __name__ == "__main__":
