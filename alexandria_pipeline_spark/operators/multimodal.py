@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
 from alexandria_pipeline_spark.registry import query
 
 # Canonical multimodal record: payload + typed metadata. At 100 TB the
@@ -1443,7 +1443,10 @@ def multimodal_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["gray_sum"].append(total)
             yield pd.DataFrame(rows)
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread_to_cores on the id-only projection (r10): the decode +
+    # resize kernel is pure CPU per row and the single-row-group
+    # fixture scans as one task; the spread exchanges only 8-byte ids.
+    d = spread_to_cores(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.mapInPandas(
         letterbox,
         schema=(

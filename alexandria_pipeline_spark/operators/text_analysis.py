@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from alexandria_pipeline_spark.catalog import load_table
+from alexandria_pipeline_spark.catalog import load_table, spread_to_cores
 from alexandria_pipeline_spark.functions.exact import int_div
 from alexandria_pipeline_spark.functions.text import (
     duck_rolling_fingerprint,
@@ -1496,8 +1496,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, but those rows never shuffle — they die in the partial
     aggregate. Reference analog: the reference tokenizes with a
     pretrained HF vocab (script512.py:21); this is the op that BUILDS
-    such a vocab."""
-    d = load_table(spark, sf_dir, "documents")
+    such a vocab. The scan is spread_to_cores'd (r10): the per-word
+    pair explode is CPU-per-row work and the single-row-group fixture
+    scans as one task; on multi-file inputs the spread no-ops."""
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -1649,8 +1651,10 @@ def text_chunk_stitch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the banded-candidate discipline: hash keys first, verify the
     actual window string on the joined pairs to kill collisions). Join
     sides are corpus-row-sized but constant-WIDTH; output is
-    artifact-sized."""
-    d = load_table(spark, sf_dir, "documents")
+    artifact-sized. The scan is spread_to_cores'd (r10): the window +
+    fingerprint build is per-row CPU on a single-row-group fixture
+    scan; no-op on multi-file inputs."""
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     t = d.filter(F.size(toks) >= 2 * STITCH_W).select(
         "doc_id",
