@@ -887,11 +887,13 @@ LPA_ITERS = 4
 LPA_LABEL_BROADCAST_LIMIT = 2_500_000
 
 
-def _duck_lpa_sql() -> str:
+def _duck_lpa_ctes() -> tuple[str, str]:
     """Unrolled synchronous label propagation — same exact-iteration
     technique as _duck_pagerank_sql: fixed iteration count, pure int64
     labels/counts, deterministic min-label tie-break, so each DuckDB
-    CTE stage is bit-identical to the matching Spark iteration."""
+    CTE stage is bit-identical to the matching Spark iteration.
+    Returns (WITH-clause text, name of the final label CTE) so the
+    modularity read-out can extend the same chain."""
     ctes = [
         "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         """edges AS (
@@ -922,10 +924,12 @@ def _duck_lpa_sql() -> str:
             )"""
         )
         prev = f"l{i}"
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node AS part_id, label AS community FROM {prev}"
-    )
+    return "WITH " + ",\n".join(ctes), prev
+
+
+def _duck_lpa_sql() -> str:
+    ctes, prev = _duck_lpa_ctes()
+    return ctes + f"\nSELECT node AS part_id, label AS community FROM {prev}"
 
 
 @query("graph_label_propagation", oracle=_duck_lpa_sql())
@@ -967,12 +971,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: covers the reference's iterative-analytics class
     alongside PageRank/k-core; community assignment itself is absent
     from the 688-LoC reference — this is a north-star addition."""
+    labels, _ = _lpa_labels(_lpa_edges(spark, sf_dir))
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("label").alias("community")
+    )
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted co-purchase edge list, hash-partitioned by dst.
+    repartition("dst") BEFORE dropDuplicates: the dedup aggregate's
+    clustered distribution on (src, dst) is satisfied by the dst
+    hash layout (grouping-key subset), so the dedup costs no second
+    exchange and the persisted blocks come out partitioned by dst —
+    the layout every LPA iteration's aggregates (and the modularity
+    read-out's degree count) then reuse for free."""
     sets = _order_part_sets(spark, sf_dir)
-    # repartition("dst") BEFORE dropDuplicates: the dedup aggregate's
-    # clustered distribution on (src, dst) is satisfied by the dst
-    # hash layout (grouping-key subset), so the dedup costs no second
-    # exchange and the persisted blocks come out partitioned by dst —
-    # the layout every iteration's aggregates then reuse for free.
     edges = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
@@ -981,7 +994,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("dst")
         .dropDuplicates(["src", "dst"])
     )
-    edges = scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
+    return scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
+
+
+def _lpa_labels(edges: DataFrame) -> tuple[DataFrame, bool]:
+    """The LPA_ITERS unrolled label-propagation iterations over the
+    persisted dst-partitioned edge list; returns (labels, whether the
+    label frame fits the broadcast gate — callers joining labels again
+    should honor the same gate)."""
     # dst, not src: the edge set is symmetric (both orientations are
     # emitted), so the node sets are identical — but distinct over the
     # partitioning key runs exchange-free on the persisted layout.
@@ -1009,6 +1029,124 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = best.select(
             F.col("dst").alias("node"), (-F.col("m.neg")).alias("label")
         )
-    return labels.select(
-        F.col("node").alias("part_id"), F.col("label").alias("community")
+    return labels, broadcast_labels
+
+
+_DEC38 = "decimal(38,0)"
+
+
+def _duck_lpa_modularity_sql() -> str:
+    """Extends the unrolled LPA CTE chain with the Newman modularity
+    moments: per-community within-edge counts and degree sums over the
+    SAME directed edge list, folded to one exact-rational read-out."""
+    ctes, prev = _duck_lpa_ctes()
+    return (
+        ctes
+        + f""",
+    lab AS (SELECT node, label FROM {prev}),
+    deg AS (
+      SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM edges GROUP BY dst
+    ),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM edges),
+    within AS (
+      SELECT la.label AS label, CAST(count(*) AS BIGINT) AS e_in
+      FROM edges e
+      JOIN lab la ON e.src = la.node
+      JOIN lab lb ON e.dst = lb.node
+      WHERE la.label = lb.label
+      GROUP BY 1
+    ),
+    dsum AS (
+      SELECT la.label AS label, CAST(sum(d.deg) AS BIGINT) AS d_c
+      FROM deg d JOIN lab la ON d.node = la.node
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(COALESCE(w.e_in, 0)) AS HUGEINT) AS sum_e,
+             CAST(sum(CAST(ds.d_c AS HUGEINT) * ds.d_c) AS HUGEINT) AS sum_d2
+      FROM dsum ds LEFT JOIN within w ON ds.label = w.label
+    )
+    SELECT n_communities,
+           CAST(t AS BIGINT) AS t_directed_edges,
+           CAST((t * sum_e - sum_d2) * 1000000 // (t * t) AS BIGINT) AS q_ppm
+    FROM mom, tot"""
+    )
+
+
+@query("graph_lpa_modularity", oracle=_duck_lpa_modularity_sql())
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community partition — the ONE
+    number that says whether a community detection run found real
+    structure (Q near 0: no better than random given the degree
+    sequence) — composed IN-PLAN over the same shared edge build and
+    the same 4 unrolled LPA iterations, so the oracle checks the whole
+    pipeline end-to-end. On the directed (both-orientations) edge
+    list: Q = sum_c [ E_c/T - (D_c/T)^2 ] with T = directed edge
+    count, E_c = within-community directed edges, D_c = community
+    degree sum; emitted exact as q_ppm = (T*sum(E_c) - sum(D_c^2)) *
+    1e6 // T^2 over the common denominator — one truncating division
+    at the very end, moments in DECIMAL(38,0)/HUGEINT because T^2 is
+    O(m^2).
+
+    Scale shape: labels are computed once and scoped-persisted (n
+    rows, two int64s); the within-edge count joins them onto the
+    persisted dst-partitioned edge list behind the SAME broadcast gate
+    LPA's iterations use (above the gate: shuffle joins, correct but
+    slower — never an unconditional broadcast). The degree count
+    groupBy(dst) is exchange-free on the persisted layout; community
+    rollups shuffle at most n_communities rows; the final moments are
+    a 1-row aggregate cross-joined with the 1-row broadcast edge
+    total. Reference parity: community QUALITY evaluation is absent
+    from the 688-LoC reference; north-star addition completing detect
+    -> evaluate for the graph family."""
+    edges = _lpa_edges(spark, sf_dir)
+    labels, fits_gate = _lpa_labels(edges)
+    labels = scoped_persist(labels)
+    lab_src = labels.select(
+        F.col("node").alias("src_node"), F.col("label").alias("src_label")
+    )
+    lab_dst = labels.select(
+        F.col("node").alias("dst_node"), F.col("label").alias("dst_label")
+    )
+    if fits_gate:
+        lab_src, lab_dst = F.broadcast(lab_src), F.broadcast(lab_dst)
+    within = (
+        edges.join(lab_src, edges.src == F.col("src_node"))
+        .join(lab_dst, edges.dst == F.col("dst_node"))
+        .filter(F.col("src_label") == F.col("dst_label"))
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    # degree by dst: exchange-free on the persisted dst layout (the
+    # edge set is symmetric, so in-degree == out-degree).
+    deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    lab_d = F.broadcast(labels) if fits_gate else labels
+    dsum = (
+        deg.join(lab_d, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    mom = (
+        dsum.join(within, "label", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum(F.coalesce(F.col("e_in"), F.lit(0)))
+            .cast(_DEC38)
+            .alias("sum_e"),
+            F.sum(F.col("d_c").cast(_DEC38) * F.col("d_c"))
+            .cast(_DEC38)
+            .alias("sum_d2"),
+        )
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast(_DEC38).alias("t"))
+    return mom.crossJoin(F.broadcast(tot)).select(
+        "n_communities",
+        F.col("t").cast("long").alias("t_directed_edges"),
+        F.expr(
+            "CAST((t * sum_e - sum_d2) * 1000000 div (t * t) AS BIGINT)"
+        ).alias("q_ppm"),
     )

@@ -202,6 +202,7 @@ HEADLINE = [
     "corpus_source_overlap_matrix",
     # round-10 additions
     "curation_quality_train",
+    "graph_lpa_modularity",
 ]
 
 

@@ -120,6 +120,24 @@ ADJUDICATIONS = {
     ),
 }
 
+# Re-baselined queries (r9 verdict #2): when a flag has been
+# adjudicated as host-vintage (the historical record is not
+# reproducible by the LITERAL historical plan on the current host),
+# carrying the dead record forward re-raises the same flag every
+# round. The fix the verdict prescribes is a FRESH same-host
+# min-of-4 record at current HEAD, which becomes the earliest-vintage
+# baseline from here on; the retired record stays visible in the
+# entry for auditability.
+REBASELINES = {
+    "graph_jaccard_neighbors": {
+        "sec": 3.089,
+        "src": "same-host min-of-4 at r10 HEAD (2026-08-16, "
+        "SPARK_GRAFT_BENCH_RUNS=4), replacing the adjudicated "
+        "host-vintage 1.561s r4 record — the literal r4 plan "
+        "measures 3.7-3.9s on this host (see ADJUDICATIONS)",
+    },
+}
+
 
 def _round_key(path: str) -> int:
     m = re.search(r"_r0*(\d+)", path)
@@ -192,6 +210,15 @@ def build_baseline(
                 prov[name] = pathlib.Path(path).name
             latest[name] = float(sec)
             latest_prov[name] = pathlib.Path(path).name
+    for name, rb in REBASELINES.items():
+        # the retired record stays visible in the provenance string
+        retired = (
+            f" [retired: {times[name]}s from {prov[name]}]"
+            if name in times
+            else ""
+        )
+        times[name] = rb["sec"]
+        prov[name] = rb["src"] + retired
     return times, prov, latest, latest_prov
 
 

@@ -1,5 +1,7 @@
-"""Round-10 invariants for curation_quality_train (verdict item #4):
-the trained linear quality classifier must actually LEARN —
+"""Round-10 invariants: curation_quality_train (verdict item #4) and
+graph_lpa_modularity (the LPA-composition read-out).
+
+The trained linear quality classifier must actually LEARN —
 
   - the training trajectory must descend (MSE strictly decreasing
     over the unrolled steps, population constant);
@@ -101,3 +103,18 @@ def test_quality_train_beats_uniform_auc_and_learns_signs(spark):
     assert auc_trained > auc_uniform, (auc_trained, auc_uniform)
     # Learned sign structure: TTR anti-correlates with the label here.
     assert final.w_uniq_e6 < 0
+
+
+def test_lpa_modularity_reconciles_with_lpa_partition(spark):
+    """graph_lpa_modularity composes the SAME edge build and unrolled
+    LPA iterations in-plan; its community count must equal the
+    distinct community count of the registered LPA query, its edge
+    total must be even (both orientations present), and Q must lie in
+    Newman's range (-1, 1) — here as ppm."""
+    register_all()
+    row = QUERIES["graph_lpa_modularity"](spark, SF_SMOKE).collect()[0]
+    lpa = QUERIES["graph_label_propagation"](spark, SF_SMOKE)
+    n_comms = lpa.select("community").distinct().count()
+    assert row.n_communities == n_comms
+    assert row.t_directed_edges % 2 == 0 and row.t_directed_edges > 0
+    assert -1_000_000 < row.q_ppm < 1_000_000
