@@ -25,11 +25,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 from alexandria_pipeline_spark.registry import release_persisted
 
-# r8: the knn-eval trio + dedup_embedding_cosine moved candidate
-# scoring into per-bucket Arrow kernels (functions/bucketed.py) and
-# every sketch query's persists now release via the registry scope —
-# fresh file so post-rewrite runs aren't mixed with retired-plan rows.
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r9.json"
+# r10: LPA's edge cache is now dst-partitioned (zero per-iteration
+# exchanges), four scan-serialized queries gained spread_to_cores, and
+# two queries are new — fresh file so post-rewrite runs aren't mixed
+# with retired-plan rows (same policy as the r8 -> r9 rollover).
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r10.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os
