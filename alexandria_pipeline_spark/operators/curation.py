@@ -1994,12 +1994,16 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, all int64 — text never survives the fold) is persisted
     once; the centering moments are ONE extra 1-row aggregate
     broadcast back onto the scan, and each step is ONE scan of the
-    persisted frame cross-joined with the broadcast 1-ROW weight
-    relation, folding into a single-row moment aggregate (map-side
-    combinable; the partial state is 6 int128 cells). No shuffle ever
-    carries more than one row; step count is a compile-time constant,
-    so plan depth is bounded — the same discipline as the other
-    unrolled iterative queries. At 100 TB this is QT_STEPS + 1 linear
+    persisted frame with the previous step's 1-row weight vector
+    COLLECTED to the driver (4 int64s — the constant-bounded-collect
+    class, same as the kmeans centroids) and re-embedded as literals,
+    folding into a single-row moment aggregate (map-side combinable;
+    the partial state is 6 int128 cells). Collecting the weights is
+    what makes the scan count truly QT_STEPS + 1 (r10 ADVICE: the
+    earlier live-plan chaining re-executed steps 1..t-1 inside step t
+    — O(T^2) scans); the returned trajectory is a local relation of
+    QT_STEPS rows, so no step ever re-executes. No shuffle ever
+    carries more than one row; at 100 TB this is QT_STEPS + 1 linear
     scans of a ~40-byte-per-doc frame, embarrassingly parallel.
 
     Reference parity: the reference's quality filtering is upstream of
@@ -2053,15 +2057,19 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x2") - F.col("m2")).alias("x2"),
         (F.col("x3") - F.col("m3")).alias("x3"),
     )
-    x = scoped_persist(x)
-    w = spark.range(1).select(
-        F.lit(0).cast("long").alias("wb"),
-        F.lit(0).cast("long").alias("wl"),
-        F.lit(0).cast("long").alias("wu"),
-        F.lit(0).cast("long").alias("wa"),
-    )
-    step_rows = []
+    x = x.persist()
+    # Weights live driver-side between steps (4 int64s): each step's
+    # plan embeds them as literals, so step t is exactly one scan of
+    # the persisted frame and never replays steps 1..t-1.
+    wb, wl, wu, wa = 0, 0, 0, 0
+    traj: list[tuple] = []
     for t in range(1, QT_STEPS + 1):
+        w = spark.range(1).select(
+            F.lit(wb).cast("long").alias("wb"),
+            F.lit(wl).cast("long").alias("wl"),
+            F.lit(wu).cast("long").alias("wu"),
+            F.lit(wa).cast("long").alias("wa"),
+        )
         scored = x.crossJoin(F.broadcast(w)).withColumn(
             "err",
             F.col("y")
@@ -2103,14 +2111,18 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(wa + g3 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
             ).alias("w_awl_e6"),
         )
-        step_rows.append(row_t)
-        w = row_t.select(
-            F.col("w_bias_e6").alias("wb"),
-            F.col("w_len_e6").alias("wl"),
-            F.col("w_uniq_e6").alias("wu"),
-            F.col("w_awl_e6").alias("wa"),
+        rec = row_t.collect()[0]
+        traj.append(tuple(rec))
+        wb, wl, wu, wa = (
+            rec["w_bias_e6"],
+            rec["w_len_e6"],
+            rec["w_uniq_e6"],
+            rec["w_awl_e6"],
         )
-    out = step_rows[0]
-    for r in step_rows[1:]:
-        out = out.union(r)
+    x.unpersist()
+    out = spark.createDataFrame(
+        traj,
+        "step int, n_docs long, mse_e6 long, w_bias_e6 long, "
+        "w_len_e6 long, w_uniq_e6 long, w_awl_e6 long",
+    )
     return out.orderBy("step")

@@ -131,6 +131,7 @@ ADJUDICATIONS = {
 REBASELINES = {
     "graph_jaccard_neighbors": {
         "sec": 3.089,
+        "round": 10,
         "src": "same-host min-of-4 at r10 HEAD (2026-08-16, "
         "SPARK_GRAFT_BENCH_RUNS=4), replacing the adjudicated "
         "host-vintage 1.561s r4 record — the literal r4 plan "
@@ -195,6 +196,12 @@ def build_baseline(
     prov: dict[str, str] = {}
     latest: dict[str, float] = {}
     latest_prov: dict[str, str] = {}
+    # post-rebaseline minima: for a rebaselined query, records from
+    # rounds NEWER than the rebaseline round may re-tighten the
+    # baseline (r10 ADVICE: an unconditional overwrite would pin the
+    # gate at the rebaseline forever, loosening it past any genuine
+    # later improvement).
+    post_rb: dict[str, tuple[float, str]] = {}
     for path in candidates:
         if exclude and pathlib.Path(path).name == exclude:
             continue
@@ -202,6 +209,7 @@ def build_baseline(
             doc = json.loads(pathlib.Path(path).read_text())
         except (json.JSONDecodeError, OSError):
             continue
+        rnd = _round_key(path)
         for name, sec in _per_query(doc).items():
             if not isinstance(sec, (int, float)):
                 continue
@@ -210,6 +218,11 @@ def build_baseline(
                 prov[name] = pathlib.Path(path).name
             latest[name] = float(sec)
             latest_prov[name] = pathlib.Path(path).name
+            rb = REBASELINES.get(name)
+            if rb and rnd > rb.get("round", 0):
+                cur = post_rb.get(name)
+                if cur is None or float(sec) < cur[0]:
+                    post_rb[name] = (float(sec), pathlib.Path(path).name)
     for name, rb in REBASELINES.items():
         # the retired record stays visible in the provenance string
         retired = (
@@ -217,8 +230,16 @@ def build_baseline(
             if name in times
             else ""
         )
-        times[name] = rb["sec"]
-        prov[name] = rb["src"] + retired
+        # floor-replacement: the rebaseline retires only records OLDER
+        # than its round; a faster measurement from a later round
+        # re-tightens the baseline.
+        post = post_rb.get(name)
+        if post is not None and post[0] < rb["sec"]:
+            times[name] = post[0]
+            prov[name] = f"{post[1]} (post-rebaseline min){retired}"
+        else:
+            times[name] = rb["sec"]
+            prov[name] = rb["src"] + retired
     return times, prov, latest, latest_prov
 
 

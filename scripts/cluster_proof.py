@@ -100,9 +100,7 @@ def main() -> int:
     if "--sample" in sys.argv:
         # Every-kth sample of the WHOLE registered oracle surface (names
         # sorted, so the stride cuts across operator families), merged
-        # with the hand-picked execution-family slice. Streaming and
-        # side-effecting queries are excluded (streaming is covered by
-        # the dedicated STREAM_QUERY; sinks write paths).
+        # with the hand-picked execution-family slice.
         idx = sys.argv.index("--sample")
         if idx + 1 >= len(sys.argv):
             print("usage: cluster_proof.py --sample K  (K >= 1)")

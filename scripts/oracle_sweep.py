@@ -40,6 +40,10 @@ from tests.oracle import compare, duck_connection
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Normalize before anything keys on the path (r10 ADVICE: a
+    # trailing slash or symlink variant silently skipped the artifact
+    # write, leaving a full sweep with no record).
+    sf_dir = os.path.realpath(sf_dir).rstrip("/")
     substrs = sys.argv[2:]
     register_all()
     names = sorted(
@@ -61,16 +65,29 @@ def main() -> int:
     failures: list[str] = []
     results: dict[str, str] = {}
     timings: dict[str, float] = {}
+    # Split timings (r10 verdict #2): spark_s covers plan construction
+    # + full materialization (collect for oracle queries, count for
+    # rows-only); oracle_s is DuckDB execution + the value compare.
+    # Without the split, a slow sweep row can't be attributed to the
+    # engine vs the oracle.
+    spark_timings: dict[str, float] = {}
+    oracle_timings: dict[str, float] = {}
     t_all = time.time()
     for name in names:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, sf_dir)
             if name in ORACLES:
-                compare(df, con, ORACLES[name], name)
+                scols = list(df.columns)
+                srows = [tuple(r) for r in df.collect()]
+                spark_timings[name] = round(time.time() - t0, 2)
+                t1 = time.time()
+                compare(df, con, ORACLES[name], name, collected=(scols, srows))
+                oracle_timings[name] = round(time.time() - t1, 2)
                 status = "ok"
             else:
                 n = df.count()
+                spark_timings[name] = round(time.time() - t0, 2)
                 status = f"rows-only ({n})"
         except Exception as exc:  # noqa: BLE001 - sweep must not stop
             status = f"FAIL {type(exc).__name__}"
@@ -83,7 +100,12 @@ def main() -> int:
         # storage stays flat across the 343-query sweep.
         release_persisted()
         timings[name] = round(time.time() - t0, 2)
-        print(f"{name:45s} {status:18s} {timings[name]:6.2f}s", flush=True)
+        sp = spark_timings.get(name)
+        split = f" (spark {sp:.2f}s)" if sp is not None else ""
+        print(
+            f"{name:45s} {status:18s} {timings[name]:6.2f}s{split}",
+            flush=True,
+        )
     wall = round(time.time() - t_all, 1)
     print(
         f"\n{len(names) - len(failures)}/{len(names)} passed at {sf_dir} "
@@ -92,9 +114,14 @@ def main() -> int:
     if failures:
         print("FAILED:", ", ".join(failures))
     stem = {
-        "/root/testdata/sf0.01": "SWEEP_r",
-        "/root/testdata/sf0.1": "SWEEP_SF01_r",
-    }.get(sf_dir)
+        "sf0.01": "SWEEP_r",
+        "sf0.1": "SWEEP_SF01_r",
+    }.get(pathlib.Path(sf_dir).name)
+    if not substrs and not stem:
+        print(
+            f"NOTE: full sweep completed but {sf_dir} maps to no known "
+            "artifact stem (sf0.01/sf0.1) — no SWEEP_r{N} record written"
+        )
     if not substrs and stem:
         rnd = os.environ.get("SPARK_GRAFT_ROUND", "7")
         root = pathlib.Path(__file__).resolve().parent.parent
@@ -110,7 +137,11 @@ def main() -> int:
                     "wall_s": wall,
                     "results": results,
                     "timings_s": timings,
-                    "slow_vs_prev": _slow_vs_prev(root, stem, rnd, timings),
+                    "spark_timings_s": spark_timings,
+                    "oracle_timings_s": oracle_timings,
+                    "slow_vs_prev": _slow_vs_prev(
+                        root, stem, rnd, timings, spark_timings
+                    ),
                 },
                 indent=1,
             )
@@ -129,7 +160,11 @@ SLOW_FLOOR_S = 0.5
 
 
 def _slow_vs_prev(
-    root: pathlib.Path, stem: str, rnd: str, timings: dict[str, float]
+    root: pathlib.Path,
+    stem: str,
+    rnd: str,
+    timings: dict[str, float],
+    spark_timings: dict[str, float] | None = None,
 ) -> dict:
     try:
         prev_rnd = int(rnd) - 1
@@ -138,7 +173,17 @@ def _slow_vs_prev(
     prev = root / f"{stem}{prev_rnd}.json"
     if not prev.exists():
         return {"status": f"no prior sweep artifact {prev.name}; no diff"}
-    prev_t = json.loads(prev.read_text()).get("timings_s")
+    prev_doc = json.loads(prev.read_text())
+    # Prefer engine-only timings on both sides when available (r10
+    # verdict #2: combined walls mis-attribute oracle time to the
+    # engine); fall back to the combined wall for older artifacts.
+    basis = "spark_timings_s"
+    prev_t = prev_doc.get("spark_timings_s")
+    if prev_t and spark_timings:
+        timings = spark_timings
+    else:
+        basis = "timings_s"
+        prev_t = prev_doc.get("timings_s")
     if not prev_t:
         return {
             "status": f"{prev.name} has no per-query timings "
@@ -164,7 +209,7 @@ def _slow_vs_prev(
         and t / prev_t[n] >= SLOW_RATIO
     }
     return {
-        "status": f"diffed vs {prev.name} at ratio>={SLOW_RATIO}, "
+        "status": f"diffed vs {prev.name} ({basis}) at ratio>={SLOW_RATIO}, "
         f"floor {SLOW_FLOOR_S}s",
         "n_compared": sum(1 for n in timings if n in prev_t),
         "flagged": flagged,

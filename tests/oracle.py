@@ -50,10 +50,14 @@ def _rows_to_multiset(rows, col_order):
     )
 
 
-def compare(spark_df, con, sql: str, name: str = "?") -> None:
-    sdf = spark_df
-    scols = list(sdf.columns)
-    srows = [tuple(r) for r in sdf.collect()]
+def compare(spark_df, con, sql: str, name: str = "?", collected=None) -> None:
+    """collected=(cols, rows) skips the Spark collect — used by the
+    sweep to time engine materialization separately from the oracle."""
+    if collected is not None:
+        scols, srows = collected
+    else:
+        scols = list(spark_df.columns)
+        srows = [tuple(r) for r in spark_df.collect()]
 
     rel = con.sql(sql)
     dcols = list(rel.columns)
