@@ -61,12 +61,14 @@ def sketch_cache_root() -> str:
     )
 
 
-def source_digest(sf_dir: str) -> str:
-    """Stat-digest of documents.parquet (file or directory of parts):
-    (relative path, size, mtime_ns) per file, order-independent via
-    sorted walk. Any regeneration of the testdata changes mtime_ns, so
-    a stale sketch can never match."""
-    src = os.path.join(sf_dir, "documents.parquet")
+def source_digest(sf_dir: str, table: str = "documents") -> str:
+    """Stat-digest of a source table's parquet (file or directory of
+    parts): (relative path, size, mtime_ns) per file, order-independent
+    via sorted walk. Any regeneration of the testdata changes mtime_ns,
+    so a stale sketch can never match. `table` defaults to documents
+    (the shingle sketch); the jaccard signature relation digests
+    lineitem the same way."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.sha256()
     h.update(os.path.abspath(src).encode())
     if os.path.isdir(src):

@@ -248,6 +248,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - queries fall back inline
         print(f"sketch build failed (inline fallback): {exc!r}", file=sys.stderr)
 
+    # Same economics for the jaccard signature relation (r11): below
+    # the gate this records only the gate operand (meta write), above
+    # it the edge + signature parquets. Timed and reported separately
+    # so the per-query number measures the read path.
+    jsig_build_sec = None
+    try:
+        from alexandria_pipeline_spark.operators.graph import (
+            run_jaccard_sig_build_job,
+        )
+
+        t0 = time.perf_counter()
+        run_jaccard_sig_build_job(spark, sf_dir)
+        jsig_build_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 - query falls back inline
+        print(f"jsig build failed (inline fallback): {exc!r}", file=sys.stderr)
+
     # One failing query must never cost the whole run its JSON line
     # (round 2 lost all bench numbers to a single AnalysisException):
     # record the failure per-query, keep timing the rest, and exit 0 as
@@ -304,6 +320,7 @@ def main() -> None:
         "timing": "min_of_runs",
         "queries": timings,
         "sketch_build_sec": sketch_build_sec,
+        "jsig_build_sec": jsig_build_sec,
         "sf": sf_val,
     }
     if errors:

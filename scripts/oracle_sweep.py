@@ -61,6 +61,17 @@ def main() -> int:
         run_sketch_build_job(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 - queries fall back inline
         print(f"sketch build failed (inline fallback): {exc!r}")
+    # Same for the jaccard signature relation (r11) — at sweep scales
+    # this is a below-gate meta write, so the sweep hash-checks the
+    # meta-supplied-raw_pairs read path the bench/production run uses.
+    try:
+        from alexandria_pipeline_spark.operators.graph import (
+            run_jaccard_sig_build_job,
+        )
+
+        run_jaccard_sig_build_job(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - query falls back inline
+        print(f"jsig build failed (inline fallback): {exc!r}")
     con = duck_connection(sf_dir)
     failures: list[str] = []
     results: dict[str, str] = {}
