@@ -436,15 +436,75 @@ def _jaccard_sigs(edges: DataFrame, K: int) -> DataFrame:
     return mins.select("node", "deg", *packs)
 
 
+def _jaccard_pair_frame(edges: DataFrame, sigs: DataFrame, NP: int) -> DataFrame:
+    """Every edge with both endpoints' (deg, packed signature) attached
+    — the frame the scoring expression runs over. The two id-keyed
+    joins here are the dominant cost of the whole query at scale
+    (measured sf10: ~260 of ~295 s), which is why the build job
+    materializes THIS frame, not just the signatures."""
+    sa = sigs.select(
+        F.col("node").alias("a"),
+        F.col("deg").alias("da"),
+        *[F.col(f"p{g}").alias(f"pa{g}") for g in range(NP)],
+    ).hint("shuffle_hash")
+    sb = sigs.select(
+        F.col("node").alias("b"),
+        F.col("deg").alias("db"),
+        *[F.col(f"p{g}").alias(f"pb{g}") for g in range(NP)],
+    ).hint("shuffle_hash")
+    return edges.join(sa, "a").join(sb, "b")
+
+
+def _jaccard_scored(paired: DataFrame, K: int, NP: int) -> DataFrame:
+    """The sketch estimator over the pair frame: slot-match count m as
+    a K-term codegen equality sum over the packed columns, then
+    n_common read back from j = m/K via n_common = m·(da+db)/(K+m)
+    and jaccard_ppm = m·1e6/K, both truncating integer."""
+    terms = []
+    for g in range(NP):
+        for j in range(4):
+            sh = 16 * j
+            terms.append(
+                (
+                    F.shiftrightunsigned(F.col(f"pa{g}"), sh).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    == F.shiftrightunsigned(F.col(f"pb{g}"), sh).bitwiseAND(
+                        F.lit(65535)
+                    )
+                ).cast("long")
+            )
+    matches = sum(terms[1:], terms[0])
+    return paired.select(
+        "a",
+        "b",
+        matches.alias("m"),
+        (F.col("da") + F.col("db")).alias("dsum"),
+    ).select(
+        "a",
+        "b",
+        F.expr(f"CAST(m * dsum div ({K} + m) AS BIGINT)").alias("n_common"),
+        F.expr(f"CAST(m * 1000000 div {K} AS BIGINT)").alias("jaccard_ppm"),
+    )
+
+
 def run_jaccard_sig_build_job(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> str:
-    """Build-once job for the jaccard signature relation. Above the
-    gate, writes the deduped edge parquet, reads it BACK (so the
-    signature aggregate consumes the materialization, not a recompute),
-    and writes the signature parquet next to it; below the gate, only
-    the meta (raw_pairs + below_gate) is recorded — the exact path
-    never reads signatures, but consumers still skip the gate scan.
+    """Build-once job for the jaccard edge-similarity relation. Above
+    the gate, writes (1) the deduped edge parquet and (2) `escores` —
+    every edge SCORED: (a, b, n_common, jaccard_ppm), zero-overlap
+    rows excluded (they are excluded from every read-out anyway: the
+    oracle's wedge GROUP BY never emits them). The r11 stress session
+    measured the alternatives at sf10: inline 295.6 s; materialized
+    signatures (join per read) 260.8 s; materialized pre-joined
+    signature pairs 216.5 s — scanning edge-sized signature payloads
+    is the floor, so the build runs the whole
+    edges → signatures → join → score pipeline once and persists the
+    4-column result, the relation a link-prediction consumer actually
+    re-reads (any top-k, any threshold). Below the gate, only the meta
+    (raw_pairs + below_gate) is recorded — the exact path never reads
+    signatures, but consumers still skip the gate scan.
     The meta sidecar commits AFTER the parquet writes: a crash
     mid-build leaves a digest-named directory without meta, which
     jaccard_sig_meta treats as absent. Returns the location."""
@@ -454,6 +514,13 @@ def run_jaccard_sig_build_job(
     if meta is not None and not force:
         return meta["loc"]
     loc = jaccard_sig_location(sf_dir)
+    # Full rebuild: clear any prior layout first (a forced rebuild or
+    # a layout change must not leave stale subdirectories behind —
+    # the meta sidecar is gone from here until the new one commits,
+    # so readers treat the location as absent throughout).
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
     doc: dict = {
         "digest": source_digest(sf_dir, "lineitem"),
         "source": os.path.abspath(sf_dir),
@@ -466,9 +533,12 @@ def run_jaccard_sig_build_job(
         doc["K"] = K
         edges_loc = os.path.join(loc, "edges")
         _jaccard_edges(spark, sf_dir).write.mode("overwrite").parquet(edges_loc)
-        _jaccard_sigs(spark.read.parquet(edges_loc), K).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(loc, "sigs"))
+        edges = spark.read.parquet(edges_loc)
+        sigs = _jaccard_sigs(edges, K).persist(StorageLevel.MEMORY_AND_DISK)
+        _jaccard_scored(_jaccard_pair_frame(edges, sigs, K // 4), K, K // 4).filter(
+            F.col("n_common") >= 1
+        ).write.mode("overwrite").parquet(os.path.join(loc, "escores"))
+        sigs.unpersist()
     os.makedirs(loc, exist_ok=True)
     with open(os.path.join(loc, _JSIG_META), "w") as f:
         json.dump(doc, f)
@@ -550,14 +620,18 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm. The exact path — and thus the sf0.01 oracle hash — is
     unchanged below the gate.
 
-    Since r11 the edge list and signatures are a WRITTEN-ONCE relation
+    Since r11 the sketch path is backed by a WRITTEN-ONCE relation
     (run_jaccard_sig_build_job, the shingle-sketch economics): a fresh
     content-addressed materialization supplies raw_pairs (no gate
-    scan) and, above the gate, both parquets — so the read path is two
-    scans + two shuffle_hash joins + top-k, with the edge build and
-    the K-way min aggregate paid once per corpus generation. Stale or
-    absent materializations fall back to the identical inline plan;
-    SPARK_GRAFT_JACCARD_SIG_DISABLE forces inline."""
+    scan) and, above the gate, the pre-SCORED edge-similarity parquet
+    (a, b, n_common, jaccard_ppm) — the r11 stress session measured
+    signatures-only and pre-joined-signatures caches and found
+    edge-sized signature scanning is the floor (sf10: 295.6 s inline /
+    260.8 s sig cache / 216.5 s pair cache), so the build runs the
+    whole pipeline once and the read path is a small 4-column scan +
+    TakeOrdered. Stale or absent materializations fall back to the
+    bitwise-identical inline plan; SPARK_GRAFT_JACCARD_SIG_DISABLE
+    forces inline."""
     # Written-once read path (r11): a fresh signature materialization
     # supplies raw_pairs (skipping the gate's lineitem scan) and, above
     # the gate, the edge + signature parquets — see
@@ -674,14 +748,18 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # K still auto-halves above JACCARD_K_HALVE_PAIRS so the
         # payload stays bounded as the graph grows.
         if jsig is not None and "K" in jsig:
-            # Read path: both relations are lazy parquet scans of the
-            # written-once materialization — no collect_set explode, no
-            # K-way min aggregate, no persist (parquet re-scan of the
-            # small sigs frame is cheaper than caching it).
+            # Read path: ONE lazy parquet scan of the pre-SCORED edge
+            # relation (a, b, n_common, jaccard_ppm; zero-overlap rows
+            # already excluded). The r11 stress session measured the
+            # layers one by one at sf10: inline 295.6 s; caching
+            # signatures only (join still per-read) 260.8 s; caching
+            # the pre-joined signature pairs (19 GB scan) 216.5 s — the
+            # scan of edge-sized signature payloads, not the joins or
+            # the signature math, is the floor. So the build
+            # materializes the 4-column scored relation instead, and
+            # what remains per read is a small scan + TakeOrdered.
             K = jsig["K"]
-            NP = K // 4
-            edges = spark.read.parquet(os.path.join(jsig["loc"], "edges"))
-            sigs = spark.read.parquet(os.path.join(jsig["loc"], "sigs"))
+            scored = spark.read.parquet(os.path.join(jsig["loc"], "escores"))
         else:
             # Inline build. deg + mins come from ONE aggregate over the
             # flipped union of the persisted edges — the deduped set
@@ -701,48 +779,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _jaccard_sigs(edges, K),
                 StorageLevel.MEMORY_AND_DISK,
             )
-        sa = sigs.select(
-            F.col("node").alias("a"),
-            F.col("deg").alias("da"),
-            *[F.col(f"p{g}").alias(f"pa{g}") for g in range(NP)],
-        ).hint("shuffle_hash")
-        sb = sigs.select(
-            F.col("node").alias("b"),
-            F.col("deg").alias("db"),
-            *[F.col(f"p{g}").alias(f"pb{g}") for g in range(NP)],
-        ).hint("shuffle_hash")
-        paired = edges.join(sa, "a").join(sb, "b")
-        terms = []
-        for g in range(NP):
-            for j in range(4):
-                sh = 16 * j
-                terms.append(
-                    (
-                        F.shiftrightunsigned(F.col(f"pa{g}"), sh).bitwiseAND(
-                            F.lit(65535)
-                        )
-                        == F.shiftrightunsigned(F.col(f"pb{g}"), sh).bitwiseAND(
-                            F.lit(65535)
-                        )
-                    ).cast("long")
-                )
-        matches = sum(terms[1:], terms[0])
-        # j = m/K  =>  n_common = j·(da+db)/(1+j) = m·(da+db)/(K+m)
-        scored = paired.select(
-            "a",
-            "b",
-            matches.alias("m"),
-            (F.col("da") + F.col("db")).alias("dsum"),
-        ).select(
-            "a",
-            "b",
-            F.expr(
-                f"CAST(m * dsum div ({K} + m) AS BIGINT)"
-            ).alias("n_common"),
-            F.expr(
-                f"CAST(m * 1000000 div {K} AS BIGINT)"
-            ).alias("jaccard_ppm"),
-        )
+            scored = _jaccard_scored(
+                _jaccard_pair_frame(edges, sigs, NP), K, NP
+            )
     # Edges with ZERO common neighbors are excluded before the top-N:
     # the oracle's wedge GROUP BY is an inner join and so never emits
     # them, and on sparse graphs (< top-N edges with any overlap) the
@@ -751,6 +790,104 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("n_common") >= 1)
         .orderBy(F.desc("jaccard_ppm"), F.asc("a"), F.asc("b"))
         .limit(JACCARD_TOP_N)
+    )
+
+
+RA_TOP_N = 20
+
+
+@query(
+    "graph_resource_allocation",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL
+      SELECT b AS node, a AS nb FROM e
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    common AS (
+      SELECT e.a, e.b, n1.nb AS z
+      FROM e
+      JOIN adj n1 ON n1.node = e.a
+      JOIN adj n2 ON n2.node = e.b AND n2.nb = n1.nb
+    )
+    SELECT c.a, c.b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+    FROM common c JOIN deg d ON d.node = c.z
+    GROUP BY c.a, c.b
+    ORDER BY ra_e6 DESC, a, b
+    LIMIT {RA_TOP_N}
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index on the part
+    co-purchase graph: for every EDGE (a, b), RA(a, b) =
+    Σ_{{z ∈ N(a)∩N(b)}} 1/deg(z) — common neighbors weighted DOWN by
+    their degree (Zhou/Lü/Zhang 2009), the standard complement to the
+    unweighted Jaccard score next door: a hub shared by everyone says
+    little; a degree-2 broker says a lot. Exact cross-engine in e6
+    fixed point: each term is the truncating 1_000_000 div deg(z),
+    summed as int64 (bounded by 500_000·n_common since any common
+    neighbor has deg ≥ 2 — the invariant test pins this).
+
+    Plan shape (the triangle-count discipline, not the oracle's naive
+    wedge GROUP BY): wedges are enumerated from each edge's
+    LOWER-DEGREE endpoint only — candidates Σ min(deg(a), deg(b)) =
+    O(m^1.5) (Chiba–Nishizeki), hub-skew-proof where the naive
+    Σ deg(a) is quadratic in hub degree — then closed against the
+    adjacency relation by an equi-join on (hi, z) and scored by one
+    shuffle join on deg(z) + a map-side-combinable (a, b) sum. The
+    deduped edge list is the jaccard family's `_jaccard_edges` frame,
+    persisted once and read three ways (adjacency, degree, wedge
+    source); all joins are id-keyed equi-joins — nothing quadratic in
+    the fact data ever materializes. Top-20 survives via TakeOrdered
+    with the (ra_e6, a, b) total order."""
+    edges = scoped_persist(
+        _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
+    adj = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # min-degree orientation: enumerate each edge's wedges from its
+    # lower-degree endpoint (ties to a — deterministic, and both
+    # orders enumerate the same common-neighbor set)
+    ed = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+    )
+    wedges = ed.join(
+        adj.select(F.col("node").alias("lo"), F.col("nb").alias("z")), "lo"
+    ).filter(F.col("z") != F.col("hi"))
+    closed = wedges.join(
+        adj.select(F.col("node").alias("hi"), F.col("nb").alias("z")),
+        ["hi", "z"],
+    )
+    scored = closed.join(
+        deg.select(F.col("node").alias("z"), "deg"), "z"
+    ).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(int_div(F.lit(1_000_000), F.col("deg"))).cast("long").alias("ra_e6"),
+    )
+    return (
+        scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
+        .limit(RA_TOP_N)
     )
 
 

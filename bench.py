@@ -203,6 +203,8 @@ HEADLINE = [
     # round-10 additions
     "curation_quality_train",
     "graph_lpa_modularity",
+    # round-11 additions
+    "graph_resource_allocation",
 ]
 
 

@@ -25,11 +25,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from alexandria_pipeline_spark import QUERIES, get_spark, register_all
 from alexandria_pipeline_spark.registry import release_persisted
 
-# r10: LPA's edge cache is now dst-partitioned (zero per-iteration
-# exchanges), four scan-serialized queries gained spread_to_cores, and
-# two queries are new — fresh file so post-rewrite runs aren't mixed
-# with retired-plan rows (same policy as the r8 -> r9 rollover).
-STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r10.json"
+# r11: the graph family + quality_train were re-measured in ONE fresh
+# session by scripts/graph_stress_session.py (STRESS_r11.json, which
+# this file now appends to for --all-new additions); jaccard gained
+# the written-once signature read path and quality_train the
+# collect-per-step rewrite. Unchanged plans keep their STRESS_r10
+# rows (same policy as the r8 -> r9 rollover).
+STRESS_JSON = pathlib.Path(__file__).resolve().parent.parent / "STRESS_r11.json"
 # Override the measured scale points with e.g.
 #   SPARK_GRAFT_STRESS_DIRS="sf0.1=/root/testdata/sf0.1,sf3=.stress/sf3"
 import os

@@ -72,21 +72,30 @@ def test_above_gate_read_path_is_value_identical_to_inline(
     meta = json.load(open(os.path.join(loc, "_jsig_meta.json")))
     assert meta["K"] in (G.JACCARD_SKETCH_K, G.JACCARD_SKETCH_K // 2)
     assert os.path.isdir(os.path.join(loc, "edges"))
-    assert os.path.isdir(os.path.join(loc, "sigs"))
+    assert os.path.isdir(os.path.join(loc, "escores"))
     # the read path really serves the materialization...
     df = QUERIES["graph_jaccard_neighbors"](spark, jsig_env)
     assert any(loc in f for f in df.inputFiles())
     # ...and is bitwise the inline sketch plan's output
     assert [tuple(r) for r in df.collect()] == inline
     release_persisted()
-    # the parquet signature columns match the inline frame's names and
-    # types (a type drift would change downstream overflow semantics
-    # silently; parquet round-trips relax nullability, which is fine)
-    sigs = spark.read.parquet(os.path.join(loc, "sigs"))
-    inline_sigs = G._jaccard_sigs(G._jaccard_edges(spark, jsig_env), meta["K"])
-    assert [(f.name, f.dataType) for f in sigs.schema] == [
-        (f.name, f.dataType) for f in inline_sigs.schema
+    # the scored parquet matches the inline scored frame exactly
+    # (names, types, AND the full row multiset under the same
+    # n_common >= 1 filter — not just the top-20 read-out)
+    escores = spark.read.parquet(os.path.join(loc, "escores"))
+    edges = G._jaccard_edges(spark, jsig_env)
+    NP = meta["K"] // 4
+    inline_scored = G._jaccard_scored(
+        G._jaccard_pair_frame(edges, G._jaccard_sigs(edges, meta["K"]), NP),
+        meta["K"],
+        NP,
+    ).filter("n_common >= 1")
+    assert [(f.name, f.dataType) for f in escores.schema] == [
+        (f.name, f.dataType) for f in inline_scored.schema
     ]
+    assert sorted(map(tuple, escores.collect())) == sorted(
+        map(tuple, inline_scored.collect())
+    )
 
 
 def test_stale_lineitem_falls_back_inline(spark, jsig_env, monkeypatch):
@@ -116,6 +125,58 @@ def test_disable_env_forces_inline(spark, jsig_env, monkeypatch):
     df = QUERIES["graph_jaccard_neighbors"](spark, jsig_env)
     assert not any(loc in f for f in df.inputFiles())
     release_persisted()
+
+
+def test_resource_allocation_matches_bruteforce(spark):
+    """graph_resource_allocation vs an independent driver-side
+    recompute at smoke scale: build the adjacency dict in Python from
+    the same deduped edge list, score every edge with the identical
+    truncating 1_000_000 // deg(z) terms, apply the identical
+    (ra_e6 DESC, a, b) total order, and require the exact top-20."""
+    edges = [
+        (r["a"], r["b"]) for r in G._jaccard_edges(spark, SF_SMOKE).collect()
+    ]
+    release_persisted()
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    scored = []
+    for a, b in edges:
+        common = adj[a] & adj[b]
+        if common:
+            scored.append(
+                (
+                    a,
+                    b,
+                    len(common),
+                    sum(1_000_000 // deg[z] for z in common),
+                )
+            )
+    expected = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[: G.RA_TOP_N]
+    got = [
+        (r["a"], r["b"], r["n_common"], r["ra_e6"])
+        for r in QUERIES["graph_resource_allocation"](spark, SF_SMOKE).collect()
+    ]
+    release_persisted()
+    assert got == expected
+
+
+def test_resource_allocation_bounds(spark):
+    """Every output pair is an existing edge; any common neighbor has
+    deg >= 2, so ra_e6 <= 500_000 * n_common; n_common >= 1."""
+    edge_set = {
+        (r["a"], r["b"]) for r in G._jaccard_edges(spark, SF_SMOKE).collect()
+    }
+    release_persisted()
+    rows = QUERIES["graph_resource_allocation"](spark, SF_SMOKE).collect()
+    release_persisted()
+    assert rows, "smoke graph has common-neighbor edges"
+    for r in rows:
+        assert (r["a"], r["b"]) in edge_set
+        assert r["n_common"] >= 1
+        assert 0 < r["ra_e6"] <= 500_000 * r["n_common"]
 
 
 def test_build_job_is_idempotent_when_fresh(spark, jsig_env, monkeypatch):
