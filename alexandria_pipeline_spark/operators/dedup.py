@@ -823,21 +823,65 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Below this verified-pair count the component labels are computed by
+# a driver-side union-find over ONE bounded collect instead of the
+# iterative hash-min loop. Rationale (r11, sweep attribution): the
+# loop costs ~2 s of fixed scheduling overhead PER ITERATION on
+# local[32] regardless of data size (each round is a join + groupBy +
+# eager localCheckpoint + a convergence-count job), so a 704-edge
+# graph took ~18 s; 1M pairs is 16 MB on the driver — the same size
+# class as the plan-time broadcast gates — and union-find there is
+# exact at any diameter, where hash-min's 20-round bound could exit
+# unconverged on a pathological chain. Verified near-dup pair graphs
+# are sparse by construction (pairs ≈ dup rate × corpus, not corpus²);
+# above the gate the iterative loop takes over unchanged.
+CC_DRIVER_PAIR_LIMIT = 1_000_000
+
+
 def connected_components_from_pairs(
     pairs: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:
-    """Iterative min-label propagation over an undirected pair list —
+    """Min-label connected components over an undirected pair list —
     the shared CC core for every dedup family (shingle pairs, embedding
-    pairs). Returns (node, lab). See dedup_connected_components for the
-    scale/lineage discussion; this is its loop, verbatim, extracted."""
-    edges = pairs.select(
-        F.col(col_a).alias("doc_a"), F.col(col_b).alias("doc_b")
-    )
-    edges = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("u", "v")
+    pairs). Returns (node, lab) where lab is the component's minimum
+    node id. Below CC_DRIVER_PAIR_LIMIT verified pairs: driver
+    union-find (exact at any diameter, one bounded collect). Above:
+    iterative min-label propagation (Pregel-lite hash-min); see
+    dedup_connected_components for the scale/lineage discussion."""
     spark = pairs.sparkSession
+    half = pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
+    half = half.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = half.count()
+    if n_pairs <= CC_DRIVER_PAIR_LIMIT:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in half.collect():
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        half.unpersist()
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        out = [(node, comp_min[find(node)]) for node in parent]
+        return spark.createDataFrame(out, "node long, lab long")
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("u", "v")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    half.unpersist()
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -847,7 +891,19 @@ def connected_components_from_pairs(
     # only freed rounds via eventual GC — the last two rounds' blocks
     # survived every call (caught by test_persist_lifecycle).
     prev_ckpt_ids: set[int] = set()
-    for _ in range(20):  # diameter bound; real clusters are shallow
+    # Run to CONVERGENCE, not to a fixed round count: the pre-r11 code
+    # stopped after 20 rounds and silently returned unconverged labels
+    # on any component with diameter > 20 (hash-min propagates one hop
+    # per round) — caught by the r11 union-find parity test's 51-node
+    # chain. The ceiling below is a runaway backstop only, far above
+    # any real near-dup cluster diameter; hitting it raises instead of
+    # returning wrong labels.
+    CC_MAX_ROUNDS = 10_000
+    for rnd in range(CC_MAX_ROUNDS + 1):
+        if rnd == CC_MAX_ROUNDS:
+            raise RuntimeError(
+                f"connected components did not converge in {CC_MAX_ROUNDS} rounds"
+            )
         neighbor_min = (
             edges.join(labels, edges.u == labels.node)
             .groupBy(F.col("v").alias("node2"))

@@ -205,6 +205,15 @@ HEADLINE = [
     "graph_lpa_modularity",
     # round-11 additions
     "graph_resource_allocation",
+    # round-11 promotions (r10 verdict #5): the top engine-heavy
+    # non-headline queries by the sweep's new spark_s attribution, so
+    # the regression gate watches them every round. stream_* queries
+    # stay out by policy — their walls are micro-batch trigger
+    # scheduling, not plan cost, and would flap the gate (they are
+    # covered by test_streaming + the sweeps + the cluster proof).
+    "dedup_embedding_components",
+    "graph_degree_assortativity",
+    "graph_kcore_summary",
 ]
 
 

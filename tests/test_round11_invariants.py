@@ -179,6 +179,33 @@ def test_resource_allocation_bounds(spark):
         assert 0 < r["ra_e6"] <= 500_000 * r["n_common"]
 
 
+def test_cc_driver_unionfind_matches_iterative(spark, monkeypatch):
+    """The r11 driver union-find fast path (below CC_DRIVER_PAIR_LIMIT)
+    must label identically to the iterative hash-min loop it gates —
+    same (node, component-min) pairs on the real smoke pair graph AND
+    on a hand-built graph with a chain longer than a broadcast round
+    would propagate in one step."""
+    from alexandria_pipeline_spark.operators import dedup as D
+
+    chain = [(i, i + 1) for i in range(50)] + [(100, 200), (200, 300)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    fast = {
+        (r["node"], r["lab"])
+        for r in D.connected_components_from_pairs(pairs, "doc_a", "doc_b").collect()
+    }
+    release_persisted()
+    monkeypatch.setattr(D, "CC_DRIVER_PAIR_LIMIT", -1)
+    slow = {
+        (r["node"], r["lab"])
+        for r in D.connected_components_from_pairs(pairs, "doc_a", "doc_b").collect()
+    }
+    release_persisted()
+    assert fast == slow
+    # the 51-node chain collapses to min label 0; the side pair to 100
+    assert {lab for n, lab in fast if n <= 50} == {0}
+    assert {lab for n, lab in fast if n >= 100} == {100}
+
+
 def test_build_job_is_idempotent_when_fresh(spark, jsig_env, monkeypatch):
     monkeypatch.setattr(G, "BROADCAST_EDGE_LIMIT", 0)
     loc = G.run_jaccard_sig_build_job(spark, jsig_env)
