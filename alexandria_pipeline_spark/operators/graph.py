@@ -351,16 +351,18 @@ def jaccard_sig_location(sf_dir: str) -> str:
 def jaccard_sig_meta(sf_dir: str) -> dict | None:
     """Fresh materialization's meta (with its location added), else
     None. Freshness is implied by the digest-keyed location plus a
-    recorded-digest check (stat-based — never re-reads lineitem)."""
+    recorded-digest check (stat-based — never re-reads lineitem). A
+    missing/unstatable source (fixture-injected tables in tests) is
+    simply 'no materialization' — consumers fall back inline."""
     from alexandria_pipeline_spark.sketch import source_digest
 
-    loc = jaccard_sig_location(sf_dir)
     try:
+        loc = jaccard_sig_location(sf_dir)
         with open(os.path.join(loc, _JSIG_META)) as f:
             meta = json.load(f)
+        if meta.get("digest") != source_digest(sf_dir, "lineitem"):
+            return None
     except (OSError, ValueError):
-        return None
-    if meta.get("digest") != source_digest(sf_dir, "lineitem"):
         return None
     meta["loc"] = loc
     return meta
