@@ -796,6 +796,17 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RA_TOP_N = 20
+# graph_resource_allocation broadcasts its adjacency relation (2 rows
+# per edge) plus the packed edge set and degree table only below this
+# raw-pair bound — tighter than BROADCAST_EDGE_LIMIT because the
+# adjacency broadcast is row-formatted (node, nb) pairs, not one
+# packed long per edge: measured 239 MB of total BroadcastExchange
+# dataSize at 1.2M edges (SHUFFLE_AUDIT_r11), so the 5M-edge gate
+# would imply ~1 GB — too much for a 4 GB executor with hash-relation
+# overhead. 1.5M raw pairs caps the adjacency at ~3M rows ≈ 300 MB
+# (the LPA_LABEL_BROADCAST_LIMIT sizing discipline). Above it, all
+# four broadcasts fall back to shuffle equi-joins in one step.
+RA_ADJ_BROADCAST_LIMIT = 1_500_000
 
 
 @query(
@@ -842,11 +853,12 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge GROUP BY): wedges are enumerated from each edge's
     LOWER-DEGREE endpoint only — candidates Σ min(deg(a), deg(b)) =
     O(m^1.5) (Chiba–Nishizeki), hub-skew-proof where the naive
-    Σ deg(a) is quadratic in hub degree. Below the size gate the
-    degree table, the adjacency relation, and the PACKED canonical
-    edge set (least·2³² | greatest, one long per edge — the
-    triangle-count trick) are broadcast, so the wedge stream never
-    materializes: orientation, wedge explode, closure probe, deg(z)
+    Σ deg(a) is quadratic in hub degree. Below RA_ADJ_BROADCAST_LIMIT
+    (sized for the row-formatted adjacency broadcast — see the
+    constant's note) the degree table, the adjacency relation, and the
+    PACKED canonical edge set (least·2³² | greatest, one long per
+    edge — the triangle-count trick) are broadcast, so the wedge
+    stream never materializes: orientation, wedge explode, closure probe, deg(z)
     attach, and the partial (a, b) sum all pipeline in ONE stage, and
     the only exchange carries edge-bounded partial aggregates
     (measured at sf0.1: 17.7 s shuffle-closure → 3.4 s; the 131 M
@@ -871,7 +883,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = scoped_persist(
             _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
         )
-    small = raw_pairs <= BROADCAST_EDGE_LIMIT
+    small = raw_pairs <= RA_ADJ_BROADCAST_LIMIT
     gate = F.broadcast if small else (lambda df: df)
     adj = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
