@@ -2060,66 +2060,72 @@ def curation_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = x.persist()
     # Weights live driver-side between steps (4 int64s): each step's
     # plan embeds them as literals, so step t is exactly one scan of
-    # the persisted frame and never replays steps 1..t-1.
+    # the persisted frame and never replays steps 1..t-1. The loop's
+    # per-step collects can raise (task failure, interrupt), so the
+    # unpersist sits in a finally — a mid-loop exception must not leak
+    # the cached frame for the session lifetime (ADVICE r11; the
+    # returned frame is a local relation, so releasing here is safe).
     wb, wl, wu, wa = 0, 0, 0, 0
     traj: list[tuple] = []
-    for t in range(1, QT_STEPS + 1):
-        w = spark.range(1).select(
-            F.lit(wb).cast("long").alias("wb"),
-            F.lit(wl).cast("long").alias("wl"),
-            F.lit(wu).cast("long").alias("wu"),
-            F.lit(wa).cast("long").alias("wa"),
-        )
-        scored = x.crossJoin(F.broadcast(w)).withColumn(
-            "err",
-            F.col("y")
-            - int_div(
-                F.col("wb") * F.col("x0")
-                + F.col("wl") * F.col("x1")
-                + F.col("wu") * F.col("x2")
-                + F.col("wa") * F.col("x3"),
-                F.lit(1_000_000),
-            ),
-        )
-        e = F.col("err").cast(_DEC38)
-        g = scored.agg(
-            F.count(F.lit(1)).cast(_DEC38).alias("n"),
-            F.sum(e * F.col("x0")).cast(_DEC38).alias("g0"),
-            F.sum(e * F.col("x1")).cast(_DEC38).alias("g1"),
-            F.sum(e * F.col("x2")).cast(_DEC38).alias("g2"),
-            F.sum(e * F.col("x3")).cast(_DEC38).alias("g3"),
-            F.sum(e * e).cast(_DEC38).alias("sse"),
-            F.min("wb").alias("wb"),
-            F.min("wl").alias("wl"),
-            F.min("wu").alias("wu"),
-            F.min("wa").alias("wa"),
-        )
-        row_t = g.select(
-            F.lit(t).cast("int").alias("step"),
-            F.col("n").cast("long").alias("n_docs"),
-            F.expr("CAST(sse div (n * 1000000) AS BIGINT)").alias("mse_e6"),
-            F.expr(
-                f"CAST(wb + g0 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
-            ).alias("w_bias_e6"),
-            F.expr(
-                f"CAST(wl + g1 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
-            ).alias("w_len_e6"),
-            F.expr(
-                f"CAST(wu + g2 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
-            ).alias("w_uniq_e6"),
-            F.expr(
-                f"CAST(wa + g3 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
-            ).alias("w_awl_e6"),
-        )
-        rec = row_t.collect()[0]
-        traj.append(tuple(rec))
-        wb, wl, wu, wa = (
-            rec["w_bias_e6"],
-            rec["w_len_e6"],
-            rec["w_uniq_e6"],
-            rec["w_awl_e6"],
-        )
-    x.unpersist()
+    try:
+        for t in range(1, QT_STEPS + 1):
+            w = spark.range(1).select(
+                F.lit(wb).cast("long").alias("wb"),
+                F.lit(wl).cast("long").alias("wl"),
+                F.lit(wu).cast("long").alias("wu"),
+                F.lit(wa).cast("long").alias("wa"),
+            )
+            scored = x.crossJoin(F.broadcast(w)).withColumn(
+                "err",
+                F.col("y")
+                - int_div(
+                    F.col("wb") * F.col("x0")
+                    + F.col("wl") * F.col("x1")
+                    + F.col("wu") * F.col("x2")
+                    + F.col("wa") * F.col("x3"),
+                    F.lit(1_000_000),
+                ),
+            )
+            e = F.col("err").cast(_DEC38)
+            g = scored.agg(
+                F.count(F.lit(1)).cast(_DEC38).alias("n"),
+                F.sum(e * F.col("x0")).cast(_DEC38).alias("g0"),
+                F.sum(e * F.col("x1")).cast(_DEC38).alias("g1"),
+                F.sum(e * F.col("x2")).cast(_DEC38).alias("g2"),
+                F.sum(e * F.col("x3")).cast(_DEC38).alias("g3"),
+                F.sum(e * e).cast(_DEC38).alias("sse"),
+                F.min("wb").alias("wb"),
+                F.min("wl").alias("wl"),
+                F.min("wu").alias("wu"),
+                F.min("wa").alias("wa"),
+            )
+            row_t = g.select(
+                F.lit(t).cast("int").alias("step"),
+                F.col("n").cast("long").alias("n_docs"),
+                F.expr("CAST(sse div (n * 1000000) AS BIGINT)").alias("mse_e6"),
+                F.expr(
+                    f"CAST(wb + g0 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+                ).alias("w_bias_e6"),
+                F.expr(
+                    f"CAST(wl + g1 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+                ).alias("w_len_e6"),
+                F.expr(
+                    f"CAST(wu + g2 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+                ).alias("w_uniq_e6"),
+                F.expr(
+                    f"CAST(wa + g3 div ({QT_ETA_DEN} * n * 1000000) AS BIGINT)"
+                ).alias("w_awl_e6"),
+            )
+            rec = row_t.collect()[0]
+            traj.append(tuple(rec))
+            wb, wl, wu, wa = (
+                rec["w_bias_e6"],
+                rec["w_len_e6"],
+                rec["w_uniq_e6"],
+                rec["w_awl_e6"],
+            )
+    finally:
+        x.unpersist()
     out = spark.createDataFrame(
         traj,
         "step int, n_docs long, mse_e6 long, w_bias_e6 long, "

@@ -829,8 +829,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loop costs ~2 s of fixed scheduling overhead PER ITERATION on
 # local[32] regardless of data size (each round is a join + groupBy +
 # eager localCheckpoint + a convergence-count job), so a 704-edge
-# graph took ~18 s; 1M pairs is 16 MB on the driver — the same size
-# class as the plan-time broadcast gates — and union-find there is
+# graph took ~18 s; 1M pairs is 16 MB over Arrow (two primitive int64
+# columns — the collect is toPandas, never Row objects; ADVICE r11) —
+# the same size class as the plan-time broadcast gates — and union-find is
 # exact at any diameter, where hash-min's 20-round bound could exit
 # unconverged on a pathological chain. Verified near-dup pair graphs
 # are sparse by construction (pairs ≈ dup rate × corpus, not corpus²);
@@ -853,6 +854,14 @@ def connected_components_from_pairs(
     half = half.persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = half.count()
     if n_pairs <= CC_DRIVER_PAIR_LIMIT:
+        # Arrow-batched primitive transfer (ADVICE r11): .collect()
+        # would materialize ~n_pairs PySpark Row objects — hundreds of
+        # MB of Python-object overhead at the gate, far above the
+        # 16-MB raw-long estimate the limit was sized from. toPandas
+        # ships two primitive int64 columns over Arrow and the loop
+        # reads bulk-converted plain ints.
+        pdf = half.toPandas()
+        half.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -863,14 +872,12 @@ def connected_components_from_pairs(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in half.collect():
-            u, v = row["u"], row["v"]
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
             if ru != rv:
                 parent[ru] = rv
-        half.unpersist()
         comp_min: dict[int, int] = {}
         for node in parent:
             r = find(node)

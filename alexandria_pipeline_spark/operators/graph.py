@@ -43,6 +43,25 @@ BASE_MICRO = 150_000
 # can still pick broadcast from measured sizes).
 BROADCAST_EDGE_LIMIT = 5_000_000
 
+# Node ids must fit the packed-pair key's 32-bit field. TPC-H partkeys
+# at 100-TB scale reach ~2e10 > 2^32, where the high bits of b would
+# bleed into a's field and silently alias DIFFERENT pairs onto one
+# join key (ADVICE r11) — so every pack fails loudly instead.
+_PACK_LIMIT = 1 << 32
+
+
+def _packed_pair(lo, hi):
+    """Pack a canonical node pair into one int64 join key
+    (lo << 32 | hi) with a plan-embedded overflow guard: any id >=
+    2^32 raises at runtime instead of returning aliased keys. The
+    guard is a codegen branch per row — no extra pass, no driver
+    action. (Bitwise shift, not arithmetic *2^32: the multiply would
+    overflow ANSI int64 for ids >= 2^31.)"""
+    lo, hi = lo.cast("long"), hi.cast("long")
+    ok = (lo < F.lit(_PACK_LIMIT)) & (hi < F.lit(_PACK_LIMIT)) & (hi >= 0)
+    return F.when(ok, F.shiftleft(lo, 32).bitwiseOR(hi)).otherwise(
+        F.raise_error(F.lit("packed pair overflow: node id >= 2^32"))
+    )
 
 
 def _order_part_sets(spark: SparkSession, sf_dir: str):
@@ -194,7 +213,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join's 56×-for-30× superlinear constant with a measured 2×
     win at sf3. The oracle counts the same triangles with the simple
     a<b<c three-way join, so the oriented rewrite must be
-    count-invisible."""
+    count-invisible.
+
+    Since r12 a fresh written-once materialization (the escores
+    precedent — run_jaccard_sig_build_job) reduces the read to two
+    tiny scans: n_edges is a count of the 2-column edge parquet,
+    n_triangles is sum(n_tri) div 3 over the per-node `ntri` relation
+    (each triangle credits its three corners once, so the sum is
+    exactly 3·T). Values identical to inline — ntri is built by the
+    same degree-oriented edge-iterator this query's above-gate branch
+    runs; stale/absent materializations fall back inline and
+    SPARK_GRAFT_JACCARD_SIG_DISABLE forces inline."""
+    jsig = (
+        None
+        if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE")
+        else jaccard_sig_meta(sf_dir)
+    )
+    if jsig is not None and "K" in jsig:
+        loc = jsig["loc"]
+        n_edges = spark.read.parquet(os.path.join(loc, "edges")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges")
+        )
+        tris = spark.read.parquet(os.path.join(loc, "ntri")).agg(
+            F.coalesce(F.expr("CAST(sum(n_tri) div 3 AS BIGINT)"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
+        return n_edges.join(tris).select("n_edges", "n_triangles")
     # Edge build via collect_set + double explode, NOT a distinct
     # self-join on l_orderkey: collect_set dedupes order-part rows and
     # groups in ONE partial-aggregated shuffle, the pair expansion is
@@ -259,21 +304,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("ns"))
     if n_edges_val <= BROADCAST_EDGE_LIMIT:
         # BELOW the gate: wedge-explode + broadcast closure probe.
-        # pack the canonical pair into ONE long key (partkeys < 2^31)
-        # so the 41M-wedge closing probe carries 8-byte keys, not
+        # pack the canonical pair into ONE guarded long key
+        # (_packed_pair — ids >= 2^32 raise instead of aliasing) so
+        # the 41M-wedge closing probe carries 8-byte keys, not
         # pairs. |E| packed longs (~10 MB/M edges) broadcast keeps the
         # wedge side map-side and the count's partial aggregation
         # collapses it before any exchange — measured fastest at
         # bench scale (2.2s vs 5.2s for the edge-iterator at sf0.1).
-        pair = F.col("v") * F.lit(1 << 31).cast("long") + F.col("w")
         wedges = (
             adj.select(F.explode("ns").alias("v"), "ns")
             .select("v", F.explode("ns").alias("w"))
             .filter(F.col("v") < F.col("w"))
-            .select(pair.alias("pk"))
+            .select(_packed_pair(F.col("v"), F.col("w")).alias("pk"))
         )
-        epair = (F.col("a") * F.lit(1 << 31).cast("long") + F.col("b")).alias("pk")
-        eset = F.broadcast(edges.select(epair))
+        eset = F.broadcast(
+            edges.select(_packed_pair(F.col("a"), F.col("b")).alias("pk"))
+        )
         closed = wedges.join(eset, "pk")
         tris = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     else:
@@ -339,6 +385,133 @@ JACCARD_K_HALVE_PAIRS = 50_000_000
 # SPARK_GRAFT_JACCARD_SIG_DISABLE=1 forces the inline path (A/B, tests).
 _JSIG_META = "_jsig_meta.json"
 
+# Format stamp for the materialization (ADVICE r11): freshness is
+# source digest AND format — without the stamp, a change to any
+# constant, hash, scoring expression, or output schema below would
+# silently serve stale pre-change caches on any host with a warm
+# cache (the 'bitwise-identical to inline' invariant would break with
+# no test catching it, since sweeps run below the gate where no
+# payload parquet exists). Encodes every knob the written relations
+# depend on; bump the leading version on any change the string can't
+# see (hash function, estimator math, orientation rule).
+_JSIG_FORMAT = (
+    f"v2:K{JACCARD_SKETCH_K}:halve{JACCARD_K_HALVE_PAIRS}"
+    f":gate{BROADCAST_EDGE_LIMIT}:escores(a,b,n_common,jaccard_ppm)"
+    ":rascores(a,b,n_common,ra_e6):ntri(node,n_tri)"
+)
+
+
+def _pack_deg_node(deg, node):
+    """(deg << 32) | node as one guarded int64. Because node < 2^32,
+    the packed longs sort exactly like (deg, node) lexicographic — the
+    degree-orientation total order — so orientation compares ONE long
+    and adjacency arrays stay primitive (array_intersect over struct
+    elements falls off the fast path: measured 19 s vs 4 s at sf0.01
+    for the identical triple stream). Guards: node >= 2^32 would bleed
+    into the degree field, deg >= 2^31 would overflow int64 — both
+    raise instead of aliasing."""
+    deg, node = deg.cast("long"), node.cast("long")
+    ok = (node >= 0) & (node < F.lit(_PACK_LIMIT)) & (deg < F.lit(1 << 31))
+    return F.when(ok, F.shiftleft(deg, 32).bitwiseOR(node)).otherwise(
+        F.raise_error(F.lit("deg/node pack overflow: id >= 2^32 or deg >= 2^31"))
+    )
+
+
+def _tri_triples_deg(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame:
+    """Every triangle of the undirected (a < b) edge list as ONE row
+    (u, du, v, dv, z, dz) — the three vertices plus their exact
+    degrees — via the degree-oriented edge-iterator (the
+    graph_triangle_count above-gate form): orient each edge from its
+    lower-(deg, id) endpoint, build per-source adjacency arrays of
+    PACKED (deg<<32|id) longs (_pack_deg_node — primitive arrays keep
+    array_intersect on the fast path AND the pack embeds each
+    endpoint's degree, so the third vertex arrives WITH its degree and
+    no join ever touches the triple stream), and explode
+    array_intersect(adjOut(u), adjOut(v)) per oriented edge. Each
+    triangle surfaces exactly once (at its apex edge, whose source is
+    the triangle's minimum vertex in the (deg, id) total order — the
+    packed-long order). Candidates are O(m^1.5) (Chiba–Nishizeki) and
+    no wedge row ever shuffles: the intersect runs inside the row.
+    Shared by the rascores/ntri build outputs, the above-gate
+    resource-allocation plan, and local clustering."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    if broadcast_deg:
+        da, db = F.broadcast(da), F.broadcast(db)
+    with_deg = edges.join(da, "a").join(db, "b")
+    pa = _pack_deg_node(F.col("deg_a"), F.col("a"))
+    pb = _pack_deg_node(F.col("deg_b"), F.col("b"))
+    oriented = with_deg.select(
+        F.least(pa, pb).alias("src"), F.greatest(pa, pb).alias("dst")
+    )
+    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+    e_u = adj.select(
+        F.col("src").alias("u"),
+        F.col("ns").alias("ns_u"),
+        F.explode("ns").alias("v"),
+    )
+    adj_v = adj.select(F.col("src").alias("v"), F.col("ns").alias("ns_v"))
+    packed = e_u.join(adj_v, "v").select(
+        "u", "v", F.explode(F.array_intersect("ns_u", "ns_v")).alias("z")
+    )
+    lo32 = F.lit((1 << 32) - 1)
+    cols = []
+    for c, d in (("u", "du"), ("v", "dv"), ("z", "dz")):
+        cols.append(F.col(c).bitwiseAND(lo32).alias(c))
+        cols.append(F.shiftrightunsigned(F.col(c), 32).alias(d))
+    return packed.select(*cols)
+
+
+def _tri_node_counts(triples: DataFrame) -> DataFrame:
+    """Per-node triangle participation (node, n_tri) from the triple
+    stream: each triangle credits all three corners once. Nodes in no
+    triangle are ABSENT (consumers left-join and coalesce to 0);
+    sum(n_tri) = 3 · total triangles exactly. The three corners come
+    out of ONE explode — a unionAll of three projections would embed
+    the (expensive, usually unpersisted) triple subtree three times in
+    the plan and recompute it three times."""
+    corners = triples.select(
+        F.explode(F.array("u", "v", "z")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
+def _ra_from_triples(triples: DataFrame) -> DataFrame:
+    """Resource-allocation scores from the triangle triple stream: RA
+    only scores CLOSED wedges — triangles — so each triple {u, v, z}
+    emits its three edge contributions (edge (u,v) gains 1/deg(z),
+    (u,z) gains 1/deg(v), (v,z) gains 1/deg(u), each in truncating e6
+    fixed point) and ONE groupBy over 3·T contribution rows produces
+    (a, b, n_common, ra_e6). Identical values to the broadcast wedge
+    plan: every (edge, common-neighbor) pair appears exactly once
+    because the edge-iterator enumerates each triangle exactly once.
+    The three per-edge contributions come out of ONE explode — a
+    unionAll of three projections would embed the triple subtree three
+    times in the plan and recompute it three times."""
+    sides = [
+        F.struct(
+            F.least(F.col(x), F.col(y)).alias("a"),
+            F.greatest(F.col(x), F.col(y)).alias("b"),
+            int_div(F.lit(1_000_000), F.col(dopp)).alias("w"),
+        )
+        for x, y, dopp in (("u", "v", "dz"), ("u", "z", "dv"), ("v", "z", "du"))
+    ]
+    contribs = triples.select(F.explode(F.array(*sides)).alias("c")).select(
+        "c.a", "c.b", "c.w"
+    )
+    return contribs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w").cast("long").alias("ra_e6"),
+    )
+
 
 def jaccard_sig_location(sf_dir: str) -> str:
     from alexandria_pipeline_spark.sketch import sketch_cache_root, source_digest
@@ -351,9 +524,12 @@ def jaccard_sig_location(sf_dir: str) -> str:
 def jaccard_sig_meta(sf_dir: str) -> dict | None:
     """Fresh materialization's meta (with its location added), else
     None. Freshness is implied by the digest-keyed location plus a
-    recorded-digest check (stat-based — never re-reads lineitem). A
-    missing/unstatable source (fixture-injected tables in tests) is
-    simply 'no materialization' — consumers fall back inline."""
+    recorded-digest check (stat-based — never re-reads lineitem) AND a
+    format-stamp check (ADVICE r11: a pipeline-constant or schema
+    change must invalidate warm caches, not silently serve pre-change
+    scores). A missing/unstatable source (fixture-injected tables in
+    tests) is simply 'no materialization' — consumers fall back
+    inline."""
     from alexandria_pipeline_spark.sketch import source_digest
 
     try:
@@ -361,6 +537,8 @@ def jaccard_sig_meta(sf_dir: str) -> dict | None:
         with open(os.path.join(loc, _JSIG_META)) as f:
             meta = json.load(f)
         if meta.get("digest") != source_digest(sf_dir, "lineitem"):
+            return None
+        if meta.get("format") != _JSIG_FORMAT:
             return None
     except (OSError, ValueError):
         return None
@@ -493,23 +671,33 @@ def _jaccard_scored(paired: DataFrame, K: int, NP: int) -> DataFrame:
 def run_jaccard_sig_build_job(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> str:
-    """Build-once job for the jaccard edge-similarity relation. Above
-    the gate, writes (1) the deduped edge parquet and (2) `escores` —
-    every edge SCORED: (a, b, n_common, jaccard_ppm), zero-overlap
-    rows excluded (they are excluded from every read-out anyway: the
-    oracle's wedge GROUP BY never emits them). The r11 stress session
-    measured the alternatives at sf10: inline 295.6 s; materialized
+    """Build-once job for the co-purchase graph's derived relations.
+    Above the gate, writes (1) the deduped edge parquet, (2) `escores`
+    — every edge SCORED with the MinHash jaccard estimate: (a, b,
+    n_common, jaccard_ppm), zero-overlap rows excluded (they are
+    excluded from every read-out anyway: the oracle's wedge GROUP BY
+    never emits them), (3) `rascores` — every edge's EXACT
+    resource-allocation score (a, b, n_common, ra_e6) from the
+    degree-oriented triangle triples (r12, the escores precedent: RA
+    is a deterministic function of the same edge set), and (4) `ntri`
+    — per-node exact triangle participation counts (node, n_tri),
+    read by graph_triangle_count (sum div 3) and
+    graph_local_clustering. The r11 stress session measured the
+    jaccard alternatives at sf10: inline 295.6 s; materialized
     signatures (join per read) 260.8 s; materialized pre-joined
     signature pairs 216.5 s — scanning edge-sized signature payloads
-    is the floor, so the build runs the whole
-    edges → signatures → join → score pipeline once and persists the
-    4-column result, the relation a link-prediction consumer actually
-    re-reads (any top-k, any threshold). Below the gate, only the meta
-    (raw_pairs + below_gate) is recorded — the exact path never reads
-    signatures, but consumers still skip the gate scan.
+    is the floor, so the build runs each whole pipeline once and
+    persists the small scored/count relations the consumers actually
+    re-read (any top-k, any threshold). Below the gate, only the meta
+    (raw_pairs + below_gate) is recorded — the exact paths never read
+    payloads, but consumers still skip the gate scan. Each build
+    phase's wall is recorded in the meta (build_sec) for bench
+    provenance (r11 verdict #4).
     The meta sidecar commits AFTER the parquet writes: a crash
     mid-build leaves a digest-named directory without meta, which
     jaccard_sig_meta treats as absent. Returns the location."""
+    import time
+
     from alexandria_pipeline_spark.sketch import source_digest
 
     meta = jaccard_sig_meta(sf_dir)
@@ -525,6 +713,7 @@ def run_jaccard_sig_build_job(
     shutil.rmtree(loc, ignore_errors=True)
     doc: dict = {
         "digest": source_digest(sf_dir, "lineitem"),
+        "format": _JSIG_FORMAT,
         "source": os.path.abspath(sf_dir),
         "raw_pairs": _jaccard_raw_pairs(spark, sf_dir),
     }
@@ -533,14 +722,36 @@ def run_jaccard_sig_build_job(
     else:
         K = _jaccard_K(doc["raw_pairs"])
         doc["K"] = K
+        build_sec: dict[str, float] = {}
+        t0 = time.perf_counter()
         edges_loc = os.path.join(loc, "edges")
         _jaccard_edges(spark, sf_dir).write.mode("overwrite").parquet(edges_loc)
         edges = spark.read.parquet(edges_loc)
+        build_sec["edges"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
         sigs = _jaccard_sigs(edges, K).persist(StorageLevel.MEMORY_AND_DISK)
         _jaccard_scored(_jaccard_pair_frame(edges, sigs, K // 4), K, K // 4).filter(
             F.col("n_common") >= 1
         ).write.mode("overwrite").parquet(os.path.join(loc, "escores"))
         sigs.unpersist()
+        build_sec["escores"] = round(time.perf_counter() - t0, 2)
+        # Triangle triples feed BOTH remaining relations — enumerate
+        # once, persist the T-row stream, derive each output from the
+        # cache (the one-time-build analogue of the query-side rule
+        # that the collect_set subtree must run exactly once).
+        t0 = time.perf_counter()
+        triples = _tri_triples_deg(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        _ra_from_triples(triples).write.mode("overwrite").parquet(
+            os.path.join(loc, "rascores")
+        )
+        build_sec["rascores"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _tri_node_counts(triples).write.mode("overwrite").parquet(
+            os.path.join(loc, "ntri")
+        )
+        triples.unpersist()
+        build_sec["ntri"] = round(time.perf_counter() - t0, 2)
+        doc["build_sec"] = build_sec
     os.makedirs(loc, exist_ok=True)
     with open(os.path.join(loc, _JSIG_META), "w") as f:
         json.dump(doc, f)
@@ -804,8 +1015,11 @@ RA_TOP_N = 20
 # dataSize at 1.2M edges (SHUFFLE_AUDIT_r11), so the 5M-edge gate
 # would imply ~1 GB — too much for a 4 GB executor with hash-relation
 # overhead. 1.5M raw pairs caps the adjacency at ~3M rows ≈ 300 MB
-# (the LPA_LABEL_BROADCAST_LIMIT sizing discipline). Above it, all
-# four broadcasts fall back to shuffle equi-joins in one step.
+# (the LPA_LABEL_BROADCAST_LIMIT sizing discipline). Above it the plan
+# switches to the degree-oriented triangle edge-iterator
+# (_tri_triples_deg + _ra_from_triples — r12, replacing the r11
+# all-broadcasts-become-shuffle-joins fallback that re-materialized
+# every wedge candidate and scaled 25x for 10x data).
 RA_ADJ_BROADCAST_LIMIT = 1_500_000
 
 
@@ -856,35 +1070,60 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg(a) is quadratic in hub degree. Below RA_ADJ_BROADCAST_LIMIT
     (sized for the row-formatted adjacency broadcast — see the
     constant's note) the degree table, the adjacency relation, and the
-    PACKED canonical edge set (least·2³² | greatest, one long per
-    edge — the triangle-count trick) are broadcast, so the wedge
+    PACKED canonical edge set (guarded least<<32 | greatest, one long
+    per edge — the triangle-count trick) are broadcast, so the wedge
     stream never materializes: orientation, wedge explode, closure probe, deg(z)
     attach, and the partial (a, b) sum all pipeline in ONE stage, and
     the only exchange carries edge-bounded partial aggregates
     (measured at sf0.1: 17.7 s shuffle-closure → 3.4 s; the 131 M
-    wedge candidates never hit a shuffle). Above the gate every
-    broadcast falls back to a plain shuffle equi-join — same values,
-    AQE re-plans from measured sizes. The deduped edge list is the
-    jaccard family's `_jaccard_edges` frame (read from the
-    written-once materialization when fresh), persisted once and read
-    three ways (adjacency, degree, wedge source). Top-20 survives via
-    TakeOrdered with the (ra_e6, a, b) total order."""
+    wedge candidates never hit a shuffle).
+
+    ABOVE the gate (r12, replacing the r11 shuffle-equi-join fallback
+    that re-materialized every wedge candidate — the suite's worst
+    scaler, sf1 250.4 s): RA only scores CLOSED wedges — triangles —
+    so the degree-oriented edge-iterator (_tri_triples_deg, the
+    graph_triangle_count above-gate form) enumerates each triangle
+    exactly once with all three degrees embedded as struct fields, and
+    _ra_from_triples turns the 3·T contribution rows into (a, b,
+    n_common, ra_e6) with ONE groupBy. No wedge row ever shuffles;
+    candidates are O(m^1.5). SPARK_GRAFT_RA_FORCE_ITER=1 forces this
+    plan below the gate (parity tests / A-B).
+
+    Since r12 the build job also materializes `rascores` — the full
+    exact scored relation, a deterministic function of the digest-keyed
+    edge set (the escores precedent) — so above BROADCAST_EDGE_LIMIT a
+    fresh materialization reduces the read to a 4-column scan +
+    TakeOrdered; stale/absent falls back to the identical-value inline
+    plans. The deduped edge list is the jaccard family's
+    `_jaccard_edges` frame (read from the written-once materialization
+    when fresh). Top-20 survives via TakeOrdered with the (ra_e6, a,
+    b) total order."""
     jsig = (
         None
         if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE")
         else jaccard_sig_meta(sf_dir)
     )
+    if jsig is not None and "K" in jsig:
+        scored = spark.read.parquet(os.path.join(jsig["loc"], "rascores"))
+        return (
+            scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
+            .limit(RA_TOP_N)
+        )
     raw_pairs = (
         jsig["raw_pairs"] if jsig is not None else _jaccard_raw_pairs(spark, sf_dir)
     )
-    if jsig is not None and "K" in jsig:
-        edges = spark.read.parquet(os.path.join(jsig["loc"], "edges"))
-    else:
-        edges = scoped_persist(
-            _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    edges = scoped_persist(
+        _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
+    small = raw_pairs <= RA_ADJ_BROADCAST_LIMIT and not os.environ.get(
+        "SPARK_GRAFT_RA_FORCE_ITER"
+    )
+    if not small:
+        scored = _ra_from_triples(_tri_triples_deg(edges))
+        return (
+            scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
+            .limit(RA_TOP_N)
         )
-    small = raw_pairs <= RA_ADJ_BROADCAST_LIMIT
-    gate = F.broadcast if small else (lambda df: df)
     adj = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
@@ -893,8 +1132,18 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lower-degree endpoint (ties to a — deterministic, and both
     # orders enumerate the same common-neighbor set)
     ed = (
-        edges.join(gate(deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))), "a")
-        .join(gate(deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))), "b")
+        edges.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",
@@ -907,22 +1156,21 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wedges = ed.join(
-        gate(adj.select(F.col("node").alias("lo"), F.col("nb").alias("z"))), "lo"
+        F.broadcast(
+            adj.select(F.col("node").alias("lo"), F.col("nb").alias("z"))
+        ),
+        "lo",
     ).filter(F.col("z") != F.col("hi"))
-    # closure probe against the packed canonical edge set: one long per
-    # edge, bitwise pack (an arithmetic *2^32 would overflow ANSI int64
-    # for keys >= 2^31)
-    packed = edges.select(
-        F.shiftleft(F.col("a").cast("long"), 32)
-        .bitwiseOR(F.col("b").cast("long"))
-        .alias("k")
-    )
-    wkey = F.shiftleft(F.least("hi", "z").cast("long"), 32).bitwiseOR(
-        F.greatest("hi", "z").cast("long")
-    )
-    closed = wedges.withColumn("k", wkey).join(gate(packed), "k")
+    # closure probe against the packed canonical edge set: one GUARDED
+    # long per edge (_packed_pair — ids >= 2^32 raise instead of
+    # silently aliasing; ADVICE r11)
+    packed = edges.select(_packed_pair(F.col("a"), F.col("b")).alias("k"))
+    wkey = _packed_pair(F.least("hi", "z"), F.greatest("hi", "z"))
+    closed = wedges.withColumn("k", wkey).join(F.broadcast(packed), "k")
     scored = (
-        closed.join(gate(deg.select(F.col("node").alias("z"), "deg")), "z")
+        closed.join(
+            F.broadcast(deg.select(F.col("node").alias("z"), "deg")), "z"
+        )
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
@@ -935,6 +1183,115 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
         .limit(RA_TOP_N)
     )
+
+
+LCC_TOP_N = 20
+
+
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL
+      SELECT b AS node, a AS nb FROM e
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           COALESCE(nt.n_tri, 0) AS n_tri,
+           CAST(COALESCE(nt.n_tri, 0)::HUGEINT * 2000000
+                // (d.deg::HUGEINT * (d.deg - 1)) AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN nt ON nt.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY lcc_ppm DESC, d.node
+    LIMIT {LCC_TOP_N}
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the part co-purchase graph:
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the share of a node's
+    neighbor pairs that are themselves connected, in exact truncating
+    ppm (Watts–Strogatz). The community-structure diagnostic next to
+    the degree distribution: high-degree low-lcc nodes are brokers /
+    aggregation hubs, lcc≈1 nodes sit inside cliques (here: parts
+    always bought as a bundle). Top-20 by (lcc_ppm, node) total order.
+
+    Plan shape: per-node triangle counts come from the SAME
+    degree-oriented triple stream as the rascores/ntri build
+    (_tri_triples_deg — each triangle surfaces once with its three
+    corners, no wedge row ever shuffles, O(m^1.5) candidates), so a
+    fresh written-once materialization reduces this query to a scan of
+    the `ntri` relation + one degree aggregate over the edge parquet;
+    inline otherwise — bitwise-identical either way. The ppm ratio is
+    computed in DECIMAL(38,0) (HUGEINT on the oracle side): 2e6·T(v)
+    can pass int64 at hub degrees ~1e6 and the 100-TB contract is
+    fail-safe arithmetic, not hope. Nodes of degree < 2 are excluded
+    (lcc undefined); nodes with no triangles keep an explicit 0 via
+    the left join, and they can reach the top-20 only on graphs with
+    fewer than 20 closed wedges, where the (lcc_ppm DESC, node ASC)
+    order remains total and deterministic."""
+    jsig = (
+        None
+        if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE")
+        else jaccard_sig_meta(sf_dir)
+    )
+    if jsig is not None and "K" in jsig:
+        edges = spark.read.parquet(os.path.join(jsig["loc"], "edges"))
+        nt = spark.read.parquet(os.path.join(jsig["loc"], "ntri"))
+    else:
+        raw_pairs = (
+            jsig["raw_pairs"]
+            if jsig is not None
+            else _jaccard_raw_pairs(spark, sf_dir)
+        )
+        edges = scoped_persist(
+            _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+        )
+        nt = _tri_node_counts(
+            _tri_triples_deg(
+                edges, broadcast_deg=raw_pairs <= RA_ADJ_BROADCAST_LIMIT
+            )
+        )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    out = (
+        deg.filter(F.col("deg") >= 2)
+        .join(nt, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST((CAST(coalesce(n_tri, 0) AS DECIMAL(38,0)) * 2000000)"
+                " div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_ppm"),
+        )
+    )
+    return out.orderBy(F.desc("lcc_ppm"), F.asc("node")).limit(LCC_TOP_N)
 
 
 @query(

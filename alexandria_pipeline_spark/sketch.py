@@ -52,6 +52,12 @@ from alexandria_pipeline_spark.functions.text import shingle_codes
 SKETCH_MIN_TOKS = 3  # shingle_codes needs >= 3 tokens; all consumers filter so
 
 _META_NAME = "_sketch_meta.json"
+# Format stamp (ADVICE r11, same rule as graph._JSIG_FORMAT):
+# freshness is source digest AND format, so a change to the shingle
+# expression or the output schema invalidates warm caches instead of
+# silently serving pre-change codes. Bump the version on any change to
+# shingle_codes' hashing/windowing that the string can't encode.
+_SKETCH_FORMAT = f"v1:min_toks{SKETCH_MIN_TOKS}:cols(doc_id,lang,n_toks,codes):trigram-xxhash"
 
 
 def sketch_cache_root() -> str:
@@ -112,7 +118,10 @@ def sketch_is_fresh(sf_dir: str) -> bool:
             recorded = json.load(f)
     except (OSError, ValueError):
         return False
-    return recorded.get("digest") == source_digest(sf_dir)
+    return (
+        recorded.get("digest") == source_digest(sf_dir)
+        and recorded.get("format") == _SKETCH_FORMAT
+    )
 
 
 def run_sketch_build_job(
@@ -132,7 +141,14 @@ def run_sketch_build_job(
     digest = source_digest(sf_dir)
     _inline_sketch(spark, sf_dir).write.mode("overwrite").parquet(loc)
     with open(os.path.join(loc, _META_NAME), "w") as f:
-        json.dump({"digest": digest, "source": os.path.abspath(sf_dir)}, f)
+        json.dump(
+            {
+                "digest": digest,
+                "format": _SKETCH_FORMAT,
+                "source": os.path.abspath(sf_dir),
+            },
+            f,
+        )
     return loc
 
 

@@ -205,6 +205,8 @@ HEADLINE = [
     "graph_lpa_modularity",
     # round-11 additions
     "graph_resource_allocation",
+    # round-12 additions
+    "graph_local_clustering",
     # round-11 promotions (r10 verdict #5): the top engine-heavy
     # non-headline queries by the sweep's new spark_s attribution, so
     # the regression gate watches them every round. stream_* queries
@@ -249,30 +251,67 @@ def main() -> None:
     # build is timed and REPORTED (sketch_build_sec) so the one-time
     # cost is visible, not hidden; per-query numbers then measure the
     # read path, which is what production pays per dedup pass.
+    # Each relation's record carries {digest, state, build_sec} (r11
+    # verdict #4: a bare build_sec of 0.0 was ambiguous between digest
+    # cache HIT and DISABLED — with written-once relations carrying
+    # headline numbers, warm-vs-cold provenance must be auditable).
+    # state ∈ hit (fresh cache served), built (cold build ran this
+    # session), disabled (env forces inline), failed (queries fall
+    # back inline).
+    materializations: dict = {}
     sketch_build_sec = None
     try:
-        from alexandria_pipeline_spark.sketch import run_sketch_build_job
+        from alexandria_pipeline_spark.sketch import (
+            run_sketch_build_job,
+            sketch_is_fresh,
+            source_digest,
+        )
 
-        t0 = time.perf_counter()
-        run_sketch_build_job(spark, sf_dir)
-        sketch_build_sec = round(time.perf_counter() - t0, 3)
+        rec: dict = {"digest": source_digest(sf_dir)}
+        if os.environ.get("SPARK_GRAFT_SKETCH_DISABLE"):
+            rec["state"], rec["build_sec"] = "disabled", None
+        else:
+            hit = sketch_is_fresh(sf_dir)
+            t0 = time.perf_counter()
+            run_sketch_build_job(spark, sf_dir)
+            sketch_build_sec = round(time.perf_counter() - t0, 3)
+            rec["state"] = "hit" if hit else "built"
+            rec["build_sec"] = sketch_build_sec
+        materializations["sketch"] = rec
     except Exception as exc:  # noqa: BLE001 - queries fall back inline
+        materializations["sketch"] = {"state": "failed", "error": repr(exc)}
         print(f"sketch build failed (inline fallback): {exc!r}", file=sys.stderr)
 
-    # Same economics for the jaccard signature relation (r11): below
-    # the gate this records only the gate operand (meta write), above
-    # it the edge + signature parquets. Timed and reported separately
-    # so the per-query number measures the read path.
+    # Same economics for the jaccard/graph relation family (r11-r12:
+    # edges + escores + rascores + ntri): below the gate this records
+    # only the gate operand (meta write), above it the four parquets.
+    # Timed and reported separately so the per-query number measures
+    # the read path; per-phase build walls come from the meta.
     jsig_build_sec = None
     try:
         from alexandria_pipeline_spark.operators.graph import (
+            jaccard_sig_meta,
             run_jaccard_sig_build_job,
         )
+        from alexandria_pipeline_spark.sketch import source_digest
 
-        t0 = time.perf_counter()
-        run_jaccard_sig_build_job(spark, sf_dir)
-        jsig_build_sec = round(time.perf_counter() - t0, 3)
+        rec = {"digest": source_digest(sf_dir, "lineitem")}
+        if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE"):
+            rec["state"], rec["build_sec"] = "disabled", None
+        else:
+            hit = jaccard_sig_meta(sf_dir) is not None
+            t0 = time.perf_counter()
+            run_jaccard_sig_build_job(spark, sf_dir)
+            jsig_build_sec = round(time.perf_counter() - t0, 3)
+            rec["state"] = "hit" if hit else "built"
+            rec["build_sec"] = jsig_build_sec
+            meta = jaccard_sig_meta(sf_dir) or {}
+            rec["below_gate"] = bool(meta.get("below_gate"))
+            if meta.get("build_sec"):
+                rec["phases"] = meta["build_sec"]
+        materializations["jsig"] = rec
     except Exception as exc:  # noqa: BLE001 - query falls back inline
+        materializations["jsig"] = {"state": "failed", "error": repr(exc)}
         print(f"jsig build failed (inline fallback): {exc!r}", file=sys.stderr)
 
     # One failing query must never cost the whole run its JSON line
@@ -332,6 +371,7 @@ def main() -> None:
         "queries": timings,
         "sketch_build_sec": sketch_build_sec,
         "jsig_build_sec": jsig_build_sec,
+        "materializations": materializations,
         "sf": sf_val,
     }
     if errors:

@@ -219,7 +219,12 @@ def build_baseline(
             latest[name] = float(sec)
             latest_prov[name] = pathlib.Path(path).name
             rb = REBASELINES.get(name)
-            if rb and rnd > rb.get("round", 0):
+            # "round" is REQUIRED on every rebaseline entry (ADVICE r11):
+            # defaulting it to 0 would treat every historical record as
+            # post-rebaseline and re-tighten the baseline back to the
+            # exact record the rebaseline retired. KeyError is the
+            # correct failure for a malformed entry.
+            if rb and rnd > rb["round"]:
                 cur = post_rb.get(name)
                 if cur is None or float(sec) < cur[0]:
                     post_rb[name] = (float(sec), pathlib.Path(path).name)
