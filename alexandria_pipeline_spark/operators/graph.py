@@ -417,23 +417,30 @@ def _pack_deg_node(deg, node):
     )
 
 
-def _tri_triples_deg(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame:
-    """Every triangle of the undirected (a < b) edge list as ONE row
-    (u, du, v, dv, z, dz) — the three vertices plus their exact
-    degrees — via the degree-oriented edge-iterator (the
+_LO32 = (1 << 32) - 1
+
+
+def _tri_edge_rows(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame:
+    """One row PER ORIENTED EDGE with >= 1 common out-neighbor:
+    (u, v, zs), all packed (deg<<32|id) longs (_pack_deg_node —
+    primitive arrays keep array_intersect on the fast path AND the
+    pack embeds each endpoint's degree, so no join ever touches the
+    candidate stream) — the degree-oriented edge-iterator (the
     graph_triangle_count above-gate form): orient each edge from its
-    lower-(deg, id) endpoint, build per-source adjacency arrays of
-    PACKED (deg<<32|id) longs (_pack_deg_node — primitive arrays keep
-    array_intersect on the fast path AND the pack embeds each
-    endpoint's degree, so the third vertex arrives WITH its degree and
-    no join ever touches the triple stream), and explode
-    array_intersect(adjOut(u), adjOut(v)) per oriented edge. Each
-    triangle surfaces exactly once (at its apex edge, whose source is
-    the triangle's minimum vertex in the (deg, id) total order — the
-    packed-long order). Candidates are O(m^1.5) (Chiba–Nishizeki) and
-    no wedge row ever shuffles: the intersect runs inside the row.
-    Shared by the rascores/ntri build outputs, the above-gate
-    resource-allocation plan, and local clustering."""
+    lower-(deg, id) endpoint (= packed-long order), build per-source
+    adjacency arrays, and intersect adjOut(u) with adjOut(v) INSIDE
+    the join row. zs holds the triangles closed by this apex edge —
+    each triangle of the graph appears in exactly one row's zs (the
+    edge whose source is the triangle's minimum vertex in the (deg,
+    id) total order). Candidates are O(m^1.5) (Chiba–Nishizeki) and no
+    wedge row ever shuffles. Consumers derive their outputs in ONE
+    pass over this frame (r12 disk lesson: the first cut exploded a
+    (u,v,z) triple stream and fed 3 unioned projections of it to
+    groupBys — 3x the subtree, 3T contribution rows of ~24 B against
+    a 50M-key aggregate whose map-side combine couldn't collapse them,
+    ~70 GB of shuffle at sf10). Shared by the rascores/ntri build
+    outputs, the above-gate resource-allocation plan, and local
+    clustering."""
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -457,10 +464,23 @@ def _tri_triples_deg(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame
         F.explode("ns").alias("v"),
     )
     adj_v = adj.select(F.col("src").alias("v"), F.col("ns").alias("ns_v"))
-    packed = e_u.join(adj_v, "v").select(
-        "u", "v", F.explode(F.array_intersect("ns_u", "ns_v")).alias("z")
+    return (
+        e_u.join(adj_v, "v")
+        .select("u", "v", F.array_intersect("ns_u", "ns_v").alias("zs"))
+        .filter(F.size("zs") > 0)
     )
-    lo32 = F.lit((1 << 32) - 1)
+
+
+def _tri_triples_deg(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame:
+    """Every triangle as ONE row (u, du, v, dv, z, dz) — the three
+    vertices plus their exact degrees — by exploding _tri_edge_rows'
+    per-apex-edge zs arrays. Each triangle surfaces exactly once.
+    Kept as the test/inspection face; production consumers aggregate
+    the edge-rows frame directly (single pass, no triple stream)."""
+    packed = _tri_edge_rows(edges, broadcast_deg).select(
+        "u", "v", F.explode("zs").alias("z")
+    )
+    lo32 = F.lit(_LO32)
     cols = []
     for c, d in (("u", "du"), ("v", "dv"), ("z", "dz")):
         cols.append(F.col(c).bitwiseAND(lo32).alias(c))
@@ -468,48 +488,97 @@ def _tri_triples_deg(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame
     return packed.select(*cols)
 
 
-def _tri_node_counts(triples: DataFrame) -> DataFrame:
-    """Per-node triangle participation (node, n_tri) from the triple
-    stream: each triangle credits all three corners once. Nodes in no
+def _tri_node_counts(rows: DataFrame) -> DataFrame:
+    """Per-node triangle participation (node, n_tri) from the
+    edge-rows frame: each row credits u and v with size(zs) triangles
+    and each z with one — every triangle credits all three corners
+    exactly once. ONE explode of T + 2|E'| (node, c) pairs computed
+    in-row, then a node-keyed aggregate whose map-side combine
+    actually collapses (|V| distinct keys, not |E|). Nodes in no
     triangle are ABSENT (consumers left-join and coalesce to 0);
-    sum(n_tri) = 3 · total triangles exactly. The three corners come
-    out of ONE explode — a unionAll of three projections would embed
-    the (expensive, usually unpersisted) triple subtree three times in
-    the plan and recompute it three times."""
-    corners = triples.select(
-        F.explode(F.array("u", "v", "z")).alias("node")
+    sum(n_tri) = 3 · total triangles exactly."""
+    lo32 = F.lit(_LO32)
+    sz = F.size("zs").cast("long")
+    base = F.array(
+        F.struct(F.col("u").bitwiseAND(lo32).alias("node"), sz.alias("c")),
+        F.struct(F.col("v").bitwiseAND(lo32).alias("node"), sz.alias("c")),
     )
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tri")
+    zarr = F.transform(
+        "zs",
+        lambda z: F.struct(
+            z.bitwiseAND(lo32).alias("node"), F.lit(1).cast("long").alias("c")
+        ),
+    )
+    ex = rows.select(F.explode(F.concat(base, zarr)).alias("e"))
+    return ex.groupBy(F.col("e.node").alias("node")).agg(
+        F.sum("e.c").cast("long").alias("n_tri")
     )
 
 
-def _ra_from_triples(triples: DataFrame) -> DataFrame:
-    """Resource-allocation scores from the triangle triple stream: RA
-    only scores CLOSED wedges — triangles — so each triple {u, v, z}
-    emits its three edge contributions (edge (u,v) gains 1/deg(z),
-    (u,z) gains 1/deg(v), (v,z) gains 1/deg(u), each in truncating e6
-    fixed point) and ONE groupBy over 3·T contribution rows produces
-    (a, b, n_common, ra_e6). Identical values to the broadcast wedge
-    plan: every (edge, common-neighbor) pair appears exactly once
-    because the edge-iterator enumerates each triangle exactly once.
-    The three per-edge contributions come out of ONE explode — a
-    unionAll of three projections would embed the triple subtree three
-    times in the plan and recompute it three times."""
-    sides = [
-        F.struct(
-            F.least(F.col(x), F.col(y)).alias("a"),
-            F.greatest(F.col(x), F.col(y)).alias("b"),
-            int_div(F.lit(1_000_000), F.col(dopp)).alias("w"),
+def _ra_from_edge_rows(rows: DataFrame) -> DataFrame:
+    """Resource-allocation scores from the edge-rows frame: RA only
+    scores CLOSED wedges — triangles — so each apex row contributes
+    (1) its OWN pair's full score in-row (n_common = size(zs),
+    ra = Σ 1e6 div deg(z), an array fold — no explode, no cross-row
+    aggregation for the apex pair's zs) and (2) one (pair, 1/deg)
+    term per triangle for each of the two side pairs (u,z)/(v,z).
+    All contributions carry a GUARDED packed (lo<<32|hi) pair key and
+    come out of ONE explode over one copy of the subtree; the final
+    groupBy moves 2T + |E'| rows of 24 B — vs the first r12 cut's 3T
+    struct rows, the difference between ~70 GB of sf10 shuffle (disk
+    exhaustion) and a bounded exchange. Identical values to the
+    broadcast wedge plan: every (edge, common-neighbor) pair appears
+    exactly once because the edge-iterator enumerates each triangle
+    exactly once, and each 1e6 div deg term truncates identically."""
+    lo32 = F.lit(_LO32)
+    ui, vi = F.col("u").bitwiseAND(lo32), F.col("v").bitwiseAND(lo32)
+    du = F.shiftrightunsigned(F.col("u"), 32)
+    dv = F.shiftrightunsigned(F.col("v"), 32)
+
+    def pairk(x, y):
+        return _packed_pair(F.least(x, y), F.greatest(x, y))
+
+    one = F.lit(1).cast("long")
+    apex = F.struct(
+        pairk(ui, vi).alias("k"),
+        F.size("zs").cast("long").alias("n"),
+        F.aggregate(
+            "zs",
+            F.lit(0).cast("long"),
+            lambda acc, z: acc
+            + int_div(F.lit(1_000_000), F.shiftrightunsigned(z, 32)),
+        ).alias("w"),
+    )
+    sides = F.flatten(
+        F.transform(
+            "zs",
+            lambda z: F.array(
+                F.struct(
+                    pairk(z.bitwiseAND(lo32), ui).alias("k"),
+                    one.alias("n"),
+                    int_div(F.lit(1_000_000), dv).alias("w"),
+                ),
+                F.struct(
+                    pairk(z.bitwiseAND(lo32), vi).alias("k"),
+                    one.alias("n"),
+                    int_div(F.lit(1_000_000), du).alias("w"),
+                ),
+            ),
         )
-        for x, y, dopp in (("u", "v", "dz"), ("u", "z", "dv"), ("v", "z", "du"))
-    ]
-    contribs = triples.select(F.explode(F.array(*sides)).alias("c")).select(
-        "c.a", "c.b", "c.w"
     )
-    return contribs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_common"),
-        F.sum("w").cast("long").alias("ra_e6"),
+    contribs = rows.select(F.explode(F.concat(F.array(apex), sides)).alias("c"))
+    return (
+        contribs.groupBy(F.col("c.k").alias("k"))
+        .agg(
+            F.sum("c.n").cast("long").alias("n_common"),
+            F.sum("c.w").cast("long").alias("ra_e6"),
+        )
+        .select(
+            F.shiftrightunsigned(F.col("k"), 32).alias("a"),
+            F.col("k").bitwiseAND(lo32).alias("b"),
+            "n_common",
+            "ra_e6",
+        )
     )
 
 
@@ -735,21 +804,22 @@ def run_jaccard_sig_build_job(
         ).write.mode("overwrite").parquet(os.path.join(loc, "escores"))
         sigs.unpersist()
         build_sec["escores"] = round(time.perf_counter() - t0, 2)
-        # Triangle triples feed BOTH remaining relations — enumerate
-        # once, persist the T-row stream, derive each output from the
-        # cache (the one-time-build analogue of the query-side rule
-        # that the collect_set subtree must run exactly once).
+        # The apex edge-rows frame feeds BOTH remaining relations —
+        # enumerate once, persist the |E'|-row frame (zs payload = T
+        # packed longs total), derive each output from the cache in
+        # one pass each (the one-time-build analogue of the query-side
+        # rule that the collect_set subtree must run exactly once).
         t0 = time.perf_counter()
-        triples = _tri_triples_deg(edges).persist(StorageLevel.MEMORY_AND_DISK)
-        _ra_from_triples(triples).write.mode("overwrite").parquet(
+        rows = _tri_edge_rows(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        _ra_from_edge_rows(rows).write.mode("overwrite").parquet(
             os.path.join(loc, "rascores")
         )
         build_sec["rascores"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        _tri_node_counts(triples).write.mode("overwrite").parquet(
+        _tri_node_counts(rows).write.mode("overwrite").parquet(
             os.path.join(loc, "ntri")
         )
-        triples.unpersist()
+        rows.unpersist()
         build_sec["ntri"] = round(time.perf_counter() - t0, 2)
         doc["build_sec"] = build_sec
     os.makedirs(loc, exist_ok=True)
@@ -1017,7 +1087,7 @@ RA_TOP_N = 20
 # overhead. 1.5M raw pairs caps the adjacency at ~3M rows ≈ 300 MB
 # (the LPA_LABEL_BROADCAST_LIMIT sizing discipline). Above it the plan
 # switches to the degree-oriented triangle edge-iterator
-# (_tri_triples_deg + _ra_from_triples — r12, replacing the r11
+# (_tri_edge_rows + _ra_from_edge_rows — r12, replacing the r11
 # all-broadcasts-become-shuffle-joins fallback that re-materialized
 # every wedge candidate and scaled 25x for 10x data).
 RA_ADJ_BROADCAST_LIMIT = 1_500_000
@@ -1081,13 +1151,14 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ABOVE the gate (r12, replacing the r11 shuffle-equi-join fallback
     that re-materialized every wedge candidate — the suite's worst
     scaler, sf1 250.4 s): RA only scores CLOSED wedges — triangles —
-    so the degree-oriented edge-iterator (_tri_triples_deg, the
+    so the degree-oriented edge-iterator (_tri_edge_rows, the
     graph_triangle_count above-gate form) enumerates each triangle
-    exactly once with all three degrees embedded as struct fields, and
-    _ra_from_triples turns the 3·T contribution rows into (a, b,
-    n_common, ra_e6) with ONE groupBy. No wedge row ever shuffles;
-    candidates are O(m^1.5). SPARK_GRAFT_RA_FORCE_ITER=1 forces this
-    plan below the gate (parity tests / A-B).
+    exactly once with all three degrees packed into the ids, and
+    _ra_from_edge_rows folds the apex pair's whole score in-row and
+    explodes only the 2T side terms under packed 8-byte pair keys into
+    ONE groupBy. No wedge row ever shuffles; candidates are O(m^1.5).
+    SPARK_GRAFT_RA_FORCE_ITER=1 forces this plan below the gate
+    (parity tests / A-B).
 
     Since r12 the build job also materializes `rascores` — the full
     exact scored relation, a deterministic function of the digest-keyed
@@ -1119,7 +1190,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_RA_FORCE_ITER"
     )
     if not small:
-        scored = _ra_from_triples(_tri_triples_deg(edges))
+        scored = _ra_from_edge_rows(_tri_edge_rows(edges))
         return (
             scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
             .limit(RA_TOP_N)
@@ -1238,7 +1309,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: per-node triangle counts come from the SAME
     degree-oriented triple stream as the rascores/ntri build
-    (_tri_triples_deg — each triangle surfaces once with its three
+    (_tri_edge_rows — each triangle surfaces once with its three
     corners, no wedge row ever shuffles, O(m^1.5) candidates), so a
     fresh written-once materialization reduces this query to a scan of
     the `ntri` relation + one degree aggregate over the edge parquet;
@@ -1268,7 +1339,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
         )
         nt = _tri_node_counts(
-            _tri_triples_deg(
+            _tri_edge_rows(
                 edges, broadcast_deg=raw_pairs <= RA_ADJ_BROADCAST_LIMIT
             )
         )

@@ -1569,3 +1569,145 @@ def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, n_voiced_samples long, n_unvoiced_samples long, "
         "voiced_ms long, unvoiced_ms long, snr_power_milli long",
     )
+
+
+# E2E twin constants (r11 verdict #6c): the same 90/95 content-split
+# cuts as corpus_e2e_training_prep, a minimum-pixel quality gate that
+# actually drops the smallest formula images, and the AHASH_SEEDS
+# duplicate structure so the dedup stage has real work.
+MM_MIN_PX = 30
+MM_TRAIN_CUT = 90
+MM_VAL_CUT = 95
+
+
+@query(
+    "multimodal_e2e_training_prep",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS media_id, doc_id % {AHASH_SEEDS} AS seed FROM documents
+    ),
+    dims AS (
+      SELECT media_id, seed,
+             CAST(seed % 13 + 4 AS BIGINT) AS w,
+             CAST(seed % 9 + 4 AS BIGINT)  AS h
+      FROM imgs
+    ),
+    gated AS (SELECT * FROM dims WHERE w * h >= {MM_MIN_PX}),
+    cells AS (
+      SELECT media_id, CAST(by * 8 + bx AS BIGINT) AS k,
+             ((  (seed * 7  + (bx * w // 8) * 3 + (by * h // 8) * 5) % 256
+               + (seed * 11 + (bx * w // 8)     + (by * h // 8) * 2) % 256
+               + (seed * 13 + (bx * w // 8) * 2 + (by * h // 8))     % 256
+              ) // 3) AS gray
+      FROM gated
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS bx)
+      CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS by)
+    ),
+    hashes AS (
+      SELECT media_id,
+             string_agg(
+               CASE WHEN gray > (SELECT sum(c2.gray) // 64 FROM cells c2
+                                 WHERE c2.media_id = cells.media_id)
+                    THEN '1' ELSE '0' END, '' ORDER BY k) AS ahash_bits
+      FROM cells GROUP BY media_id
+    ),
+    clusters AS (
+      SELECT h.ahash_bits,
+             CAST(count(*) AS BIGINT)        AS cluster_size,
+             CAST(min(h.media_id) AS BIGINT) AS canonical_id,
+             CAST(sum(g.w * g.h) AS BIGINT)  AS raw_pixels
+      FROM hashes h JOIN gated g ON g.media_id = h.media_id
+      GROUP BY h.ahash_bits
+    ),
+    tagged AS (
+      SELECT CASE WHEN canonical_id % 100 < {MM_TRAIN_CUT} THEN 'train'
+                  WHEN canonical_id % 100 < {MM_VAL_CUT}   THEN 'val'
+                  ELSE 'test' END AS split,
+             cluster_size, raw_pixels
+      FROM clusters
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)          AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_raw_images,
+           CAST(sum(raw_pixels) AS BIGINT)   AS raw_pixels,
+           CAST((sum(cluster_size) - count(*)) * 1000000
+                // sum(cluster_size) AS BIGINT) AS dup_savings_ppm
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def multimodal_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL training-data pipeline end-to-end in one plan —
+    the image twin of corpus_e2e_training_prep (r11 verdict #6c):
+    synthesize -> REAL BMP decode (mapInPandas Arrow seam; dims come
+    from the decoded pixel plane, not metadata) -> quality gate
+    (w·h >= {MM_MIN_PX} pixels, the 'too small to train on' screen) ->
+    perceptual dedup (the aHash grouping of multimodal_image_ahash_dedup,
+    payload ids repeating mod {AHASH_SEEDS} so real clusters exist) ->
+    CLUSTER-SAFE split (split assigned per canonical cluster, never per
+    copy — two near-dup images can never land in train and test) ->
+    per-split budget report with dedup savings in exact ppm.
+
+    Scale shape: payloads live and die inside one map stage (decode +
+    hash emit only (media_id, 64-char bits, w, h) — the only thing
+    that ever shuffles); dedup is one hash-keyed exchange; the split
+    tag is a codegen expression on the canonical id; the report is a
+    3-row aggregate. The oracle replays decode-gate-hash-dedup-split
+    entirely from the pixel FORMULA in SQL, so a hash match proves the
+    byte-exact decode, the gate population, the cluster structure, and
+    the split assignment in one compare."""
+
+    def hash_gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "ahash_bits": [], "w": [], "h": []}
+            for did in pdf["doc_id"]:
+                seed = int(did) % AHASH_SEEDS
+                px = decode_bmp24_pixels(bmp_formula_payload(seed))
+                h, w, _ = px.shape
+                if w * h < MM_MIN_PX:
+                    continue  # quality gate, applied on DECODED dims
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                sx = (np.arange(8, dtype=np.int64) * w) // 8
+                gray = px.sum(axis=2) // 3
+                cells = gray[np.ix_(sy, sx)]
+                mean = int(cells.sum()) // 64
+                out["media_id"].append(int(did))
+                out["ahash_bits"].append(
+                    "".join("1" if int(v) > mean else "0" for v in cells.ravel())
+                )
+                out["w"].append(int(w))
+                out["h"].append(int(h))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(
+        hash_gate, schema="media_id long, ahash_bits string, w long, h long"
+    )
+    clusters = hashed.groupBy("ahash_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("media_id").cast("long").alias("canonical_id"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("raw_pixels"),
+    )
+    slot = F.col("canonical_id") % 100
+    tagged = clusters.select(
+        F.when(slot < MM_TRAIN_CUT, "train")
+        .when(slot < MM_VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+        "cluster_size",
+        "raw_pixels",
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_raw_images"),
+            F.sum("raw_pixels").cast("long").alias("raw_pixels"),
+            F.expr(
+                "CAST((sum(cluster_size) - count(*)) * 1000000"
+                " div sum(cluster_size) AS BIGINT)"
+            ).alias("dup_savings_ppm"),
+        )
+        .orderBy("split")
+    )

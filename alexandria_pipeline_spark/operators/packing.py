@@ -117,6 +117,108 @@ def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T5-style span corruption accounting (r11 verdict #6b): mask rate and
+# mean span length are the standard 15% / 3 (Raffel et al. 2020 §3.1.4
+# defaults); counts are derived deterministically per document in
+# integer arithmetic so both engines agree bitwise.
+SPAN_MASK_PCT = 15
+SPAN_MEAN_LEN = 3
+
+
+@query(
+    "pack_span_corruption_stats",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, doc_id % {PACK_BUCKETS} AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, bucket, n_tok,
+             n_tok * {SPAN_MASK_PCT} // 100 AS masked,
+             (n_tok * {SPAN_MASK_PCT} // 100 + {SPAN_MEAN_LEN} - 1)
+               // {SPAN_MEAN_LEN} AS spans,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {PACK_CAPACITY} AS bin_id
+      FROM docs
+    )
+    SELECT lang, bucket, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)    AS bin_tokens,
+           CAST(sum(masked) AS BIGINT)   AS masked_tokens,
+           CAST(sum(spans) AS BIGINT)    AS n_spans,
+           CAST(sum(n_tok) - sum(masked) + sum(spans) AS BIGINT)
+             AS enc_tokens,
+           CAST(sum(masked) + sum(spans) AS BIGINT) AS tgt_tokens,
+           CAST(sum(masked) * 1000000 // sum(n_tok) AS BIGINT) AS mask_ppm,
+           CAST(count(*) - 1 AS BIGINT)  AS n_boundaries
+    FROM placed
+    GROUP BY lang, bucket, bin_id
+    """,
+)
+def pack_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask token accounting per packed sequence under T5-style
+    span corruption (r11 verdict #6b — the companion report
+    pack_sequences_contiguous was missing): each document contributes
+    masked = n_tok·{SPAN_MASK_PCT}//100 corrupted tokens grouped into
+    ceil(masked/{SPAN_MEAN_LEN}) spans, each span collapsing to one
+    sentinel, so per bin the ENCODER sees bin_tokens − masked + spans
+    tokens and the DECODER trains on masked + spans target tokens —
+    the two numbers a packing-aware batch scheduler actually budgets
+    (padding the encoder to capacity while the target stream runs
+    ~{SPAN_MASK_PCT}%·(1+1/{SPAN_MEAN_LEN}) of it). n_boundaries =
+    n_docs − 1 counts the intra-bin document joints where the
+    attention mask must block cross-document attention — the
+    boundary-mask budget per sequence. Same single (lang, bucket)
+    shuffle as the packing query: the span arithmetic is per-row
+    codegen on the already-placed stream, the aggregate adds columns,
+    not exchanges. All counts are exact integer — no sampling, no
+    RNG: the deterministic mask BUDGET is what capacity planning
+    needs, and it is what makes the report oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        _n_tok("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    masked = int_div(F.col("n_tok") * SPAN_MASK_PCT, F.lit(100))
+    placed = docs.select(
+        "lang",
+        "bucket",
+        "n_tok",
+        masked.alias("masked"),
+        int_div(masked + (SPAN_MEAN_LEN - 1), F.lit(SPAN_MEAN_LEN)).alias(
+            "spans"
+        ),
+        int_div(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)),
+            F.lit(PACK_CAPACITY),
+        ).alias("bin_id"),
+    )
+    return placed.groupBy("lang", "bucket", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+        F.sum("masked").cast("long").alias("masked_tokens"),
+        F.sum("spans").cast("long").alias("n_spans"),
+        (F.sum("n_tok") - F.sum("masked") + F.sum("spans"))
+        .cast("long")
+        .alias("enc_tokens"),
+        (F.sum("masked") + F.sum("spans")).cast("long").alias("tgt_tokens"),
+        int_div(F.sum("masked") * 1_000_000, F.sum("n_tok"))
+        .cast("long")
+        .alias("mask_ppm"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_boundaries"),
+    )
+
+
 @query(
     "corpus_mix_weights",
     oracle="""

@@ -517,6 +517,203 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CUTOFF_PCT = 80  # first 80% of vec_ids are the already-indexed corpus
+
+
+def _duck_kmeans_update(assigned: str) -> str:
+    """One Lloyd centroid update over an assignment CTE, in the repo's
+    exact-integer convention (micro component sums, truncating div)."""
+    return f"""
+      SELECT cluster_id AS c_id,
+             list(CAST(s // n AS BIGINT) / 1000000.0 ORDER BY d) AS c_emb
+      FROM (
+        SELECT cluster_id, d,
+               CAST(sum(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {assigned}, (SELECT unnest(range(1, {KMEANS_DIM} + 1)) AS d) dims
+        GROUP BY cluster_id, d
+      ) GROUP BY cluster_id"""
+
+
+def _duck_assign_dist(src: str, cents: str) -> str:
+    """Argmin-squared-L2 assignment of `src` to `cents`, keeping the
+    winning dist2 (same tie rule as every IVF oracle: lowest c_id)."""
+    d2 = duck_l2_dist2("e.embedding", "c.c_emb")
+    return f"""
+      SELECT vec_id, embedding, c_id AS cluster_id, dist2 FROM (
+        SELECT e.vec_id, e.embedding, c.c_id, {d2} AS dist2,
+          row_number() OVER (
+            PARTITION BY e.vec_id ORDER BY {d2} ASC, c.c_id
+          ) AS rn
+        FROM {src} e CROSS JOIN {cents} c
+      ) WHERE rn = 1"""
+
+
+@query(
+    "knn_ivf_incremental_assign",
+    oracle=f"""WITH cut AS (
+      SELECT max(vec_id) * {IVF_CUTOFF_PCT} // 100 AS cutoff FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, embedding FROM embeddings, cut WHERE vec_id <= cutoff
+    ),
+    newb AS (
+      SELECT vec_id, embedding FROM embeddings, cut WHERE vec_id > cutoff
+    ),
+    c0 AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM base WHERE vec_id < {N_CENTROIDS}
+    ),
+    a0 AS ({_duck_assign_dist('base', 'c0')}),
+    c1 AS ({_duck_kmeans_update('a0')}),
+    a1 AS ({_duck_assign_dist('base', 'c1')}),
+    c2 AS ({_duck_kmeans_update('a1')}),
+    fb AS ({_duck_assign_dist('base', 'c2')}),
+    fn AS ({_duck_assign_dist('newb', 'c2')}),
+    bstat AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(sum(CAST(round(dist2 * 1000000) AS BIGINT)) AS BIGINT) AS sq
+      FROM fb GROUP BY cluster_id
+    ),
+    nstat AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_new,
+             CAST(sum(CAST(round(dist2 * 1000000) AS BIGINT)) AS BIGINT) AS sq
+      FROM fn GROUP BY cluster_id
+    )
+    SELECT b.cluster_id,
+           b.n_base,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(COALESCE(n.n_new, 0) * 1000000 // b.n_base AS BIGINT)
+             AS growth_ppm,
+           CAST(b.sq // b.n_base AS BIGINT) AS qerr_base_micro,
+           CAST(CASE WHEN COALESCE(n.n_new, 0) > 0 THEN n.sq // n.n_new
+                ELSE 0 END AS BIGINT) AS qerr_new_micro
+    FROM bstat b LEFT JOIN nstat n ON n.cluster_id = b.cluster_id
+    ORDER BY b.cluster_id
+    """,
+)
+def knn_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the production companion to
+    knn_ivf_kmeans (r11 verdict #6a): centroids are trained once on
+    the already-indexed corpus (first {IVF_CUTOFF_PCT}% of vec_ids,
+    same unrolled deterministic Lloyd's as knn_ivf_kmeans), then a NEW
+    batch of vectors is assigned to the FROZEN centroids — never
+    retrained per batch, exactly how FAISS/Milvus-style IVF indexes
+    ingest — and the output is the maintenance report an index
+    operator watches: per cell, resident count, new-batch count,
+    growth_ppm (rebalance trigger: a cell absorbing a skewed share of
+    inserts needs a split), and mean quantization error of residents
+    vs inserts in exact micros (drift trigger: inserts landing far
+    from their nearest centroid mean the frozen codebook no longer
+    fits the data distribution and a retrain is due).
+
+    Exactness convention: per-vector dist2 is the same left-fold
+    arithmetic both engines evaluate bitwise-equal (l2_dist2 /
+    duck_l2_dist2); per-cell means round each row to int micros first,
+    then exact int64 sum + truncating division — float accumulation
+    across rows would order-diverge across engines. Scale shape: train
+    on the bounded historical sample, then ONE broadcast-NLJ assignment
+    pass over the insert batch (batch-linear map work, k x dim
+    broadcast, aggregate output bounded by k) — no shuffle ever
+    carries a vector payload keyed by anything but its own id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # plan-embedded cutoff: 1-row aggregate broadcast, same shape as
+    # the dedup incremental family's cut CTE — no driver round-trip
+    cut = e.agg(
+        F.expr(
+            f"CAST(max(vec_id) * {IVF_CUTOFF_PCT} div 100 AS BIGINT)"
+        ).alias("cutoff")
+    )
+    split = e.crossJoin(F.broadcast(cut))
+    base = split.filter(F.col("vec_id") <= F.col("cutoff")).select(
+        "vec_id", "embedding"
+    )
+    newb = split.filter(F.col("vec_id") > F.col("cutoff")).select(
+        "vec_id", "embedding"
+    )
+    cent = base.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("long").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
+
+    def assign(src: DataFrame, cent_df: DataFrame) -> DataFrame:
+        return (
+            src.crossJoin(F.broadcast(cent_df))
+            .withColumn("dist2", l2_dist2("embedding", "c_emb"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "embedding", F.col("c_id").alias("cluster_id"), "dist2"
+            )
+        )
+
+    for _ in range(KMEANS_ITERS):
+        upd = (
+            assign(base, cent)
+            .select("cluster_id", F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("cluster_id", (F.col("d0") + 1).alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        cent = (
+            upd.select(
+                "cluster_id",
+                F.struct(
+                    "d", (int_div(F.col("s"), F.col("n")) / 1e6).alias("c")
+                ).alias("dc"),
+            )
+            .groupBy(F.col("cluster_id").alias("c_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("dc")), lambda s: s["c"]
+                ).alias("c_emb")
+            )
+        )
+
+    def cell_stats(src: DataFrame, n_col: str) -> DataFrame:
+        return (
+            assign(src, cent)
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.sum(F.round(F.col("dist2") * 1_000_000).cast("long"))
+                .cast("long")
+                .alias("sq"),
+            )
+        )
+
+    bstat = cell_stats(base, "n_base")
+    nstat = cell_stats(newb, "n_new").withColumnRenamed("sq", "sq_new")
+    return (
+        bstat.join(nstat, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_base",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.expr(
+                "CAST(coalesce(n_new, 0) * 1000000 div n_base AS BIGINT)"
+            ).alias("growth_ppm"),
+            int_div(F.col("sq"), F.col("n_base"))
+            .cast("long")
+            .alias("qerr_base_micro"),
+            F.when(
+                F.coalesce(F.col("n_new"), F.lit(0)) > 0,
+                int_div(F.col("sq_new"), F.col("n_new")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("qerr_new_micro"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @query(
     "vector_stats",
     oracle=f"""

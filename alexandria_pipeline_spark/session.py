@@ -140,6 +140,17 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
     )
+    # Ad-hoc conf overrides for measurement harnesses ("k=v;k2=v2").
+    # E.g. the r12 stress sessions set spark.io.compression.codec=zstd:
+    # the sf10 graph exchanges are tens of GB of packed int64 streams
+    # that lz4 leaves ~2x larger than zstd, and THIS box's disk — not
+    # the plan — is the binding constraint (a 1000-executor cluster
+    # hosts the same exchange trivially). Session-build-time only:
+    # getOrCreate ignores conf on an already-running session.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     ensure_package_on_executors(spark)
     return spark

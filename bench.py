@@ -207,6 +207,9 @@ HEADLINE = [
     "graph_resource_allocation",
     # round-12 additions
     "graph_local_clustering",
+    "knn_ivf_incremental_assign",
+    "pack_span_corruption_stats",
+    "multimodal_e2e_training_prep",
     # round-11 promotions (r10 verdict #5): the top engine-heavy
     # non-headline queries by the sweep's new spark_s attribution, so
     # the regression gate watches them every round. stream_* queries

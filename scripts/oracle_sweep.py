@@ -150,8 +150,10 @@ def main() -> int:
                     "timings_s": timings,
                     "spark_timings_s": spark_timings,
                     "oracle_timings_s": oracle_timings,
-                    "slow_vs_prev": _slow_vs_prev(
-                        root, stem, rnd, timings, spark_timings
+                    "slow_vs_prev": _adjudicate_flags(
+                        spark,
+                        sf_dir,
+                        _slow_vs_prev(root, stem, rnd, timings, spark_timings),
                     ),
                 },
                 indent=1,
@@ -225,6 +227,51 @@ def _slow_vs_prev(
         "n_compared": sum(1 for n in timings if n in prev_t),
         "flagged": flagged,
     }
+
+
+# In-sweep adjudication (r11 verdict #3): the sweep's one-run-per-query
+# design guarantees a steady drip of spurious flags on a host with
+# multi-second CPU-steal bursts, and each one used to need a
+# hand-written appeal to the bench gate's min-of-2. Instead, every
+# flagged row gets SLOW_RETRY_RUNS targeted re-measures inside the same
+# sweep session before the artifact is written, so each entry carries
+# its own verdict: "cleared" (the min of first run + retries is back
+# under the flag bar — a burst, not a plan change) or "stands"
+# (survives all samples — actionable). Same-session retries run warm,
+# which is the point: a genuinely slower PLAN stays proportionally slow
+# warm; ambient steal doesn't.
+SLOW_RETRY_RUNS = 2
+
+
+def _adjudicate_flags(spark, sf_dir: str, svp: dict) -> dict:
+    flagged = svp.get("flagged")
+    if not flagged:
+        return svp
+    for name, entry in flagged.items():
+        runs: list[float] = []
+        for _ in range(SLOW_RETRY_RUNS):
+            t0 = time.time()
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                if name in ORACLES:
+                    df.collect()
+                else:
+                    df.count()
+            except Exception:  # noqa: BLE001 - adjudication must not fail sweep
+                break
+            finally:
+                release_persisted()
+            runs.append(round(time.time() - t0, 2))
+        entry["retry_runs_s"] = runs
+        best = min([entry["now_s"], *runs]) if runs else entry["now_s"]
+        entry["final_s"] = round(best, 2)
+        cleared = best < entry["prev_s"] * SLOW_RATIO or best < SLOW_FLOOR_S
+        entry["verdict"] = "cleared" if cleared else "stands"
+    svp["status"] += (
+        f"; each flagged row re-measured min-of-{SLOW_RETRY_RUNS} in-session"
+        " (verdict: cleared = burst noise, stands = actionable)"
+    )
+    return svp
 
 
 if __name__ == "__main__":

@@ -208,3 +208,148 @@ def test_materialized_read_paths_value_identical(spark, jsig_env, monkeypatch):
         assert any(loc in f for f in df.inputFiles()), f"{n} must read cache"
         assert [tuple(r) for r in df.collect()] == inline[n], n
         release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# r11 verdict #6 growth queries: incremental IVF maintenance, span-
+# corruption packing stats, multimodal e2e twin. Each gets a
+# driver-side replication or a cross-query reconciliation on top of
+# its DuckDB oracle (which covers exact values at sf0.01).
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_incremental_matches_numpy_replication(spark):
+    """knn_ivf_incremental_assign vs an independent numpy replication
+    of the whole pipeline at smoke scale: same frozen-centroid
+    training (2 Lloyd iterations, exact integer-micro updates,
+    lowest-c_id tie-break), same assignment, same micro-exact report."""
+    import numpy as np
+
+    from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.operators import similarity as S
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])  # centroid c_id order = vec_id order
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cutoff = ids.max() * S.IVF_CUTOFF_PCT // 100
+    base_m, new_m = ids <= cutoff, ids > cutoff
+
+    def assign(xs, cents):
+        # argmin squared-L2 via the same left-fold float32-promoted
+        # arithmetic magnitude; ties to lowest c_id via argmin order
+        d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2.min(axis=1)
+
+    cents = X[base_m][ids[base_m] < S.N_CENTROIDS]
+    for _ in range(S.KMEANS_ITERS):
+        lab, _ = assign(X[base_m], cents)
+        nxt = []
+        for c in range(len(cents)):
+            mem = X[base_m][lab == c]
+            if len(mem):
+                s = np.round(mem * 1_000_000).astype(np.int64).sum(axis=0)
+                q, r = np.divmod(s, len(mem))
+                q = np.where((r != 0) & (s < 0), q + 1, q)  # truncating div
+                nxt.append(q / 1e6)
+        cents = np.array(nxt)
+
+    def report(xs):
+        lab, d2 = assign(xs, cents)
+        out = {}
+        for c in range(len(cents)):
+            m = lab == c
+            if m.any():
+                sq = int(np.round(d2[m] * 1_000_000).astype(np.int64).sum())
+                out[c] = (int(m.sum()), sq)
+        return out
+
+    b, n = report(X[base_m]), report(X[new_m])
+    expected = []
+    for c in sorted(b):
+        nb, sqb = b[c]
+        nn, sqn = n.get(c, (0, 0))
+        expected.append(
+            (
+                c,
+                nb,
+                nn,
+                nn * 1_000_000 // nb,
+                sqb // nb,
+                sqn // nn if nn else 0,
+            )
+        )
+    got = [
+        tuple(r)
+        for r in QUERIES["knn_ivf_incremental_assign"](spark, SF_SMOKE).collect()
+    ]
+    release_persisted()
+    assert got == expected and got
+
+
+def test_span_corruption_reconciles_with_packing(spark):
+    """Same bins, same doc/token counts as pack_sequences_contiguous;
+    encoder + target token identity; boundary count = n_docs - 1."""
+    from alexandria_pipeline_spark.operators import packing as P
+
+    pack = {
+        (r["lang"], r["bucket"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in QUERIES["pack_sequences_contiguous"](spark, SF_SMOKE).collect()
+    }
+    release_persisted()
+    rows = QUERIES["pack_span_corruption_stats"](spark, SF_SMOKE).collect()
+    release_persisted()
+    assert rows
+    got = {(r["lang"], r["bucket"], r["bin_id"]) for r in rows}
+    assert got == set(pack)
+    for r in rows:
+        key = (r["lang"], r["bucket"], r["bin_id"])
+        assert (r["n_docs"], r["bin_tokens"]) == pack[key]
+        # every masked token and every sentinel is accounted exactly once
+        assert (
+            r["enc_tokens"] + r["tgt_tokens"]
+            == r["bin_tokens"] + 2 * r["n_spans"]
+        )
+        assert r["n_boundaries"] == r["n_docs"] - 1
+        assert 0 <= r["masked_tokens"] <= r["bin_tokens"] * P.SPAN_MASK_PCT // 100
+        # ceil grouping: spans never exceed masked count, never under 1/len
+        assert r["n_spans"] * P.SPAN_MEAN_LEN >= r["masked_tokens"]
+
+
+def test_multimodal_e2e_reconciles(spark):
+    """Split rows partition the gated corpus: raw-image total equals
+    the driver-side gate population, clusters are disjoint, and
+    dedup savings are exact."""
+    from alexandria_pipeline_spark.catalog import load_table
+    from alexandria_pipeline_spark.operators import multimodal as M
+
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    ]
+    gate_pop = 0
+    gated_seeds = set()
+    for did in doc_ids:
+        seed = did % M.AHASH_SEEDS
+        w, h = seed % 13 + 4, seed % 9 + 4
+        if w * h >= M.MM_MIN_PX:
+            gate_pop += 1
+            gated_seeds.add(seed)
+    rows = QUERIES["multimodal_e2e_training_prep"](spark, SF_SMOKE).collect()
+    release_persisted()
+    assert rows
+    assert sum(r["n_raw_images"] for r in rows) == gate_pop
+    # distinct payload formulas bound the cluster count from below:
+    # identical seeds MUST collapse (aHash is deterministic in seed)
+    assert sum(r["n_clusters"] for r in rows) <= len(gated_seeds)
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        assert r["n_raw_images"] >= r["n_clusters"] >= 1
+        assert (
+            r["dup_savings_ppm"]
+            == (r["n_raw_images"] - r["n_clusters"]) * 1_000_000 // r["n_raw_images"]
+        )
