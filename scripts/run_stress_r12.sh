@@ -10,6 +10,9 @@ export SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd"
 for ph in "${phases[@]}"; do
   echo "=== phase $ph ==="
   python scripts/graph_stress_session.py "$ph" || echo "phase $ph FAILED ($?)"
-  rm -rf /tmp/blockmgr-* 2>/dev/null   # orphaned shuffle dirs of a crashed JVM
+  # Reap orphaned shuffle dirs of a CRASHED phase JVM — but never
+  # while any other Spark JVM is alive (the r12 pytest run lost its
+  # live shuffle dirs to an unguarded version of this line).
+  pgrep -x java >/dev/null 2>&1 || rm -rf /tmp/blockmgr-* 2>/dev/null
   df -h / | tail -1
 done
