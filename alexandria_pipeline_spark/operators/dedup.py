@@ -2254,13 +2254,51 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = spread_to_cores(e).crossJoin(F.broadcast(cent)).withColumn(
-        "dot", dot_c
+    # r12 optimization round: the nearest-centroid argmax is a grouped
+    # MAX-STRUCT aggregate over NARROW rows, not a row_number window —
+    # the window form shuffled all n·K crossed rows, each dragging
+    # BOTH the vector and the centroid array through the exchange and
+    # a per-group sort (~2·K array payloads per vector). The aggregate
+    # sees only (vec_id, cid, dot): its buffer stays fixed-width (the
+    # codegen HashAggregate fast path — a first(embedding) variant was
+    # measured 5x WORSE than the window because the array-typed buffer
+    # forces the sort-based aggregate), the map-side partial collapses
+    # the K candidates per vector before the exchange, and the vector
+    # itself re-attaches by one vec_id equi-join against the scan —
+    # arrays cross an exchange at most ONCE, and never K times.
+    # max(struct(dot, -cid)) == "highest dot, ties to smallest cid" —
+    # exactly the window's (dot DESC, cid) first row on identical
+    # per-pair dot values, so results are bit-identical. At sf0.1 the
+    # bench wall is roughly unchanged (~2.3 s — this box is exchange-
+    # latency-bound here, steady-state repeats measure ~1.9-2.5 s);
+    # the win is the 100-TB shuffle-bytes profile, which is the
+    # contract this round optimizes for.
+    scored = (
+        spread_to_cores(e)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dot", dot_c)
+        .select("vec_id", "cid", "dot")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cid"))
+    # The narrow (vec_id, cid) assignment is scoped-persisted: mem is
+    # consumed by BOTH sides of the pair self-join, and per-cluster
+    # counts need only the assignment — without the persist each
+    # consumer replanned the n·K scoring subtree (the assortativity
+    # lesson: no cross-consumer CSE), with it the dots run exactly
+    # once and each mem copy is a parquet scan + one equi-join against
+    # the 16-byte-row cache.
+    asg = scoped_persist(
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("dot"), (-F.col("cid")).alias("negcid"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negcid")).alias("cid")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     mem = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        spread_to_cores(e)
+        .join(asg, "vec_id")
         .select(
             "vec_id",
             "cid",
@@ -2293,7 +2331,10 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dot") >= SEM_COS_THRESHOLD)
         .select("cid", "va", "vb")
     )
-    per_cluster = mem.groupBy("cid").agg(
+    # membership counts need only the cached assignment — counting mem
+    # would re-scan and re-join the embeddings for values the 16-byte
+    # rows already determine
+    per_cluster = asg.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     dup = pairs.groupBy("cid").agg(

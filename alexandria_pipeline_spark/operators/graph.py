@@ -420,6 +420,59 @@ def _pack_deg_node(deg, node):
 _LO32 = (1 << 32) - 1
 
 
+def _tri_closed_bcast(edges: DataFrame) -> DataFrame:
+    """One row PER TRIANGLE (u, v, w), all packed (deg<<32|id) longs —
+    the BELOW-GATE twin of _tri_edge_rows' zs stream (r12 optimization
+    round): identical degree orientation and triangle multiset (each
+    triangle surfaces exactly once, at the edge whose source is its
+    minimum vertex in the (deg, id) total order), but the closure runs
+    as the graph_triangle_count below-gate form — wedges explode
+    MAP-SIDE from per-source adjacency arrays and probe the BROADCAST
+    packed canonical edge set — instead of shuffling adjacency arrays
+    into a self-join. Below the gate that swap removes the plan's only
+    array-payload exchange (the e_u⋈adj_v join moved the full
+    O(m^1.5)-element wedge volume as shuffled array bytes; measured
+    sf0.1: graph_local_clustering 9.2 s → 5.3 s bench wall) while the
+    wedge stream itself stays rows-in-a-stage, never materialized.
+    Callers gate on RA_ADJ_BROADCAST_LIMIT: |E| packed longs + a
+    (node, deg) row pair per node broadcast — the same size class the
+    RA adjacency broadcast was sized for, and strictly smaller rows."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = F.broadcast(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    )
+    with_deg = edges.join(da, "a").join(db, "b")
+    pa = _pack_deg_node(F.col("deg_a"), F.col("a"))
+    pb = _pack_deg_node(F.col("deg_b"), F.col("b"))
+    oriented = with_deg.select(
+        F.least(pa, pb).alias("src"), F.greatest(pa, pb).alias("dst")
+    )
+    adj = oriented.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+    lo32 = F.lit(_LO32)
+    wedges = (
+        adj.select(F.col("src").alias("u"), F.explode("ns").alias("v"), "ns")
+        .select("u", "v", F.explode("ns").alias("w"))
+        .filter(F.col("v") < F.col("w"))
+    )
+    vi, wi = F.col("v").bitwiseAND(lo32), F.col("w").bitwiseAND(lo32)
+    eset = F.broadcast(
+        edges.select(_packed_pair(F.col("a"), F.col("b")).alias("pk"))
+    )
+    return (
+        wedges.withColumn("pk", _packed_pair(F.least(vi, wi), F.greatest(vi, wi)))
+        .join(eset, "pk")
+        .select("u", "v", "w")
+    )
+
+
 def _tri_edge_rows(edges: DataFrame, broadcast_deg: bool = False) -> DataFrame:
     """One row PER ORIENTED EDGE with >= 1 common out-neighbor:
     (u, v, zs), all packed (deg<<32|id) longs (_pack_deg_node —
@@ -640,14 +693,24 @@ def _jaccard_K(raw_pairs: int) -> int:
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduped half-direction (a < b) co-purchase edge list — the frame
-    the sketch path persists / the build job writes."""
+    the sketch path persists / the build job writes. The dedup runs
+    over the GUARDED packed (a<<32|b) long (r12 optimization round):
+    the distinct's exchange — the largest in every consumer's edge
+    build, raw-pair-volume rows — carries one 8-byte key instead of a
+    16-byte two-column row, and the post-shuffle hash dedup compares
+    single longs. Unpacking after the distinct restores the exact
+    (a, b) columns, so every consumer sees the identical frame."""
     sets = _order_part_sets(spark, sf_dir)
-    return (
+    packed = (
         sets.select(F.explode("ps").alias("node"), "ps")
         .select("node", F.explode("ps").alias("nb"))
         .filter(F.col("node") < F.col("nb"))
-        .select(F.col("node").alias("a"), F.col("nb").alias("b"))
+        .select(_packed_pair(F.col("node"), F.col("nb")).alias("k"))
         .distinct()
+    )
+    return packed.select(
+        F.shiftrightunsigned(F.col("k"), 32).alias("a"),
+        F.col("k").bitwiseAND(F.lit(_LO32)).alias("b"),
     )
 
 
@@ -1195,59 +1258,72 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
             .limit(RA_TOP_N)
         )
-    adj = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
-        edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    # r12 optimization-round rewrite of the below-gate plan: RA only
+    # scores CLOSED wedges, so enumerate TRIANGLES (the oriented
+    # broadcast-closure stream, O(m^1.5) candidates — _tri_closed_bcast)
+    # and emit the three pair-terms per triangle, instead of the r11
+    # per-edge wedge explode (Σ_e min(deg) candidates — measured 131 M
+    # rows at sf0.1 vs the oriented form's ~41 M) probed through a
+    # 239 MB row-formatted adjacency broadcast (SHUFFLE_AUDIT_r11's
+    # largest broadcast, retired by this change; the new plan
+    # broadcasts only the (node, deg) pair tables and the |E| packed
+    # longs). For triangle (u, v, w): pair (u,v) gains 1e6 div deg(w),
+    # (u,w) gains 1e6 div deg(v), (v,w) gains 1e6 div deg(u) — every
+    # (edge, common-neighbor) combination appears exactly once because
+    # the stream enumerates each triangle exactly once, and each term
+    # truncates identically to the oracle's 1000000 // deg, so the
+    # grouped sums are value-identical to the r11 plan (oracle hash
+    # unchanged; measured sf0.1 bench wall 5.4 s → 3.9 s). The final
+    # groupBy moves 3T contribution rows collapsed map-side onto
+    # ≤ |E'| distinct pair keys — the Ω(T) cross-row floor SCALE.md
+    # documents, with a smaller constant than the wedge form.
+    closed = _tri_closed_bcast(edges)
+    lo32 = F.lit(_LO32)
+    ui, vi, wi = (
+        F.col("u").bitwiseAND(lo32),
+        F.col("v").bitwiseAND(lo32),
+        F.col("w").bitwiseAND(lo32),
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    # min-degree orientation: enumerate each edge's wedges from its
-    # lower-degree endpoint (ties to a — deterministic, and both
-    # orders enumerate the same common-neighbor set)
-    ed = (
-        edges.join(
-            F.broadcast(
-                deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
-            ),
-            "a",
-        )
-        .join(
-            F.broadcast(
-                deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
-            ),
-            "b",
+    du = F.shiftrightunsigned(F.col("u"), 32)
+    dv = F.shiftrightunsigned(F.col("v"), 32)
+    dw = F.shiftrightunsigned(F.col("w"), 32)
+
+    def pairk(x, y):
+        return _packed_pair(F.least(x, y), F.greatest(x, y))
+
+    one = F.lit(1).cast("long")
+    contribs = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    pairk(ui, vi).alias("k"),
+                    one.alias("n"),
+                    int_div(F.lit(1_000_000), dw).alias("t"),
+                ),
+                F.struct(
+                    pairk(ui, wi).alias("k"),
+                    one.alias("n"),
+                    int_div(F.lit(1_000_000), dv).alias("t"),
+                ),
+                F.struct(
+                    pairk(vi, wi).alias("k"),
+                    one.alias("n"),
+                    int_div(F.lit(1_000_000), du).alias("t"),
+                ),
+            )
+        ).alias("c")
+    )
+    scored = (
+        contribs.groupBy(F.col("c.k").alias("k"))
+        .agg(
+            F.sum("c.n").cast("long").alias("n_common"),
+            F.sum("c.t").cast("long").alias("ra_e6"),
         )
         .select(
-            "a",
-            "b",
-            F.when(F.col("da") <= F.col("db"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("lo"),
-            F.when(F.col("da") <= F.col("db"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("hi"),
-        )
-    )
-    wedges = ed.join(
-        F.broadcast(
-            adj.select(F.col("node").alias("lo"), F.col("nb").alias("z"))
-        ),
-        "lo",
-    ).filter(F.col("z") != F.col("hi"))
-    # closure probe against the packed canonical edge set: one GUARDED
-    # long per edge (_packed_pair — ids >= 2^32 raise instead of
-    # silently aliasing; ADVICE r11)
-    packed = edges.select(_packed_pair(F.col("a"), F.col("b")).alias("k"))
-    wkey = _packed_pair(F.least("hi", "z"), F.greatest("hi", "z"))
-    closed = wedges.withColumn("k", wkey).join(F.broadcast(packed), "k")
-    scored = (
-        closed.join(
-            F.broadcast(deg.select(F.col("node").alias("z"), "deg")), "z"
-        )
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(int_div(F.lit(1_000_000), F.col("deg")))
-            .cast("long")
-            .alias("ra_e6"),
+            F.shiftrightunsigned(F.col("k"), 32).alias("a"),
+            F.col("k").bitwiseAND(lo32).alias("b"),
+            "n_common",
+            "ra_e6",
         )
     )
     return (
@@ -1338,11 +1414,30 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = scoped_persist(
             _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
         )
-        nt = _tri_node_counts(
-            _tri_edge_rows(
-                edges, broadcast_deg=raw_pairs <= RA_ADJ_BROADCAST_LIMIT
+        if raw_pairs <= RA_ADJ_BROADCAST_LIMIT:
+            # r12 optimization: corner counts straight off the
+            # broadcast-closure triangle stream — same triangle
+            # multiset as _tri_edge_rows (each triangle credits its 3
+            # corners exactly once), but no adjacency-array exchange;
+            # the only shuffle left is the node-keyed aggregate whose
+            # map-side combine collapses to |V| rows.
+            lo32 = F.lit(_LO32)
+            nt = (
+                _tri_closed_bcast(edges)
+                .select(
+                    F.explode(
+                        F.array(
+                            F.col("u").bitwiseAND(lo32),
+                            F.col("v").bitwiseAND(lo32),
+                            F.col("w").bitwiseAND(lo32),
+                        )
+                    ).alias("node")
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
             )
-        )
+        else:
+            nt = _tri_node_counts(_tri_edge_rows(edges))
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -1424,6 +1519,22 @@ K_CORE_MAX_ITER = 30
 # Above this removal-set size the broadcast anti-join falls back to a
 # shuffled anti-join (10M longs ~ 80MB broadcast is the comfort edge).
 KCORE_BROADCAST_REMOVE_LIMIT = 10_000_000
+# Below this edge count the whole peel runs as a DRIVER-SIDE numpy
+# loop over one bounded Arrow collect (r12 optimization round — the
+# connected-components union-find precedent, dedup.py's
+# CC_DRIVER_PAIR_LIMIT): each distributed peel round costs two
+# scheduled jobs (degree aggregate + anti-join/localCheckpoint) of
+# fixed multi-hundred-ms overhead regardless of data size, so a
+# sf0.1 graph paid ~3 s of scheduling for ~0.1 s of arithmetic.
+# 2M (a, b) int64 pairs ≈ 32 MB over Arrow — the same size class as
+# the plan-time broadcast gates — and the numpy rounds are exact
+# replicas of the distributed rounds (same removal rule, same
+# iteration counting, same K_CORE_MAX_ITER cap), so the summary row
+# is value-identical; the parity test pins both paths against each
+# other. Above the gate (sf1+) the distributed peel runs unchanged.
+# SPARK_GRAFT_KCORE_FORCE_DIST=1 forces the distributed path (A/B,
+# tests).
+KCORE_DRIVER_EDGE_LIMIT = 2_000_000
 
 
 @query("graph_kcore_summary")  # rows-only: iterative fixpoint, not SQL-expressible
@@ -1448,22 +1559,59 @@ def graph_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the one-row audit summary (rows-only by design: the
     fixpoint invariant is pytest-checked instead — every surviving
     node must keep degree ≥ 3 inside the core)."""
-    sets = _order_part_sets(spark, sf_dir)
-    edges0 = (
-        sets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the deduped a<b edge list is _jaccard_edges (identical frame;
+    # packed-long distinct — r12), persisted for the peel rounds
+    edges0 = _jaccard_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     n_edges_total = edges0.count()
+    k_env = os.environ.get("SPARK_GRAFT_KCORE_K", "")
+    if n_edges_total <= KCORE_DRIVER_EDGE_LIMIT and not os.environ.get(
+        "SPARK_GRAFT_KCORE_FORCE_DIST"
+    ):
+        # Driver peel (see KCORE_DRIVER_EDGE_LIMIT): one Arrow collect
+        # of the cached edge list, then numpy rounds that mirror the
+        # distributed loop STATEMENT FOR STATEMENT — degrees over
+        # surviving edges, remove nodes with degree < k, count the
+        # round, stop on an empty removal set or at K_CORE_MAX_ITER.
+        # n_nodes_total falls out of the collected arrays (np.unique ==
+        # the distributed distinct-count, saving that job too).
+        import numpy as np
+
+        pdf = edges0.toPandas()
+        edges0.unpersist()
+        ea = pdf["a"].to_numpy(copy=False)
+        eb = pdf["b"].to_numpy(copy=False)
+        n_nodes_total = int(np.unique(np.concatenate([ea, eb])).size)
+        k = (
+            int(k_env)
+            if k_env
+            else max(K_CORE_FLOOR, (2 * n_edges_total) // max(n_nodes_total, 1))
+        )
+        alive = np.ones(len(ea), dtype=bool)
+        iters = 0
+        for _ in range(K_CORE_MAX_ITER):
+            iters += 1
+            nodes_u, cnts = np.unique(
+                np.concatenate([ea[alive], eb[alive]]), return_counts=True
+            )
+            removal = nodes_u[cnts < k]
+            if removal.size == 0:
+                break
+            alive &= ~(np.isin(ea, removal) | np.isin(eb, removal))
+        n_edges = int(alive.sum())
+        n_nodes_core = int(
+            np.unique(np.concatenate([ea[alive], eb[alive]])).size
+        )
+        return spark.createDataFrame(
+            [(k, iters, n_nodes_total, n_edges_total, n_nodes_core, n_edges)],
+            "k long, n_iterations int, n_nodes_total long, n_edges_total long, "
+            "n_nodes_core long, n_edges_core long",
+        )
     n_nodes_total = (
         edges0.select(F.col("a").alias("n"))
         .unionAll(edges0.select(F.col("b").alias("n")))
         .distinct()
         .count()
     )
-    k_env = os.environ.get("SPARK_GRAFT_KCORE_K", "")
     k = (
         int(k_env)
         if k_env
@@ -1585,29 +1733,45 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines, round(6) hash-stable. Shape: the adjacency-first
     degree build + one edges->degrees join (ids and degrees only),
     one 1-row moment aggregate."""
-    sets = _order_part_sets(spark, sf_dir)
-    edges = (
-        sets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
+    # r12 optimization round: the unpersisted edge subtree used to be
+    # REPLANNED for every consumer (the before-plan shows 20 parquet
+    # scans / 40 ObjectHashAggregates and zero ReusedExchange — the da,
+    # db, and union branches each re-derived collect_set + explode +
+    # distinct), so the one-pass graph build executed ~10x per run.
+    # Persisting the deduped edge list (the RA/LCC discipline) plus the
+    # tiny degree table collapses the plan to ONE edge build + ONE
+    # degree aggregate. The both-orientations union is gone too: for
+    # the symmetric pair set, n = 2·|E|, sx = sy = Σ(x+y), sxy =
+    # 2·Σxy, sxx = syy = Σx²+Σy² — all exact integer/decimal algebra
+    # over ONE pass of the oriented edges, bit-identical to the
+    # unioned aggregate (the one float conversion still happens in the
+    # same final expression). Measured sf0.1 bench wall 3.24 → 1.67 s.
+    edges = scoped_persist(
+        _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
     )
     adj = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = scoped_persist(adj.groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("x"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("y"))
     oriented = edges.join(da, "a").join(db, "b").select("x", "y")
-    pairs = oriented.unionAll(oriented.select(F.col("y").alias("x"), F.col("x").alias("y")))
     dec = "decimal(38,0)"
-    moms = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x").cast(dec) * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x").cast(dec) * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
+    half = oriented.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.col("x").cast(dec) + F.col("y")).alias("sxy_sum"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy_half"),
+        F.sum(
+            F.col("x").cast(dec) * F.col("x") + F.col("y").cast(dec) * F.col("y")
+        ).alias("sq_sum"),
+    )
+    moms = half.select(
+        (F.col("n2") * 2).alias("n"),
+        F.col("sxy_sum").cast("double").alias("sx"),
+        F.col("sxy_sum").cast("double").alias("sy"),
+        (F.col("sxy_half") * 2).cast("double").alias("sxy"),
+        F.col("sq_sum").cast("double").alias("sxx"),
+        F.col("sq_sum").cast("double").alias("syy"),
     )
     return moms.select(
         F.col("n").cast("long").alias("n_endpoints"),

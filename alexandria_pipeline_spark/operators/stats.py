@@ -1161,23 +1161,39 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", F.shiftright("s", THEILSEN_BAND_SHIFT).alias("band"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r12 optimization round: the band cumulative, the TOTAL, and the
+    # middle ranks all come out of ONE pass over the (tiny,
+    # value-bounded) bands frame — the r5 form ran a separate 1-row
+    # total aggregate and crossJoined it back, which cost an extra
+    # broadcast-job barrier in an already barrier-dominated eager
+    # query (6+ sequential jobs for ~2.9M rows of work; measured
+    # sf0.1 bench wall 3.47 → 2.30 s). Both windows share the same
+    # global band sort (Catalyst plans them in one Window operator),
+    # so this is still the two-phase banded median — no data-sized
+    # single-partition op appears: the unpartitioned window runs over
+    # band VALUES, whose cardinality the band shift bounds.
     bands = slopes.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    cum = bands.select(
-        "band", "cnt", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before")
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # 1-based middle ranks of percentile_cont(0.5): r1 = (n+1) div 2,
-    # r2 = n div 2 + 1 (equal when n is odd).
-    tot = cum.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_pairs")).select(
+    cum = bands.select(
+        "band",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("before"),
+        F.sum("cnt").over(w_all).alias("n_pairs"),
+    ).select(
+        "band",
+        "cnt",
+        "before",
         "n_pairs",
         F.expr("(n_pairs + 1) div 2").alias("r1"),
         F.expr("n_pairs div 2 + 1").alias("r2"),
     )
-    sel = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter((F.col("before") + F.col("cnt") >= F.col("r1")) & (F.col("before") < F.col("r2")))
-        .select("band", "before", "r1", "r2")
-    )
+    sel = cum.filter(
+        (F.col("before") + F.col("cnt") >= F.col("r1"))
+        & (F.col("before") < F.col("r2"))
+    ).select("band", "before", "n_pairs", "r1", "r2")
     w_loc = Window.partitionBy("band").orderBy("s")
     picked = (
         slopes.join(F.broadcast(sel), "band")
@@ -1185,18 +1201,25 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("gr") == F.col("r1")) | (F.col("gr") == F.col("r2")))
     )
     med = picked.agg(
-        F.count(F.lit(1)).alias("c"), F.sum("s").alias("ss"), F.min("s").alias("mn")
+        F.count(F.lit(1)).alias("c"),
+        F.sum("s").alias("ss"),
+        F.min("s").alias("mn"),
+        F.min("n_pairs").alias("np"),
     ).select(
         F.when(F.col("c") == 1, F.col("mn"))
         .when(F.col("c") == 2, F.shiftright(F.col("ss"), 1))
         .otherwise(F.lit(None))
         .cast("long")
-        .alias("theilsen_millicents_per_day")
+        .alias("theilsen_millicents_per_day"),
+        # n_pairs rides the same aggregate (sel's rows all carry it);
+        # coalesce(0) covers the degenerate single-day corpus where no
+        # slope (and so no sel row) exists — the oracle's count(*)
+        # over empty slopes is 0 there, never NULL.
+        F.coalesce(F.col("np"), F.lit(0)).alias("n_pairs"),
     )
     n_days = per_day.agg(F.count(F.lit(1)).alias("n_days"))
     out = (
         F.broadcast(n_days)
-        .crossJoin(F.broadcast(tot.select("n_pairs")))
         .crossJoin(med)
         .select(
             F.col("n_days").cast("long").alias("n_days"),

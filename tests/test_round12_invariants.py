@@ -353,3 +353,24 @@ def test_multimodal_e2e_reconciles(spark):
             r["dup_savings_ppm"]
             == (r["n_raw_images"] - r["n_clusters"]) * 1_000_000 // r["n_raw_images"]
         )
+
+
+def test_kcore_driver_peel_matches_distributed(spark, monkeypatch):
+    """The r12 driver-side numpy peel (below KCORE_DRIVER_EDGE_LIMIT)
+    must produce the EXACT summary row of the distributed peel — same
+    fixpoint counts AND the same n_iterations — at both a pinned k
+    that keeps a nonempty core and the adaptive mean-degree default
+    (which cascades the smoke graph empty)."""
+    for env_k in ("60", None):
+        if env_k is None:
+            monkeypatch.delenv("SPARK_GRAFT_KCORE_K", raising=False)
+        else:
+            monkeypatch.setenv("SPARK_GRAFT_KCORE_K", env_k)
+        monkeypatch.delenv("SPARK_GRAFT_KCORE_FORCE_DIST", raising=False)
+        drv = [tuple(r) for r in QUERIES["graph_kcore_summary"](spark, SF_SMOKE).collect()]
+        release_persisted()
+        monkeypatch.setenv("SPARK_GRAFT_KCORE_FORCE_DIST", "1")
+        dist = [tuple(r) for r in QUERIES["graph_kcore_summary"](spark, SF_SMOKE).collect()]
+        release_persisted()
+        assert drv == dist and drv, f"k={env_k}: driver peel must be value-identical"
+    monkeypatch.delenv("SPARK_GRAFT_KCORE_FORCE_DIST", raising=False)
