@@ -247,15 +247,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per order, ~7 in TPC-H — never a hub hazard), and only the final
     # (a, b) distinct shuffles again. The join form cost two extra
     # exchanges re-partitioning both distinct sides onto the order key
-    # (measured 3.7s -> 2.3s for the edge list at sf0.1).
-    sets = _order_part_sets(spark, sf_dir)
+    # (measured 3.7s -> 2.3s for the edge list at sf0.1). Since r12
+    # the dedup runs on the packed 8-byte key (_jaccard_edges —
+    # identical frame, ~half the distinct-exchange bytes).
     edges = scoped_persist(
-        sets.select(F.explode("ps").alias("a"), "ps")
-        .select("a", F.explode("ps").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct(),
-        StorageLevel.MEMORY_AND_DISK,
+        _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
     )
     # Plan-time size gate: the edge set and the degree table are both
     # FACT-DERIVED (the part universe grows with the corpus), so an
@@ -1902,14 +1898,28 @@ def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange and the persisted blocks come out partitioned by dst —
     the layout every LPA iteration's aggregates (and the modularity
     read-out's degree count) then reuse for free."""
-    sets = _order_part_sets(spark, sf_dir)
+    # r12 optimization round: dedup FIRST on the packed half-direction
+    # key (_jaccard_edges — raw-pair rows collapse map-side onto
+    # 8-byte longs), then emit both orientations in ONE in-row explode
+    # and lay out by dst. The r10 form repartitioned the RAW explode
+    # (both orientations, pre-dedup — 12.6M 16-byte rows at sf0.1)
+    # and deduped on the layout; this form's two exchanges carry the
+    # packed distinct (≤ raw/2 8-byte keys after partial dedup) plus
+    # 2|E| final rows ≈ 1/3 the bytes, and the persisted layout is
+    # identical (hash-partitioned by dst, unique (src, dst) rows) so
+    # every iteration's zero-exchange property is untouched.
+    half = _jaccard_edges(spark, sf_dir)
     edges = (
-        sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .repartition("dst")
-        .dropDuplicates(["src", "dst"])
     )
     return scoped_persist(edges, StorageLevel.MEMORY_AND_DISK)
 

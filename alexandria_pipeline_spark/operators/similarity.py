@@ -26,7 +26,7 @@ from alexandria_pipeline_spark.operators.dedup import (
     _DUCK_PLANES_CTE,
     _duck_bucket,
 )
-from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
+from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query, scoped_persist
 
 EMBED_DIM = 64  # embeddings table vector width (see module docstring)
 
@@ -636,22 +636,45 @@ def knn_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("c_id"),
         F.col("embedding").alias("c_emb"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_id"))
-
-    def assign(src: DataFrame, cent_df: DataFrame) -> DataFrame:
+    # r12 optimization round: the argmin assignment is a NARROW grouped
+    # min-struct aggregate, not a row_number window — the window form
+    # shuffled all n·K crossed rows, each carrying the full vector AND
+    # centroid arrays, plus a per-group sort; the aggregate sees only
+    # (vec_id, c_id, dist2), so its buffer stays fixed-width (codegen
+    # HashAggregate), the map-side partial collapses the K candidates
+    # per vector BEFORE the exchange, and no array ever rides an
+    # assignment exchange. min(struct(dist2, c_id)) == "lowest dist2,
+    # ties to lowest c_id" — the window's exact order on identical
+    # per-pair dist2 values, so results are bit-identical. The
+    # training update re-attaches vectors by ONE vec_id equi-join
+    # (arrays cross once per iteration); the two stat read-outs need
+    # no arrays at all. Each iteration's k-row centroid frame is
+    # scoped-persisted so bstat and nstat share ONE trained chain
+    # instead of each replanning the full unrolled Lloyd's (no
+    # cross-consumer CSE — the assortativity lesson). sf0.1 bench wall
+    # is roughly unchanged (~2.7 s): with n=2000 vectors the query is
+    # bound by its inherently sequential Lloyd's job chain, not by
+    # bytes — the win is the 100-TB assignment-exchange profile.
+    def assign_narrow(src: DataFrame, cent_df: DataFrame) -> DataFrame:
         return (
             src.crossJoin(F.broadcast(cent_df))
-            .withColumn("dist2", l2_dist2("embedding", "c_emb"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
             .select(
-                "vec_id", "embedding", F.col("c_id").alias("cluster_id"), "dist2"
+                "vec_id",
+                "c_id",
+                l2_dist2("embedding", "c_emb").alias("dist2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "c_id")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.c_id").alias("cluster_id"),
+                F.col("m.dist2").alias("dist2"),
             )
         )
 
     for _ in range(KMEANS_ITERS):
         upd = (
-            assign(base, cent)
+            base.join(assign_narrow(base, cent), "vec_id")
             .select("cluster_id", F.posexplode("embedding").alias("d0", "x"))
             .groupBy("cluster_id", (F.col("d0") + 1).alias("d"))
             .agg(
@@ -661,7 +684,7 @@ def knn_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n"),
             )
         )
-        cent = (
+        cent = scoped_persist(
             upd.select(
                 "cluster_id",
                 F.struct(
@@ -678,7 +701,7 @@ def knn_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cell_stats(src: DataFrame, n_col: str) -> DataFrame:
         return (
-            assign(src, cent)
+            assign_narrow(src, cent)
             .groupBy("cluster_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias(n_col),
@@ -1589,8 +1612,14 @@ def knn_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alexandria_pipeline_spark.functions.bucketed import topk_neighbors
 
     bucketed = _bucketed_embeddings(spark, sf_dir, with_label=False)
-    topk = topk_neighbors(bucketed, MUTUAL_K, with_labels=False).select(
-        "src", "dst", "score", "rk"
+    # scoped-persisted (r12): BOTH orientations of the mutuality join
+    # read this n·k-row artifact, and without the persist each side
+    # replans the whole bucket+pandas-kernel subtree (no
+    # cross-consumer CSE), running the scoring kernel twice per query.
+    topk = scoped_persist(
+        topk_neighbors(bucketed, MUTUAL_K, with_labels=False).select(
+            "src", "dst", "score", "rk"
+        )
     )
     t2 = topk.select(
         F.col("src").alias("dst"), F.col("dst").alias("src"), F.col("rk").alias("rk_ba")
