@@ -695,7 +695,12 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, raw-pair-volume rows — carries one 8-byte key instead of a
     16-byte two-column row, and the post-shuffle hash dedup compares
     single longs. Unpacking after the distinct restores the exact
-    (a, b) columns, so every consumer sees the identical frame."""
+    (a, b) columns, so every consumer sees the identical frame. Ids
+    ≥ 2^32 raise loudly via the pack guard — the SAME documented
+    contract every packed graph path here has carried since the r11
+    ADVICE fix (the triangle/RA/rascores machinery packs ids in every
+    branch); a corpus whose keys exceed 2^32 needs the two-column
+    fallback noted there, not a silent alias."""
     sets = _order_part_sets(spark, sf_dir)
     packed = (
         sets.select(F.explode("ps").alias("node"), "ps")
@@ -1798,7 +1803,6 @@ LPA_ITERS = 4
 # model with headroom; 5M rows (≈ 640 MB) would not. Above the gate
 # the fallback shuffle path is correct, just slower.
 LPA_LABEL_BROADCAST_LIMIT = 2_500_000
-
 
 def _duck_lpa_ctes() -> tuple[str, str]:
     """Unrolled synchronous label propagation — same exact-iteration

@@ -23,10 +23,11 @@ the output hash — see functions/exact.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 
 def _vol_s() -> F.Column:
@@ -693,8 +694,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
-    ll = l.join(f_orders, l.l_orderkey == f_orders.o_orderkey).withColumn(
-        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    # projected to the three columns both consumers need and
+    # scoped-persisted (r12): the per-order aggregate AND the late-row
+    # probe read this join, and without the persist each replanned the
+    # full lineitem⋈orders subtree (the only two fact scans in the
+    # plan were each duplicated).
+    ll = scoped_persist(
+        l.join(f_orders, l.l_orderkey == f_orders.o_orderkey)
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        )
+        .select("l_orderkey", "l_suppkey", "late"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     per_order = ll.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
         F.count_distinct("l_suppkey").alias("n_supp"),

@@ -81,7 +81,12 @@ def release_persisted() -> int:
             if callable(item):
                 item()
             else:
-                item.unpersist()
+                # blocking (r12): the default async unpersist let block
+                # eviction bleed into the NEXT query's timed window —
+                # the release-outside-the-timed-span contract (r7
+                # verdict #4) only holds if the release actually
+                # completes outside it.
+                item.unpersist(blocking=True)
         except Exception:  # noqa: BLE001 - a dead session must not stop release
             pass
         n += 1
