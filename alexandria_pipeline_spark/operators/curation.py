@@ -1082,6 +1082,14 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(n >= 2)
         .select("doc_id", "lang", F.explode(buckets).alias("b"))
     )
+    # r12 negative result (kept out): persisting the per-doc histogram
+    # (keys widened with lang) so bucket_stats re-aggregates the cache
+    # measured +0.6 s at sf0.1 in both A/B sessions — the (doc, bucket)
+    # cache is corpus-sized, and the two map-side-combined aggregates
+    # replay the one bigram explode in PARALLEL branches for less than
+    # the cache materialization barrier costs (the ccnet/r8 rule).
+    # Above ~10^7 docs the cached form wins; revisit with a written-
+    # once relation, not an in-query persist.
     doc_counts = bg.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )

@@ -1016,7 +1016,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by the alphabet (≤|Σ| names can pairwise differ at one
     position), so output is linear in matches, never Σdf²."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    reps = c.groupBy("c_name").agg(F.min("c_custkey").alias("c_custkey"))
+    # r12: reps feeds four consumers (both substitution sides, the
+    # indel short side, del_distinct) and deletions both sides of its
+    # self-join — each replanned the customer scan + rep groupBy
+    # (8 parquet scans in the before-plan). Persist both |distinct
+    # names|-bounded frames.
+    reps = scoped_persist(
+        c.groupBy("c_name").agg(F.min("c_custkey").alias("c_custkey"))
+    )
     # (variant, k) for k >= 1: one row per deletion POSITION (runs kept
     # — equal variants at different k are different join keys, so runs
     # don't inflate the substitution branch).
@@ -1032,6 +1039,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d"),
     ).select("c_custkey", "c_name", F.col("d.v").alias("variant"), F.col("d.k").alias("k"))
+    deletions = scoped_persist(deletions)
     # run-collapsed variant strings for the indel branch (k irrelevant)
     del_distinct = reps.select(
         "c_custkey",
@@ -1617,9 +1625,14 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     top. Oracle nests the minhash oracle verbatim — the pipeline is
     hash-checked end-to-end."""
     pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    # r12: both pair endpoints explode IN-ROW (identical multiset to
+    # the former two-branch unionAll, which replanned the entire
+    # nested minhash pipeline once per branch — 11 parquet scans in
+    # the before-plan).
     dup_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+        )
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 
 @query(
@@ -1773,6 +1773,12 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the user-day total are type-cardinality/1-row
     broadcasts. Integer lift via truncating div."""
     e = load_table(spark, sf_dir, "events")
+    # r12 negative result (kept out): persisting ud (it feeds n_ud,
+    # singles, and both pair-join sides — four replans of the events
+    # scan + DISTINCT) measured +0.3 s at sf0.1 in both A/B sessions:
+    # the four replans run in parallel branches on idle cores for less
+    # than the cache barrier costs here. At 100 TB the persist (or a
+    # written-once user-day relation) is the right form.
     ud = e.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
     ).distinct()
@@ -1923,16 +1929,29 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     spans = sess.groupBy("user_id", "session_id").agg(
         F.min("sec").alias("s"), F.max("sec").alias("e")
     )
-    deltas = spans.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        spans.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
-    )
+    # r12: the +1/-1 deltas explode IN-ROW from each span (identical
+    # multiset to the former two-branch unionAll, which replanned the
+    # whole session build per branch), and the per-second net frame —
+    # bounded by elapsed SECONDS, not data — is scoped-persisted so the
+    # cross-day carry branch and the intra-day branch share one session
+    # build: 4 events scans -> 1.
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct((F.col("e") + 1).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("td")
+    ).select(F.col("td.t").alias("t"), F.col("td.d").alias("d"))
     sec_net = deltas.groupBy("t").agg(
         F.sum("d").alias("net"),
         F.sum((F.col("d") == 1).cast("long")).alias("starts"),
         F.sum((F.col("d") == -1).cast("long")).alias("ends"),
     )
     day = F.expr("t div 86400")
-    per_sec = sec_net.select(day.alias("day_i"), "t", "net", "starts", "ends")
+    per_sec = scoped_persist(
+        sec_net.select(day.alias("day_i"), "t", "net", "starts", "ends")
+    )
     day_net = per_sec.groupBy("day_i").agg(F.sum("net").alias("day_delta"))
     w_days = Window.orderBy("day_i").rowsBetween(Window.unboundedPreceding, -1)
     carry = day_net.select(
@@ -2635,7 +2654,14 @@ def events_watermark_lateness_curve(spark: SparkSession, sf_dir: str) -> DataFra
         )
         * 1_000_000,
     ).withColumn("band", F.expr(f"arr_us div {WM_BAND_US}"))
-    band_max = arr.groupBy("band").agg(F.max("t_us").alias("bmax"))
+    # r12: the band aggregate also carries each band's row count, so
+    # the total-events denominator reads the tiny band table instead
+    # of re-scanning the fact table (3 events scans -> 2).
+    band_max = scoped_persist(
+        arr.groupBy("band").agg(
+            F.max("t_us").alias("bmax"), F.count(F.lit(1)).alias("bn")
+        )
+    )
     w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     prev = band_max.select(
         "band", F.max("bmax").over(w_b).alias("prev_max")
@@ -2650,7 +2676,7 @@ def events_watermark_lateness_curve(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("run_max", F.max("t_us").over(w_i))
         .withColumn("hwm_us", F.greatest("prev_max", "run_max"))
     )
-    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    tot = band_max.agg(F.coalesce(F.sum("bn"), F.lit(0).cast("long")).alias("n"))
     # long literals: w_s * 1e6 passes int32 at W=3600 (ANSI overflow)
     cand = F.array(*[F.lit(w).cast("long") for w in WATERMARK_CANDIDATES_S])
     curve = (
@@ -2788,18 +2814,22 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes. Stickiness is exact truncating ppm; the bounds filter
     trims partial windows identically in both engines."""
     e = load_table(spark, sf_dir, "events")
-    user_days = e.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
+    # r12: user_days is the fact collapse point; persist it and derive
+    # the calendar bounds from it (min/max over the distinct (user,
+    # day) pairs IS min/max over events' dates) — one events scan +
+    # one distinct exchange instead of two scans and two replans.
+    user_days = scoped_persist(
+        e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    )
     contrib = user_days.select(
         "user_id",
         F.posexplode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), 29))
         ).alias("off", "win_end"),
     )
-    bounds = e.agg(
-        F.min(F.col("ts").cast("date")).alias("lo"),
-        F.max(F.col("ts").cast("date")).alias("hi"),
+    bounds = user_days.agg(
+        F.min(F.col("d")).alias("lo"),
+        F.max(F.col("d")).alias("hi"),
     )
     return (
         contrib.crossJoin(F.broadcast(bounds))
@@ -2995,8 +3025,15 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
-    trans = seq.groupBy("cur", "nxt").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # r12: trans (<= types^2 rows) is the collapse point of the ONE
+    # data-sized pass (events scan + per-user lead window); the
+    # unrolled power steps + pi0 + the final join replanned that pass
+    # ~7x (14 parquet scans in the before-plan). Persist the tiny
+    # matrix so the corpus-sized window pass runs exactly once.
+    trans = scoped_persist(
+        seq.groupBy("cur", "nxt").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
     p = trans.select(
         "cur",

@@ -24,7 +24,7 @@ from alexandria_pipeline_spark.functions.text import (
     duck_rolling_fingerprint,
     rolling_fingerprint,
 )
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 # Token capacity of one packed training sequence. Real pipelines use
 # 2k-128k; 512 keeps the testdata (~25 whitespace tokens/doc) at ~20
@@ -829,12 +829,19 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     slot = rolling_fingerprint(toks) % 100
-    tagged = d.select(
-        "doc_id",
-        F.when(slot < TRAIN_CUT, F.lit("train"))
-        .when(slot < VAL_CUT, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+    # r12: both endpoint joins probe tagged — without a persist each
+    # side replans the full documents scan + rolling-fingerprint
+    # tokenize (the query's only text-sized pass, run twice). The
+    # cached frame is doc_id + 5-char split, far narrower than its
+    # build pass.
+    tagged = scoped_persist(
+        d.select(
+            "doc_id",
+            F.when(slot < TRAIN_CUT, F.lit("train"))
+            .when(slot < VAL_CUT, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )
     ta = tagged.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     tb = tagged.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))

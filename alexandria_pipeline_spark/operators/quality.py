@@ -286,33 +286,59 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spot-checks one edge as a rule; this is the exhaustive version a
     lakehouse runs after every backfill, because a single orphaned
     partition silently turns inner joins into row loss downstream.
-    Shape per edge: ONE LEFT join against the distinct parent keys
-    yields child count and orphan count in the same aggregate (no
-    separate driver-side count action) — dimension parents broadcast,
-    fact parents (orders, customer) co-partition with the child in a
-    shuffle join AQE sizes at runtime; the seven 1-row aggregates
-    union into a bounded read-out. Counts are exact integers; no
-    windows anywhere."""
-    out = None
+    Shape: edges sharing a child table fuse into ONE scan whose
+    chained LEFT joins against each parent's distinct keys yield the
+    child count and every edge's orphan count in a single aggregate
+    (no separate driver-side count action) — dimension parents
+    broadcast, fact parents (orders, customer) co-partition with the
+    child in a shuffle join AQE sizes at runtime; the per-child 1-row
+    aggregates unpivot in-row and union into a bounded read-out.
+    Counts are exact integers; no windows anywhere."""
+    # r12: edges sharing a CHILD table fuse into one scan — lineitem
+    # (the fact table, three FK edges) was scanned and aggregated three
+    # times. All of a child's parents chain as left joins against
+    # distinct keys (each child row matches <= 1 parent row per join,
+    # so row counts are join-invariant), one aggregate counts every
+    # edge's orphans, and an in-row explode unpivots to the same
+    # one-row-per-edge read-out. 7 child scans -> 5; at 100 TB the
+    # fact table crosses the plan once instead of three times.
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for label, child, fk, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = (
-            load_table(spark, sf_dir, parent)
-            .select(F.col(pk).alias("__pk"))
-            .distinct()
+        by_child.setdefault(child, []).append((label, fk, parent, pk))
+    out = None
+    for child, edges in by_child.items():
+        j = load_table(spark, sf_dir, child).select(
+            *[F.col(fk).alias(f"__fk{i}") for i, (_, fk, _, _) in enumerate(edges)]
         )
-        edge = (
-            c.select(F.col(fk).alias("__fk"))
-            .join(p, F.col("__fk") == F.col("__pk"), "left")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
-                F.count(F.when(F.col("__pk").isNull(), 1))
+        for i, (_, _, parent, pk) in enumerate(edges):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            j = j.join(p, F.col(f"__fk{i}") == F.col(f"__pk{i}"), "left")
+        agg = j.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.count(F.when(F.col(f"__pk{i}").isNull(), 1))
                 .cast("long")
-                .alias("n_orphans"),
-            )
-            .select(
-                F.lit(label).alias("fk_edge"), "n_child_rows", "n_orphans"
-            )
+                .alias(f"__o{i}")
+                for i in range(len(edges))
+            ],
         )
-        out = edge if out is None else out.unionByName(edge)
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(label).alias("fk_edge"),
+                            F.col("__n").alias("n_child_rows"),
+                            F.col(f"__o{i}").alias("n_orphans"),
+                        )
+                        for i, (label, _, _, _) in enumerate(edges)
+                    ]
+                )
+            ).alias("z")
+        ).select("z.fk_edge", "z.n_child_rows", "z.n_orphans")
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("fk_edge")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 
 @query(
@@ -2420,8 +2420,14 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     ).withColumn("band", F.expr(f"price div {EQUIDEPTH_BAND_CENTS}"))
-    band_counts = priced.groupBy("band").agg(
-        F.count(F.lit(1)).alias("band_n")
+    # r12: band_counts (~100 domain-bounded rows) is the collapse
+    # point of phase 1's fact pass, but offsets, tot, and the
+    # twice-referenced targets chain each replanned it (10 lineitem
+    # scans in the before-plan). Persist the tiny band table and
+    # derive the total from it — the fact table is scanned exactly
+    # twice (phase 1 band count, phase 2 pruned re-read), by design.
+    band_counts = scoped_persist(
+        priced.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
     )
     w_bands = Window.orderBy("band").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2433,7 +2439,9 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_before"
         ),
     )
-    tot = priced.agg(F.count(F.lit(1)).alias("n"))
+    tot = band_counts.agg(
+        F.coalesce(F.sum("band_n"), F.lit(0).cast("long")).alias("n")
+    )
     ranks = (
         spark.range(1, EQUIDEPTH_BUCKETS)
         .select(F.col("id").cast("int").alias("decile"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
-from alexandria_pipeline_spark.registry import query
+from alexandria_pipeline_spark.registry import query, scoped_persist
 
 # Fixed query workload: three multi-term queries over the synthetic
 # vocabulary. A real pipeline would read these from a query table; the
@@ -118,11 +118,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(BM25_QUERIES, "query_id int, tok string")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r12: dl feeds stats AND the score join, tf feeds df AND the
+    # score join — each consumer replanned its corpus tokenize (4
+    # explode passes in the before-plan). Persist the two narrow
+    # collapse points; the raw token stream itself is never cached
+    # (row-per-token is wider than the source), so the corpus is
+    # tokenized exactly twice — the dl build and the term-filtered tf
+    # build — by design.
+    dl = scoped_persist(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
     )
-    tf = (
+    tf = scoped_persist(
         toks.join(F.broadcast(terms), "tok")
         .groupBy("query_id", "tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -234,20 +241,30 @@ def join_fuzzy_deletion_neighborhood(
         F.min("c_custkey").alias("rep_key"),
         F.count(F.lit(1)).cast("long").alias("n_dups"),
     )
-    seg = reps.join(
-        c.select(F.col("c_custkey").alias("rep_key"), "c_mktsegment"),
-        "rep_key",
+    # r12: seg feeds FOUR consumers (both variant explodes, the indel
+    # short side, and the final segment join) and deletions feeds both
+    # sides of the substitution self-join — Catalyst replans the
+    # customer scan + rep groupBy per consumer (no cross-consumer CSE).
+    # Persist the |distinct names|-row frames once; every downstream
+    # branch reads the cache.
+    seg = scoped_persist(
+        reps.join(
+            c.select(F.col("c_custkey").alias("rep_key"), "c_mktsegment"),
+            "rep_key",
+        )
     )
-    deletions = seg.select(
-        "rep_key",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(c_name)), k -> "
-                "struct(concat(substring(c_name, 1, k - 1), "
-                "substring(c_name, k + 1, length(c_name))) AS v, k AS k))"
-            )
-        ).alias("d"),
-    ).select("rep_key", F.col("d.v").alias("v"), F.col("d.k").alias("k"))
+    deletions = scoped_persist(
+        seg.select(
+            "rep_key",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(c_name)), k -> "
+                    "struct(concat(substring(c_name, 1, k - 1), "
+                    "substring(c_name, k + 1, length(c_name))) AS v, k AS k))"
+                )
+            ).alias("d"),
+        ).select("rep_key", F.col("d.v").alias("v"), F.col("d.k").alias("k"))
+    )
     substitutions = (
         deletions.select(F.col("rep_key").alias("k1"), "v", "k")
         .join(deletions.select(F.col("rep_key").alias("k2"), "v", "k"), ["v", "k"])

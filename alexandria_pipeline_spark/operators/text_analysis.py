@@ -22,7 +22,12 @@ from alexandria_pipeline_spark.functions.text import (
     word_code,
 )
 from alexandria_pipeline_spark.sketch import shingle_sketch
-from alexandria_pipeline_spark.registry import ORACLES, QUERIES, query
+from alexandria_pipeline_spark.registry import (
+    ORACLES,
+    QUERIES,
+    query,
+    scoped_persist,
+)
 
 STOPWORDS = ["the", "a", "of", "and", "is"]
 TOKEN_RE = "[a-zA-Z]+|[0-9]+"
@@ -2403,6 +2408,11 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_stop.alias("is_stop"),
         F.sum(is_stop).over(wdoc).alias("grp"),
     )
+    # r12: occ is read twice (wpp + the final join) and each read
+    # replanned a full corpus pass — persisting the phrase-vocabulary-
+    # sized occ cuts the three corpus passes to two. Persisting ph
+    # itself (corpus-sized) measured +0.5 s at sf0.1 (cache barrier >
+    # parallel replay, the ccnet/r8 rule) and stays out.
     ph = (
         g.filter(F.col("is_stop") == 0)
         .groupBy("doc_id", "grp")
@@ -2418,8 +2428,10 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("plen") <= RAKE_MAX_PLEN)
     )
-    occ = ph.groupBy("phrase").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    occ = scoped_persist(
+        ph.groupBy("phrase").agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences")
+        )
     )
     wpo = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
     ws = wpo.groupBy("w").agg(
