@@ -215,23 +215,18 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a click at exactly p.ts matches, mirroring `c.ts <= p.ts`.
     """
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
+    # r12: one scan with conditional side/id columns — the former
+    # two-branch filter + unionByName scanned events twice for row
+    # sets a single IN-filter partitions exactly.
+    is_click = F.col("event_type") == "click"
+    unioned = e.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.col("event_id").alias("click_id"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("double").alias("purchase_value"),
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_click, F.col("event_id")).cast("long").alias("click_id"),
+        F.when(~is_click, F.col("event_id")).cast("long").alias("purchase_id"),
+        F.when(~is_click, F.col("value")).cast("double").alias("purchase_value"),
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("value").alias("purchase_value"),
-    )
-    unioned = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "side", "purchase_id")
@@ -1013,13 +1008,21 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = o.join(closes, o.o_orderkey == closes.l_orderkey).select(
         F.col("o_orderdate").cast("date").alias("opened"), "closed"
     )
+    # r12: both sweep deltas explode IN-ROW from each span (identical
+    # multiset to the former two-branch unionByName, which replanned
+    # the orders |><| lineitem-agg join once per branch — the plan's
+    # only fact-sized work, run twice).
     deltas = spans.select(
-        F.col("opened").alias("day"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(
-            F.date_add("closed", 1).alias("day"), F.lit(-1).alias("delta")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("opened").alias("day"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.date_add("closed", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("dd")
+    ).select(F.col("dd.day").alias("day"), F.col("dd.delta").alias("delta"))
     daily = deltas.groupBy("day").agg(
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_opened"),
         F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_closed"),

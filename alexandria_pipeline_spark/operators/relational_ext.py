@@ -722,21 +722,22 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks at equal ts (side ordering) so `p.ts >= c.ts` includes
     equality, mirroring DuckDB's ASOF >= semantics."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
+    # r12: one scan with conditional side/id columns — the former
+    # two-branch filter + unionByName scanned events twice for row
+    # sets a single IN-filter partitions exactly.
+    unioned = e.filter(F.col("event_type").isin("purchase", "click")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.col("event_id").alias("purchase_id"),
-        F.lit(None).cast("long").alias("click_id"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        .cast("long")
+        .alias("purchase_id"),
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+        .cast("long")
+        .alias("click_id"),
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.col("event_id").alias("click_id"),
-    )
-    unioned = purchases.unionByName(clicks)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.desc("ts"), F.asc("side"), F.asc("click_id"))
