@@ -118,18 +118,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(BM25_QUERIES, "query_id int, tok string")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    # r12: dl feeds stats AND the score join, tf feeds df AND the
-    # score join — each consumer replanned its corpus tokenize (4
-    # explode passes in the before-plan). Persist the two narrow
-    # collapse points; the raw token stream itself is never cached
-    # (row-per-token is wider than the source), so the corpus is
-    # tokenized exactly twice — the dl build and the term-filtered tf
-    # build — by design.
-    dl = scoped_persist(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")))
+    # r12 negative result (kept out): persisting the dl and tf
+    # collapse points (each feeds two consumers, so the corpus is
+    # tokenized 4x in this plan) measured +0.7 s at sf0.1 in the full
+    # bench — the replays overlap in parallel branches for less than
+    # the two cache barriers cost (the ccnet/r8 rule). At 100 TB a
+    # written-once dl relation is the right form, not an in-query
+    # persist.
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
     )
-    tf = scoped_persist(
+    tf = (
         toks.join(F.broadcast(terms), "tok")
         .groupBy("query_id", "tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
