@@ -416,7 +416,7 @@ def _pack_deg_node(deg, node):
 _LO32 = (1 << 32) - 1
 
 
-def _tri_closed_bcast(edges: DataFrame) -> DataFrame:
+def _tri_closed_bcast(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """One row PER TRIANGLE (u, v, w), all packed (deg<<32|id) longs —
     the BELOW-GATE twin of _tri_edge_rows' zs stream (r12 optimization
     round): identical degree orientation and triangle multiset (each
@@ -432,13 +432,25 @@ def _tri_closed_bcast(edges: DataFrame) -> DataFrame:
     wedge stream itself stays rows-in-a-stage, never materialized.
     Callers gate on RA_ADJ_BROADCAST_LIMIT: |E| packed longs + a
     (node, deg) row pair per node broadcast — the same size class the
-    RA adjacency broadcast was sized for, and strictly smaller rows."""
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    RA adjacency broadcast was sized for, and strictly smaller rows.
+
+    `deg` (optional): a precomputed (node, deg) frame — callers that
+    need degrees for their own read-out (local clustering) pass their
+    scoped-persisted frame so it is computed once. When absent it is
+    built here and scoped-persisted anyway: the da/db broadcast
+    exchanges are independent plan consumers (Catalyst does no
+    cross-consumer subtree CSE), so an unpersisted deg subtree would
+    run its 2|E|-row aggregate twice — once per broadcast build. The
+    frame is two int64 columns, |V| <= 2|E| rows: columnar-cache
+    friendly, no nested types (the r8 never-persist-arrays lesson does
+    not apply)."""
+    if deg is None:
+        deg = scoped_persist(
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
     da = F.broadcast(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     )
@@ -1403,6 +1415,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE")
         else jaccard_sig_meta(sf_dir)
     )
+    shared_deg = None
     if jsig is not None and "K" in jsig:
         edges = spark.read.parquet(os.path.join(jsig["loc"], "edges"))
         nt = spark.read.parquet(os.path.join(jsig["loc"], "ntri"))
@@ -1415,6 +1428,17 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = scoped_persist(
             _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
         )
+        # One persisted degree frame serves the closure stream's two
+        # broadcast builds AND the final read-out below (r12 session 2:
+        # without it the 2|E|-row degree aggregate ran three times —
+        # da broadcast, db broadcast, read-out — because broadcast
+        # exchanges are independent plan consumers with no subtree CSE).
+        shared_deg = scoped_persist(
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
         if raw_pairs <= RA_ADJ_BROADCAST_LIMIT:
             # r12 optimization: corner counts straight off the
             # broadcast-closure triangle stream — same triangle
@@ -1424,7 +1448,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             # map-side combine collapses to |V| rows.
             lo32 = F.lit(_LO32)
             nt = (
-                _tri_closed_bcast(edges)
+                _tri_closed_bcast(edges, deg=shared_deg)
                 .select(
                     F.explode(
                         F.array(
@@ -1440,7 +1464,9 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             nt = _tri_node_counts(_tri_edge_rows(edges))
     deg = (
-        edges.select(F.col("a").alias("node"))
+        shared_deg
+        if shared_deg is not None
+        else edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -2022,16 +2048,26 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(m^2).
 
     Scale shape: labels are computed once and scoped-persisted (n
-    rows, two int64s); the within-edge count joins them onto the
-    persisted dst-partitioned edge list behind the SAME broadcast gate
-    LPA's iterations use (above the gate: shuffle joins, correct but
-    slower — never an unconditional broadcast). The degree count
-    groupBy(dst) is exchange-free on the persisted layout; community
-    rollups shuffle at most n_communities rows; the final moments are
-    a 1-row aggregate cross-joined with the 1-row broadcast edge
-    total. Reference parity: community QUALITY evaluation is absent
-    from the 688-LoC reference; north-star addition completing detect
-    -> evaluate for the graph family."""
+    rows, two int64s); the read-out is ONE annotated pass over the
+    persisted dst-partitioned edge list (r12 optimization round — the
+    r11 form scanned edges three times: within-join, degree
+    groupBy(dst), and the 1-row total). Both label joins sit behind
+    the SAME broadcast gate LPA's iterations use (above the gate:
+    shuffle joins, correct but slower — never an unconditional
+    broadcast), and every moment falls out of the per-label aggregate:
+    d_c = count of directed edges whose SRC is in the community
+    (Σ out-deg over members, == the old Σ in-deg by symmetry of the
+    both-orientations edge list), e_in = count of edges whose two
+    endpoint labels agree, and t = Σ d_c (every directed edge has
+    exactly one labeled src), so the separate degree pass, the
+    label-keyed dsum⋈within join, AND the edge-count crossJoin all
+    disappear. Community rollups still shuffle at most n_communities
+    rows. Every labeled node is the src of >= 1 directed edge (nodes
+    are defined BY the symmetric edge list), so grouping by src_label
+    covers exactly the label universe the old node-keyed dsum did —
+    n_communities is identical. Reference parity: community QUALITY
+    evaluation is absent from the 688-LoC reference; north-star
+    addition completing detect -> evaluate for the graph family."""
     edges = _lpa_edges(spark, sf_dir)
     labels, fits_gate = _lpa_labels(edges)
     labels = scoped_persist(labels)
@@ -2043,38 +2079,28 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if fits_gate:
         lab_src, lab_dst = F.broadcast(lab_src), F.broadcast(lab_dst)
-    within = (
+    per_label = (
         edges.join(lab_src, edges.src == F.col("src_node"))
         .join(lab_dst, edges.dst == F.col("dst_node"))
-        .filter(F.col("src_label") == F.col("dst_label"))
         .groupBy(F.col("src_label").alias("label"))
-        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
-    )
-    # degree by dst: exchange-free on the persisted dst layout (the
-    # edge set is symmetric, so in-degree == out-degree).
-    deg = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    lab_d = F.broadcast(labels) if fits_gate else labels
-    dsum = (
-        deg.join(lab_d, "node")
-        .groupBy("label")
-        .agg(F.sum("deg").cast("long").alias("d_c"))
-    )
-    mom = (
-        dsum.join(within, "label", "left")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.sum(F.coalesce(F.col("e_in"), F.lit(0)))
-            .cast(_DEC38)
-            .alias("sum_e"),
-            F.sum(F.col("d_c").cast(_DEC38) * F.col("d_c"))
-            .cast(_DEC38)
-            .alias("sum_d2"),
+            F.count(F.lit(1)).cast("long").alias("d_c"),
+            F.sum(
+                (F.col("src_label") == F.col("dst_label")).cast("long")
+            )
+            .cast("long")
+            .alias("e_in"),
         )
     )
-    tot = edges.agg(F.count(F.lit(1)).cast(_DEC38).alias("t"))
-    return mom.crossJoin(F.broadcast(tot)).select(
+    mom = per_label.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("e_in").cast(_DEC38).alias("sum_e"),
+        F.sum(F.col("d_c").cast(_DEC38) * F.col("d_c"))
+        .cast(_DEC38)
+        .alias("sum_d2"),
+        F.sum("d_c").cast(_DEC38).alias("t"),
+    )
+    return mom.select(
         "n_communities",
         F.col("t").cast("long").alias("t_directed_edges"),
         F.expr(
