@@ -46,19 +46,47 @@ def _rows(spark, sf_dir):
     return out
 
 
-def test_below_gate_build_writes_meta_only_and_exact_path_unchanged(
+def test_below_gate_build_writes_edges_and_exact_values_unchanged(
     spark, jsig_env
 ):
+    """r12 session 2 revision of the r11 meta-only contract: below the
+    gate the build now ALSO writes the shared edge parquet (the
+    graph family's one derived input — the shingle-sketch economics),
+    but NEVER the scored relations (escores/rascores/ntri stay
+    above-gate-only: materializing query RESULTS where the exact
+    plans are cheap would reduce the queries to read-outs). The exact
+    path must serve the cached edges with values unchanged."""
     base = _rows(spark, jsig_env)
     loc = G.run_jaccard_sig_build_job(spark, jsig_env)
     meta = json.load(open(os.path.join(loc, "_jsig_meta.json")))
     assert meta["below_gate"] is True
     assert meta["raw_pairs"] > 0
-    assert not os.path.exists(os.path.join(loc, "edges"))
-    # the fresh meta supplies raw_pairs; the exact plan and its values
-    # are unchanged
+    assert meta["edges"] is True and meta["build_sec"]["edges"] >= 0
+    assert os.path.isdir(os.path.join(loc, "edges"))
+    for rel in ("escores", "rascores", "ntri"):
+        assert not os.path.exists(os.path.join(loc, rel)), rel
+    # the fresh meta supplies raw_pairs; the exact plan now READS the
+    # cached edge relation and its values are unchanged
     assert G.jaccard_sig_meta(jsig_env)["raw_pairs"] == meta["raw_pairs"]
+    # the shared edge frame dispatches to the cached parquet (the
+    # query's own inputFiles() is empty because its leaves sit behind
+    # the scoped-persisted adjacency frame — assert on the source
+    # relation directly)
+    assert any(loc in f for f in G._jaccard_edges(spark, jsig_env).inputFiles())
+    df = QUERIES["graph_jaccard_neighbors"](spark, jsig_env)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert loc in plan, "exact plan must read the cached edges"
     assert _rows(spark, jsig_env) == base
+    # the cached edge relation is bitwise the inline frame
+    cached = sorted(
+        map(tuple, spark.read.parquet(os.path.join(loc, "edges")).collect())
+    )
+    inline = sorted(
+        map(tuple, G._jaccard_edges_inline(spark, jsig_env).collect())
+    )
+    assert cached == inline and cached
 
 
 def test_above_gate_read_path_is_value_identical_to_inline(
