@@ -24,7 +24,11 @@ from alexandria_pipeline_spark.functions.text import (
     word_code,
 )
 from alexandria_pipeline_spark.sketch import shingle_sketch
-from alexandria_pipeline_spark.registry import query, scoped_persist
+from alexandria_pipeline_spark.registry import (
+    persist_if_source_large,
+    query,
+    scoped_persist,
+)
 
 # Deterministic benchmark membership: ~1% of docs stand in for a held
 # out eval set (the real pipeline would read these from a second
@@ -1319,7 +1323,15 @@ def corpus_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         "tok",
         (F.length(F.expr("bin(n div tf)")) - 1).cast("long").alias("sbits"),
     )
-    scored = (
+    # r13 (verdict #7, the at-scale twin of the r12 negative result):
+    # `scored` feeds three consumers (banded, the ranked join, nl), so
+    # every consumer replans the corpus explode + vocab join. At sf0.1
+    # persisting it MEASURED worse (1.72→2.88 s — the cache barrier
+    # beats the parallel replays on a 5 000-doc subtree, the ccnet/r8
+    # rule); above the size gate the replays are corpus-scale and the
+    # |docs|-row narrow frame caches instead. See
+    # registry.persist_if_source_large for the gate's derivation.
+    scored = persist_if_source_large(
         occ.join(bits, "tok")
         .groupBy("doc_id")
         .agg(
@@ -1332,7 +1344,8 @@ def corpus_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFra
             "lang",
             "n_toks",
             F.expr("sum_bits * 1000 div n_toks").alias("mbits"),
-        )
+        ),
+        sf_dir,
     )
     banded = scored.withColumn("band", F.expr(f"mbits div {CCNET_BAND}"))
     band_cnt = banded.groupBy("lang", "band").agg(

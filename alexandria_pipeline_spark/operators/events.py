@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div, trunc_div
-from alexandria_pipeline_spark.registry import query, scoped_persist
+from alexandria_pipeline_spark.registry import (
+    persist_if_source_large,
+    query,
+    scoped_persist,
+)
 
 
 @query(
@@ -3031,12 +3035,20 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: trans (<= types^2 rows) is the collapse point of the ONE
     # data-sized pass (events scan + per-user lead window); the
     # unrolled power steps + pi0 + the final join replanned that pass
-    # ~7x (14 parquet scans in the before-plan). Persist the tiny
-    # matrix so the corpus-sized window pass runs exactly once.
-    trans = scoped_persist(
+    # ~7x (14 parquet scans in the before-plan). r13: the r12
+    # unconditional persist REGRESSED at bench scale (driver r12: 1.36
+    # -> 3.0 s in both runs; r13 same-host cold ABBA: 1.48 -> 1.76) —
+    # the cache barrier beats the parallel window-pass replays on a
+    # 100 k-row events table, the same rule that reverted the bm25
+    # persists. The persist is now gated on source size: inline below
+    # (the measured-better form), cached above, where ~7 corpus-scale
+    # window passes dwarf one materialization barrier.
+    trans = persist_if_source_large(
         seq.groupBy("cur", "nxt").agg(
             F.count(F.lit(1)).cast("long").alias("n")
-        )
+        ),
+        sf_dir,
+        table="events",
     )
     p = trans.select(
         "cur",

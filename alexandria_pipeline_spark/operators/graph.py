@@ -1224,6 +1224,17 @@ RA_TOP_N = 20
 RA_ADJ_BROADCAST_LIMIT = 1_500_000
 
 
+def _ra_adj_limit() -> int:
+    """Measurement seam (r13, verdict #5 — the above-gate A/B):
+    SPARK_GRAFT_RA_ADJ_LIMIT overrides the broadcast-form gate so the
+    stress harness can force the _tri_closed_bcast plan at a scale
+    that normally routes _tri_edge_rows (and oracle-verify the forced
+    path). A plan selector only — both sides of the gate compute
+    identical values, pinned by the forced-path identity tests."""
+    v = os.environ.get("SPARK_GRAFT_RA_ADJ_LIMIT")
+    return int(v) if v else RA_ADJ_BROADCAST_LIMIT
+
+
 @query(
     "graph_resource_allocation",
     oracle=f"""
@@ -1317,7 +1328,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = scoped_persist(
         _jaccard_edges(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
     )
-    small = raw_pairs <= RA_ADJ_BROADCAST_LIMIT and not os.environ.get(
+    small = raw_pairs <= _ra_adj_limit() and not os.environ.get(
         "SPARK_GRAFT_RA_FORCE_ITER"
     )
     if not small:
@@ -1494,7 +1505,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         )
-        if raw_pairs <= RA_ADJ_BROADCAST_LIMIT:
+        if raw_pairs <= _ra_adj_limit():
             # r12 optimization: corner counts straight off the
             # broadcast-closure triangle stream — same triangle
             # multiset as _tri_edge_rows (each triangle credits its 3

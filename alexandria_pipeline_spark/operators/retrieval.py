@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from alexandria_pipeline_spark.catalog import load_table
 from alexandria_pipeline_spark.functions.exact import int_div
-from alexandria_pipeline_spark.registry import query, scoped_persist
+from alexandria_pipeline_spark.registry import (
+    persist_if_source_large,
+    query,
+    scoped_persist,
+)
 
 # Fixed query workload: three multi-term queries over the synthetic
 # vocabulary. A real pipeline would read these from a query table; the
@@ -104,15 +108,17 @@ _TERM_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 lexical retrieval for a fixed 3-query workload
     (k1=1.2, b=0.75; rational idf — see module docstring). Plan: ONE
-    explode of the corpus feeds both the per-doc length aggregate and
-    the query-term tf counts; the 9-row term table broadcasts onto the
-    token stream BEFORE the tf groupBy, so only matching tokens ever
+    explode of the corpus feeds the query-term tf counts, while the
+    per-doc length is a map-only size(split) projection (r13 — see
+    the inline note); the 9-row term table broadcasts onto the token
+    stream BEFORE the tf groupBy, so only matching tokens ever
     shuffle; df is a 9-row aggregate over tf; corpus stats (N, Σdl)
     ride a 1-row broadcast cross join; and the final top-k is a
     row_number window partitioned by query_id — 3 partitions of
     candidate docs, never a global sort. At 100 TB the only fact-sized
-    exchanges are the dl groupBy and the term-filtered tf groupBy
-    (both map-side combined); everything query-shaped is broadcast.
+    exchanges are the term-filtered tf groupBy (map-side combined)
+    and the dl-attach join's |docs|-row narrow side; everything
+    query-shaped is broadcast.
     Scoring overflow headroom: idf_e6 ≤ N·1e6 (~5e11 at sf10) times
     tf-saturation ≤ 2.2e6 stays under 2^63 through sf100."""
     d = load_table(spark, sf_dir, "documents")
@@ -122,17 +128,41 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse points (each feeds two consumers, so the corpus is
     # tokenized 4x in this plan) measured +0.7 s at sf0.1 in the full
     # bench — the replays overlap in parallel branches for less than
-    # the two cache barriers cost (the ccnet/r8 rule). At 100 TB a
-    # written-once dl relation is the right form, not an in-query
-    # persist.
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # the two cache barriers cost (the ccnet/r8 rule).
+    # r13 (guide §2.4: remove shuffles outright): dl is size(split) —
+    # a MAP-ONLY projection — not count-over-explode; the former
+    # corpus-sized dl exchange (|tokens| rows hashed onto doc_id, one
+    # of this plan's two fact-sized shuffles) disappears at every
+    # scale, and the 1-row stats aggregate now rides a shuffle-free
+    # subtree. size(split(text)) ≡ count(*) per exploded doc_id for
+    # every non-null text (split('') = [''], size 1, matching the
+    # one-row explode; null text yields no token rows in the old plan
+    # and is filtered here), so values are bit-identical. This also
+    # supersedes the r12 revert note's "written-once dl relation at
+    # 100 TB" design: a zero-shuffle in-plan derivation beats reading
+    # ANY materialization of it.
+    # Above the size gate (verdict #7's at-scale twin, executable):
+    # dl feeds two consumers (stats, the scored join) and tf feeds two
+    # (df, scored) — unpersisted, each consumer replans a full corpus
+    # pass. persist_if_source_large caches the narrow collapse points
+    # only when the corpus is big enough that the replay costs more
+    # than the cache barrier (below it, the measured-better inline
+    # form from the r12 revert is unchanged).
+    dl = persist_if_source_large(
+        d.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("dl"),
+        ),
+        sf_dir,
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
     )
-    tf = (
+    tf = persist_if_source_large(
         toks.join(F.broadcast(terms), "tok")
         .groupBy("query_id", "tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        sf_dir,
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     norm_e6 = F.lit(BM25_B_NORM_CONST_E6) + int_div(

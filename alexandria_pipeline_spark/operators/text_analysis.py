@@ -25,6 +25,7 @@ from alexandria_pipeline_spark.sketch import shingle_sketch
 from alexandria_pipeline_spark.registry import (
     ORACLES,
     QUERIES,
+    persist_if_source_large,
     query,
     scoped_persist,
 )
@@ -1885,6 +1886,13 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("term"),
     )
+    # r13 negative result (kept as a note, change reverted): a manual
+    # two-level rewrite of the countDistinct(w1) aggregate produced a
+    # BIT-IDENTICAL physical plan (plans/r13/text_bigram_cond_entropy_
+    # {before,after}.txt — 19 nodes each, no Expand anywhere): Spark
+    # 4's AggUtils already plans a single-distinct aggregate as the
+    # two-phase form with no Expand. The boilerplate-spans Expand
+    # lesson applies to MULTIPLE distinct groups, not this shape.
     return (
         terms.groupBy("lang")
         .agg(
@@ -2002,6 +2010,9 @@ def text_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("sent", " ")).cast("long").alias("n_toks"),
     )
     return (
+        # r13 negative result (same as text_bigram_cond_entropy): the
+        # manual two-level countDistinct rewrite planned bit-identical
+        # — Spark 4 plans one-distinct aggregates two-phase, no Expand.
         s.groupBy("lang")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
@@ -2413,6 +2424,12 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sized occ cuts the three corpus passes to two. Persisting ph
     # itself (corpus-sized) measured +0.5 s at sf0.1 (cache barrier >
     # parallel replay, the ccnet/r8 rule) and stays out.
+    # r13: the r12 unconditional occ persist itself REGRESSED at bench
+    # scale (same-host cold ABBA r11 -> r12: 1.08 -> 1.81 s; flat on
+    # the r12 builder's host, slower in both driver runs) — the same
+    # barrier-vs-replay economics. Now gated on source size like
+    # bm25/ccnet/markov: inline below, cached above, where the saved
+    # corpus tokenize pass is the term that grows.
     ph = (
         g.filter(F.col("is_stop") == 0)
         .groupBy("doc_id", "grp")
@@ -2428,10 +2445,11 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("plen") <= RAKE_MAX_PLEN)
     )
-    occ = scoped_persist(
+    occ = persist_if_source_large(
         ph.groupBy("phrase").agg(
             F.count(F.lit(1)).cast("long").alias("n_occurrences")
-        )
+        ),
+        sf_dir,
     )
     wpo = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
     ws = wpo.groupBy("w").agg(

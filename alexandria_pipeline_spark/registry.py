@@ -60,6 +60,45 @@ def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+def persist_if_source_large(
+    df: DataFrame, sf_dir: str, table: str = "documents",
+    min_bytes: int | None = None,
+) -> DataFrame:
+    """Scale-gated scoped_persist (r13, verdict #7 — the at-scale twin
+    of the r8/ccnet/bm25 'cheaper-to-replay' rule): persist a shared
+    subtree ONLY when its source table is big enough that replaying the
+    subtree per consumer costs more than the cache materialization
+    barrier. Below the gate the frame is returned unpersisted and the
+    parallel replays win (measured repeatedly at sf0.1: ccnet persist
+    1.72→2.88 s, bm25 dl/tf +0.67 s, rake ph +0.5 s).
+
+    The gate operand is the source table's ON-DISK parquet bytes — a
+    free os.stat walk, deterministic, and proportional to the work a
+    replay re-does (unlike a row-count job, it costs no Spark action).
+    Default threshold 256 MiB ≈ 2.5e6 docs at this corpus's density —
+    an order of magnitude above the largest scale where replay has
+    been MEASURED cheaper (sf1, ~6 MB/50 k docs), and two below the
+    ~10^7-doc point the r12 analysis called for the persist.
+    SPARK_GRAFT_PERSIST_MIN_BYTES overrides for A/B measurement."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_PERSIST_MIN_BYTES")
+    gate = int(env) if env else (min_bytes or 256 * 1024 * 1024)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    size = 0
+    try:
+        if os.path.isdir(src):
+            for root, _dirs, files in os.walk(src):
+                size += sum(
+                    os.stat(os.path.join(root, f)).st_size for f in files
+                )
+        else:
+            size = os.stat(src).st_size
+    except OSError:
+        return df  # unstatable source (fixture-injected tables): inline
+    return scoped_persist(df) if size >= gate else df
+
+
 def scoped_release(callback: Callable[[], None]) -> None:
     """Record an arbitrary release callback for storage that
     DataFrame.unpersist can't reach — e.g. the RDD-level blocks of a

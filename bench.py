@@ -226,6 +226,30 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def chunk_queries(
+    headline: list[str], timings: dict[str, float], budget: int = 1200
+) -> list[dict[str, float]]:
+    """Split the per-query map into chunks whose serialized JSON lines
+    each stay well under the driver's ~2000-char tail capture, values
+    rounded to 2 decimals. Headline order is preserved so a reader can
+    tell which part of the suite a surviving chunk covers."""
+    chunks: list[dict[str, float]] = []
+    chunk: dict[str, float] = {}
+    size = 0
+    for name in headline:
+        if name not in timings:
+            continue
+        entry = len(name) + 12  # quotes, colon, comma, 2-decimal value
+        if chunk and size + entry > budget:
+            chunks.append(chunk)
+            chunk, size = {}, 0
+        chunk[name] = round(timings[name], 2)
+        size += entry
+    if chunk:
+        chunks.append(chunk)
+    return chunks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset of the
@@ -261,6 +285,15 @@ def main() -> None:
     # state ∈ hit (fresh cache served), built (cold build ran this
     # session), disabled (env forces inline), failed (queries fall
     # back inline).
+    # r12 verdict #3: a bench invocation must never be served a WARM
+    # cross-run cache — round-over-round comparisons silently mixed
+    # warm (state: hit) and cold (state: built) runs. Both relations
+    # are therefore force-rebuilt inside every bench run, so "hit" can
+    # never occur and every reported number is reproducible from the
+    # parquet inputs alone. SPARK_GRAFT_BENCH_ALLOW_WARM=1 restores the
+    # hit-or-build behavior for local iteration loops ONLY (never set
+    # in driver/gate runs; a warm run is visibly state: hit).
+    allow_warm = bool(os.environ.get("SPARK_GRAFT_BENCH_ALLOW_WARM"))
     materializations: dict = {}
     sketch_build_sec = None
     try:
@@ -274,12 +307,13 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKETCH_DISABLE"):
             rec["state"], rec["build_sec"] = "disabled", None
         else:
-            hit = sketch_is_fresh(sf_dir)
+            hit = allow_warm and sketch_is_fresh(sf_dir)
             t0 = time.perf_counter()
-            run_sketch_build_job(spark, sf_dir)
+            run_sketch_build_job(spark, sf_dir, force=not allow_warm)
             sketch_build_sec = round(time.perf_counter() - t0, 3)
             rec["state"] = "hit" if hit else "built"
             rec["build_sec"] = sketch_build_sec
+            rec["forced_cold"] = not allow_warm
         materializations["sketch"] = rec
     except Exception as exc:  # noqa: BLE001 - queries fall back inline
         materializations["sketch"] = {"state": "failed", "error": repr(exc)}
@@ -302,12 +336,13 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_JACCARD_SIG_DISABLE"):
             rec["state"], rec["build_sec"] = "disabled", None
         else:
-            hit = jaccard_sig_meta(sf_dir) is not None
+            hit = allow_warm and jaccard_sig_meta(sf_dir) is not None
             t0 = time.perf_counter()
-            run_jaccard_sig_build_job(spark, sf_dir)
+            run_jaccard_sig_build_job(spark, sf_dir, force=not allow_warm)
             jsig_build_sec = round(time.perf_counter() - t0, 3)
             rec["state"] = "hit" if hit else "built"
             rec["build_sec"] = jsig_build_sec
+            rec["forced_cold"] = not allow_warm
             meta = jaccard_sig_meta(sf_dir) or {}
             rec["below_gate"] = bool(meta.get("below_gate"))
             if meta.get("build_sec"):
@@ -363,6 +398,7 @@ def main() -> None:
     # partial sum would read a regression-induced failure as a speedup in
     # round-over-round comparisons. Null it out on any failure and always
     # emit n_timed/n_failed so aggregate readers can't misread partial runs.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     out = {
         "metric": "headline_queries_total_wall",
         "value": None if errors else round(sum(timings.values()), 3),
@@ -371,6 +407,7 @@ def main() -> None:
         "n_failed": len(errors),
         "runs_per_query": runs,
         "timing": "min_of_runs",
+        "cpus": cpus,
         "queries": timings,
         "sketch_build_sec": sketch_build_sec,
         "jsig_build_sec": jsig_build_sec,
@@ -383,14 +420,48 @@ def main() -> None:
     print(json.dumps(out))
     # The per-query line above outgrew the driver's tail capture at 68
     # queries (BENCH_r04.json recorded parsed:null because the FRONT of
-    # the line — where "value" lives — was truncated away). Emit a
-    # second, compact record LAST so the tail always holds a complete
-    # parseable JSON line regardless of how many queries the full line
-    # carries.
+    # the line — where "value" lives — was truncated away). At 173
+    # queries (r12) the problem returned one level up: the tail holds
+    # only the last ~2000 characters, the sum of the query NAMES alone
+    # is ~3.8 KB, so NO single per-query line can ever survive it and
+    # the driver's round-over-round comparator got totals only
+    # (PERF_r12 per_query: {}). Three additive channels (r12 verdict
+    # #1), leaving the full line first and the compact line last:
+    #   1. BENCH_SELF.json / BENCH_SELF_c<cpus>.json next to bench.py:
+    #      the complete record as a stable file any comparator can read
+    #      without depending on pipe capture limits.
+    #   2. chunked per-query lines, each a self-contained JSON object
+    #      well under the tail budget, so the LAST chunks always sit
+    #      whole inside a truncated tail and a tail parser can merge
+    #      every complete chunk line it sees (chunk/n_chunks say what
+    #      fraction it got).
+    #   3. the compact final line names channel 1 via per_query_file.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    self_name = f"BENCH_SELF_c{cpus}.json" if cpus else "BENCH_SELF.json"
+    for fname in {self_name, "BENCH_SELF.json"}:
+        try:
+            with open(os.path.join(repo_dir, fname), "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError as exc:  # noqa: PERF203 - never fail the bench on I/O
+            print(f"bench self-record write failed ({fname}): {exc!r}", file=sys.stderr)
+
+    for i, ch in enumerate(chunks := chunk_queries(headline, timings)):
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_chunk",
+                    "chunk": i + 1,
+                    "n_chunks": len(chunks),
+                    "queries": ch,
+                },
+                separators=(",", ":"),
+            )
+        )
     compact = {
         k: out[k]
         for k in ("metric", "value", "unit", "n_timed", "n_failed", "sf")
     }
+    compact["per_query_file"] = self_name
     print(json.dumps(compact))
     spark.stop()
     sys.exit(0 if timings else 1)
