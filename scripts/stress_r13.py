@@ -177,13 +177,63 @@ def phase_f(runs: int) -> None:
             _record(key, {"error": str(exc)[:2000]})
 
 
+def phase_p() -> None:
+    """Forced-path value parity at sf1 (verdict #5's oracle ask): at
+    sf1 raw_pairs ≈ 12 M > RA_ADJ_BROADCAST_LIMIT, so the natural
+    route is _tri_edge_rows (oracle-checked at small SFs since r11).
+    Run LCC and RA once per form in one session and compare the full
+    sorted row sets — the forced _tri_closed_bcast plan must be
+    value-identical where it would normally never run."""
+    code = f"""
+import json, os, sys
+sys.path.insert(0, {str(REPO)!r})
+from alexandria_pipeline_spark import QUERIES, get_spark, register_all
+from alexandria_pipeline_spark.registry import release_persisted
+register_all()
+spark = get_spark("stress-r13-parity")
+spark.sparkContext.setLogLevel("ERROR")
+out = {{}}
+for q in ("graph_local_clustering", "graph_resource_allocation"):
+    rows = {{}}
+    for form, env in (("edge_rows", None), ("forced_bcast", "200000000")):
+        if env is None:
+            os.environ.pop("SPARK_GRAFT_RA_ADJ_LIMIT", None)
+        else:
+            os.environ["SPARK_GRAFT_RA_ADJ_LIMIT"] = env
+        df = QUERIES[q](spark, {SF1!r})
+        rows[form] = sorted(tuple(r) for r in df.collect())
+        release_persisted()
+        spark.catalog.clearCache()
+    out[q] = {{
+        "n_rows": len(rows["edge_rows"]),
+        "identical": rows["edge_rows"] == rows["forced_bcast"],
+    }}
+print("STRESS_ROW " + json.dumps(out))
+spark.stop()
+"""
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    env["SPARK_GRAFT_JACCARD_SIG_DISABLE"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, cwd=REPO, check=False,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("STRESS_ROW "):
+            _record("p_sf1_forced_path_parity", json.loads(line[len("STRESS_ROW "):]))
+            return
+    raise SystemExit(f"parity failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-3000:]}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["e", "f"])
+    ap.add_argument("phase", choices=["e", "f", "p"])
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
     if args.phase == "e":
         phase_e(args.runs)
+    elif args.phase == "p":
+        phase_p()
     else:
         phase_f(1)
     return 0
